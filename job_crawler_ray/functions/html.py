@@ -84,11 +84,11 @@ def parse_pages_batch(batch: pa.Table, html_col: str = "html") -> pa.Table:
     contract_type, posted_date, category, and ``description`` =
     ``extracted_text[:1000]`` (the ingest truncation `main.py:231-233`).
     """
-    html = batch[html_col].to_pandas()
-    # binary → str; the corpus is UTF-8 by construction
-    if len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
-        html = html.str.decode("utf-8")
-    html = html.fillna("")
+    col = batch[html_col]
+    col_type = col.type if hasattr(col, "type") else col.chunk(0).type
+    if pa.types.is_binary(col_type) or pa.types.is_large_binary(col_type):
+        col = pa.compute.cast(col, pa.string())  # corpus is UTF-8 by construction
+    html = col.to_pandas().fillna("")
 
     out = batch
     parsed: dict[str, pd.Series] = {}

@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from job_crawler_ray.hashing import xxh64_array
+from job_crawler_ray.hashing import as_signed, xxh64_array
 
 _SCHEME_SEP = "://"
 
@@ -105,8 +105,8 @@ def add_url_key_columns(batch: pa.Table, url_col: str = "url") -> pa.Table:
     urls = batch[url_col].to_pandas()
     canon = canonicalize_urls(urls)
     host = hosts_of(urls)
-    keys = xxh64_array(canon.to_numpy())
+    keys = as_signed(xxh64_array(canon.to_numpy()))
     batch = batch.append_column("canonical_url", pa.array(canon, type=pa.string()))
     batch = batch.append_column("host", pa.array(host, type=pa.string()))
-    batch = batch.append_column("url_key", pa.array(keys, type=pa.uint64()))
+    batch = batch.append_column("url_key", pa.array(keys, type=pa.int64()))
     return batch

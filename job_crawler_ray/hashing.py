@@ -189,3 +189,14 @@ def xxh64_array(values, seed: int = 0) -> np.ndarray:
         )
         out[idx] = _xxh64_fixed_len(mat, seed)
     return out
+
+
+def as_signed(keys: np.ndarray) -> np.ndarray:
+    """uint64 hash keys → int64 bit-view (Ray Data groupby/sort treat
+    uint64 columns as pickled Python objects; int64 is native)."""
+    return np.asarray(keys, dtype=_u64).view(np.int64)
+
+
+def as_unsigned(keys: np.ndarray) -> np.ndarray:
+    """int64 column values → uint64 bit-view (exact inverse)."""
+    return np.asarray(keys, dtype=np.int64).view(_u64)

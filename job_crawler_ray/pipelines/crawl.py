@@ -1,0 +1,338 @@
+"""The flagship pipeline: Ray-Data-native URL-frontier crawl scheduler.
+
+North-rule rebuild of the reference's fetch→parse→extract→dedup→store
+loop (`/root/reference/src/claude_job_agent/main.py:479-566`) as an
+epoch-driven frontier scheduler:
+
+    seed pages ──┐ (url, warc_ts only — html never enters the frontier)
+                 ▼
+      canonicalize + xxh64 keys + host     map_batches, vectorized
+                 ▼
+      robots filter                        broadcast rules, map_batches
+                 ▼
+      exact dedup keep-first               groupby(url_key).map_groups
+                 ▼
+   ┌─ epoch loop (driver) ────────────────────────────────────────────┐
+   │  seen-filter (previous epochs)        map_batches → shard actors │
+   │  per-host budget release              groupby(host).map_groups   │
+   │  released → fetch                     actor pool (corpus store)  │
+   │           → parse + extract           map_batches, zero-copy     │
+   │           → out/epoch=N/*.parquet     partitioned, resumable     │
+   │  remaining → frontier/epoch=N+1       streaming write            │
+   │  seen.add(released keys) → snapshot → manifest (commit point)    │
+   └──────────────────────────────────────────────────────────────────┘
+
+Determinism contract (crawl-ordering / seen-set parity vs the
+sequential oracle in :mod:`job_crawler_ray.pipelines.oracle`):
+
+- every per-row derivation is a pure function of the row;
+- dedup keeps max-(warc_ts), tie min-(canonical_url, url) — "first
+  arrival" under the reference's newest-first ordering
+  (`main.py:210` sort_by date, `main.py:518-527` first-wins set);
+- release order within a host is (warc_ts DESC, canonical_url ASC),
+  rank recorded as ``host_rank``; the total crawl order is the tuple
+  (epoch, host, host_rank) — no cross-partition counter needed;
+- seen shards are read-only during an epoch (within-epoch dups are
+  resolved by the shuffle dedup), so no answer depends on batch
+  arrival order ⇒ identical output at any ``num_cpus``.
+
+Scale notes: the frontier carries five narrow columns (never html);
+the only all-to-all exchanges are the one-time dedup shuffle and the
+per-epoch groupby(host) over the *shrinking* frontier; host-budget
+release is itself the hot-host skew cap; fetch reads only the corpus
+buckets its batch needs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from job_crawler_ray.corpus import pages_dataset
+from job_crawler_ray.functions.extract import extract_features_batch
+from job_crawler_ray.functions.html import parse_pages_batch
+from job_crawler_ray.functions.urltools import add_url_key_columns
+from job_crawler_ray.stages.fetch import (
+    NUM_CORPUS_BUCKETS,
+    CorpusFetcher,
+    write_corpus_store,
+)
+from job_crawler_ray.stages.politeness import (
+    make_budget_release,
+    robots_filter_batch,
+    synth_robots,
+)
+from job_crawler_ray.stages.seen import SeenSet
+from job_crawler_ray.state.checkpoint import latest_manifest, write_manifest
+
+FRONTIER_COLS = ["url", "warc_ts", "canonical_url", "host", "url_key"]
+
+
+@dataclass
+class CrawlConfig:
+    work_dir: str
+    budget_per_host: int = 50
+    num_seen_shards: int = 8
+    max_epochs: int = 1000
+    num_corpus_buckets: int = NUM_CORPUS_BUCKETS
+    fetch_concurrency: int = 4
+    batch_size: int = 8192
+    robots_rules: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return os.path.join(self.work_dir, "checkpoints")
+
+    @property
+    def out_dir(self) -> str:
+        return os.path.join(self.work_dir, "out")
+
+    @property
+    def store_dir(self) -> str:
+        return os.path.join(self.work_dir, "corpus_store")
+
+    @property
+    def frontier_dir(self) -> str:
+        return os.path.join(self.work_dir, "frontier")
+
+
+def build_frontier(pages_ds, cfg: CrawlConfig):
+    """pages → deduped, robots-filtered frontier (narrow columns only)."""
+    from job_crawler_ray.stages.dedup import exact_dedup_first
+
+    ds = pages_ds.select_columns(["url", "warc_ts"])
+    ds = ds.map_batches(add_url_key_columns, batch_format="pyarrow")
+    if cfg.robots_rules:
+        rules = cfg.robots_rules
+        ds = ds.map_batches(
+            lambda b: robots_filter_batch(b, rules), batch_format="pyarrow"
+        )
+    return exact_dedup_first(ds, key="url_key")
+
+
+def _seen_filter(ds, seen: SeenSet, batch_size: int):
+    def drop_seen(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        mask = seen.contains(batch["url_key"].to_numpy())
+        return batch.filter(pa.array(~mask))
+
+    return ds.map_batches(drop_seen, batch_format="pyarrow", batch_size=batch_size)
+
+
+def run_crawl(
+    cfg: CrawlConfig,
+    pages_ds=None,
+    sf_dir: str | None = None,
+    replicate: int = 1,
+    resume: bool = False,
+    reseed_epochs: dict[int, object] | None = None,
+):
+    """Run the crawl to frontier exhaustion (or cfg.max_epochs).
+
+    ``resume=True`` restarts from the last committed manifest: restores
+    the seen shards from their snapshots and continues with the next
+    frontier partition — exact replay, verified by tests.
+
+    ``reseed_epochs`` maps epoch → Dataset of candidate pages ingested
+    at the start of that epoch (a re-crawl wave); candidates that were
+    already crawled are dropped by the seen-set, candidates already in
+    the frontier merge through the dedup shuffle.
+    """
+    os.makedirs(cfg.work_dir, exist_ok=True)
+    reseed_epochs = reseed_epochs or {}
+
+    if pages_ds is None:
+        pages_ds = pages_dataset(sf_dir, replicate=replicate)
+
+    seen = SeenSet(num_shards=cfg.num_seen_shards)
+    start_epoch = 0
+    if resume:
+        m = latest_manifest(cfg.checkpoint_dir)
+        if m is not None:
+            seen.restore(m["seen_snapshot_dir"])
+            start_epoch = m["epoch"] + 1
+
+    if start_epoch == 0:
+        # one-time corpus store + initial frontier
+        if not os.path.isdir(cfg.store_dir):
+            write_corpus_store(
+                pages_ds, cfg.store_dir, num_buckets=cfg.num_corpus_buckets
+            )
+        f0 = os.path.join(cfg.frontier_dir, "ep-00000")
+        if not os.path.isdir(f0):
+            build_frontier(pages_ds, cfg).write_parquet(f0)
+
+    import ray.data as rd
+
+    epoch = start_epoch
+    manifests = []
+    empty_frontier = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "warc_ts": pa.array([], pa.timestamp("us")),
+            "canonical_url": pa.array([], pa.string()),
+            "host": pa.array([], pa.string()),
+            "url_key": pa.array([], pa.int64()),
+        }
+    )
+
+    import shutil
+
+    while epoch < cfg.max_epochs:
+        frontier_in = os.path.join(cfg.frontier_dir, f"ep-{epoch:05d}")
+        # Exact replay after a mid-epoch crash: any outputs of THIS epoch
+        # found on disk are uncommitted leftovers (the manifest commits
+        # last) — remove them so the replay cannot double-write.
+        for leftover in (
+            os.path.join(cfg.out_dir, f"ep-{epoch:05d}"),
+            os.path.join(cfg.checkpoint_dir, "metrics", f"ep-{epoch:05d}"),
+            os.path.join(cfg.checkpoint_dir, "seen", f"ep-{epoch:05d}"),
+            os.path.join(cfg.frontier_dir, f"ep-{epoch + 1:05d}"),
+        ):
+            shutil.rmtree(leftover, ignore_errors=True)
+        if os.path.isdir(frontier_in):
+            frontier = rd.read_parquet(frontier_in)
+        else:  # drained earlier; only reseed waves can refill
+            frontier = rd.from_arrow(empty_frontier)
+
+        if epoch in reseed_epochs:
+            from job_crawler_ray.stages.dedup import exact_dedup_first
+
+            wave = build_frontier(reseed_epochs[epoch], cfg)
+            frontier = exact_dedup_first(frontier.union(wave), key="url_key")
+
+        frontier = _seen_filter(frontier, seen, cfg.batch_size)
+
+        # per-host token-bucket release (budget = tokens per epoch)
+        flagged = frontier.groupby("host").map_groups(
+            make_budget_release(cfg.budget_per_host), batch_format="pandas"
+        )
+        flagged = flagged.materialize()  # consumed twice (released + remaining)
+
+        import pyarrow.compute as pc
+
+        released = flagged.map_batches(
+            lambda b: b.filter(pc.equal(b["released"], True)), batch_format="pyarrow"
+        )
+        remaining = flagged.map_batches(
+            lambda b: b.filter(pc.equal(b["released"], False)), batch_format="pyarrow"
+        ).drop_columns(["released", "host_rank"])
+
+        # fetch → parse → extract → partitioned output
+        out_epoch = os.path.join(cfg.out_dir, f"ep-{epoch:05d}")
+        fetched = released.map_batches(
+            CorpusFetcher,
+            fn_constructor_kwargs={
+                "store_dir": cfg.store_dir,
+                "num_buckets": cfg.num_corpus_buckets,
+            },
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=cfg.fetch_concurrency,
+            num_cpus=1,
+        )
+        fetched = fetched.map_batches(parse_pages_batch, batch_format="pyarrow")
+        fetched = fetched.map_batches(extract_features_batch, batch_format="pyarrow")
+        fetched = fetched.drop_columns(["html"])
+        fetched = fetched.map_batches(
+            lambda b, e=epoch: b.append_column(
+                "epoch", pa.array(np.full(b.num_rows, e, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        fetched = fetched.materialize()  # consumed twice (write + metrics)
+        fetched.write_parquet(out_epoch)
+
+        # per-host fetch-metrics rollup (A6 shape) — partial per batch,
+        # tiny final groupby
+        def metrics_batch(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            ok = df["status_code"] == 200
+            g = df.groupby("host", sort=True).agg(
+                pages_fetched=("url", "size"),
+                fetch_errors=("status_code", lambda s: int((s != 200).sum())),
+                bytes_fetched=("response_bytes", "sum"),
+                latency_ms_sum=("fetch_latency_ms", "sum"),
+            )
+            g["pages_ok"] = df[ok].groupby("host").size().reindex(g.index, fill_value=0)
+            return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+        metrics_rows = (
+            fetched.map_batches(metrics_batch, batch_format="pyarrow")
+            .groupby("host")
+            .sum(["pages_fetched", "fetch_errors", "bytes_fetched", "latency_ms_sum", "pages_ok"])
+        )
+        metrics_path = os.path.join(cfg.checkpoint_dir, "metrics", f"ep-{epoch:05d}")
+        metrics_rows.write_parquet(metrics_path)
+
+        n_released = released.count()
+        n_fetched = fetched.count()
+
+        # next frontier
+        frontier_out = os.path.join(cfg.frontier_dir, f"ep-{epoch + 1:05d}")
+        remaining = remaining.materialize()
+        n_remaining = remaining.count()
+        if n_remaining > 0:
+            remaining.write_parquet(frontier_out)
+
+        # seen-set update + snapshot + manifest commit
+        released_keys = np.concatenate(
+            [
+                b["url_key"].to_numpy()
+                for b in released.select_columns(["url_key"]).iter_batches(
+                    batch_format="pyarrow", batch_size=cfg.batch_size
+                )
+            ]
+            or [np.zeros(0, np.int64)]
+        )
+        seen.add(released_keys)
+        snap_dir = os.path.join(cfg.checkpoint_dir, "seen", f"ep-{epoch:05d}")
+        seen.snapshot(snap_dir)
+
+        out_files = sorted(os.listdir(out_epoch)) if os.path.isdir(out_epoch) else []
+        manifests.append(
+            write_manifest(
+                cfg.checkpoint_dir,
+                epoch,
+                {
+                    "frontier_in": frontier_in,
+                    "frontier_out": frontier_out if n_remaining else None,
+                    "released": int(n_released),
+                    "fetched": int(n_fetched),
+                    "remaining": int(n_remaining),
+                    "seen_total": int(seen.size()),
+                    "seen_snapshot_dir": snap_dir,
+                    "metrics_path": metrics_path,
+                    "output_dir": out_epoch,
+                    "output_files": out_files,
+                },
+            )
+        )
+
+        epoch += 1
+        if n_remaining == 0 and not any(e >= epoch for e in reseed_epochs):
+            break
+
+    result = {
+        "epochs": epoch - start_epoch,
+        "out_dir": cfg.out_dir,
+        "manifests": manifests,
+        "seen_total": seen.size(),
+        "seen_keys": seen.all_keys_sorted(),
+    }
+    seen.shutdown()
+    return result
+
+
+def crawl_output_dataset(cfg: CrawlConfig):
+    """All crawled pages, with the total-order columns (epoch, host, host_rank)."""
+    import ray.data as rd
+
+    return rd.read_parquet(cfg.out_dir)

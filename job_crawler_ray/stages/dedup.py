@@ -1,0 +1,140 @@
+"""Exact deduplication operators (D1/D2 of SURVEY.md §2.7).
+
+Reference semantics: first-wins exact dedup over a normalized key
+(`/root/reference/src/claude_job_agent/main.py:518-527`) and last-wins
+upsert on the unique url (`main.py:141, 771-786`).
+
+Scale design — ``exact_dedup_first`` avoids the naive
+``groupby(key).map_groups(head(1))``, which pays a Python call per
+distinct key (≈ one per ROW when dups are rare). Instead:
+
+1. per-batch partial dedup (vectorized pandas ``drop_duplicates``) —
+   removes intra-batch dups for free;
+2. one vectorized hash aggregation ``groupby(key).count()`` to find
+   the keys that actually collide across batches — with realistic dup
+   fractions this set is tiny relative to the corpus;
+3. broadcast the colliding-key set (``ray.put`` once, ``np.isin`` per
+   batch) to split the stream: non-colliding rows pass through
+   untouched (no shuffle!), colliding rows — the small minority —
+   go through the exact ``groupby(key).map_groups`` keep-first.
+
+So the all-to-all work is proportional to the duplicate population,
+not the corpus. Degenerate all-dup inputs degrade gracefully to the
+plain shuffle. Falls back to plain map_groups when the colliding set
+is too large to broadcast (``max_broadcast_keys``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+DEFAULT_ORDER = {
+    "by": ["warc_ts", "canonical_url", "url"],
+    "ascending": [False, True, True],
+}
+
+
+def _keep(df: pd.DataFrame, key: str, order: dict, keep: str) -> pd.DataFrame:
+    g = df.sort_values(order["by"], ascending=order["ascending"], kind="mergesort")
+    return g.drop_duplicates(key, keep=keep)
+
+
+def exact_dedup_first(
+    ds,
+    key: str = "url_key",
+    order: dict | None = None,
+    keep: str = "first",
+    max_broadcast_keys: int = 5_000_000,
+):
+    """Keep exactly one row per ``key``, chosen by ``order`` (+``keep``).
+
+    ``order`` sorts each key-group; ``keep='first'`` with the default
+    newest-first order reproduces the reference's first-wins dedup
+    under its date-sorted arrival (`main.py:210, 518-527`).
+    """
+    order = order or DEFAULT_ORDER
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _keep(df, key, order, keep)
+
+    ds = ds.map_batches(partial, batch_format="pandas").materialize()
+
+    counts = ds.groupby(key).count()
+    dup_keys_parts = (
+        counts.map_batches(
+            lambda b: b.filter(pa.compute.greater(b["count()"], 1)).select([key]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    dup_keys = (
+        dup_keys_parts[key].to_numpy().astype(np.int64)
+        if key in dup_keys_parts.columns
+        else np.zeros(0, np.int64)
+    )
+
+    if dup_keys.size == 0:
+        return ds
+    if dup_keys.size > max_broadcast_keys:
+        return ds.groupby(key).map_groups(
+            lambda g: _keep(g, key, order, keep).head(1), batch_format="pandas"
+        )
+
+    dup_sorted = np.sort(dup_keys)
+    ref = ray.put(dup_sorted)
+
+    def split(batch: pa.Table, want_dups: bool) -> pa.Table:
+        dk = ray.get(ref)
+        keys = batch[key].to_numpy().astype(np.int64)
+        isdup = np.zeros(len(keys), dtype=bool)
+        idx = np.searchsorted(dk, keys)
+        in_range = idx < dk.size
+        isdup[in_range] = dk[idx[in_range]] == keys[in_range]
+        return batch.filter(pa.array(isdup if want_dups else ~isdup))
+
+    uniques = ds.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    )
+    dups = ds.map_batches(lambda b: split(b, True), batch_format="pyarrow")
+    winners = dups.groupby(key).map_groups(
+        lambda g: _keep(g, key, order, keep), batch_format="pandas"
+    )
+    # normalize winners back to Arrow blocks so the union is homogeneous
+    winners = winners.map_batches(lambda t: t, batch_format="pyarrow")
+    return uniques.union(winners)
+
+
+def dedup_exact_text(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """D1 over documents: one row per exact text, min id wins.
+
+    Key = xxh64(text); winner = lowest ``id_col`` (deterministic, and
+    expressible in the DuckDB oracle via row_number / min-join).
+    """
+    from job_crawler_ray.hashing import as_signed, xxh64_array
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = as_signed(xxh64_array(batch[text_col]))
+        return batch.append_column("text_key", pa.array(keys, type=pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return exact_dedup_first(
+        keyed,
+        key="text_key",
+        order={"by": [id_col], "ascending": [True]},
+        keep="first",
+    )
+
+
+def upsert_last_wins(ds, key: str = "url_key", ts_col: str = "warc_ts"):
+    """D2: INSERT OR REPLACE semantics — newest row per key survives
+    (`main.py:141, 771-786`)."""
+    return exact_dedup_first(
+        ds,
+        key=key,
+        order={"by": [ts_col], "ascending": [False]},
+        keep="first",
+    )

@@ -1,0 +1,113 @@
+"""Fetch stage: actor-pool map_batches that resolves url → page bytes.
+
+The reference fetches over HTTP with a per-call ``httpx.AsyncClient``
+(`/root/reference/src/claude_job_agent/main.py:213-243`, 15 s timeout,
+error → empty result, never an exception). The Ray-native shape is a
+**stateful actor pool**: the expensive client/state is built once per
+actor in ``__init__`` and reused across batches
+(``map_batches(CorpusFetcher, concurrency=N, num_cpus=...)``).
+
+No network exists in this sandbox, so the "web" is the pages corpus
+laid out as host-bucketed Parquet (written once by
+``write_corpus_store``). A fetch batch groups its URLs by host bucket,
+reads only those buckets' fragments (column-pruned), and joins on
+``url`` — the I/O pattern of a real fetcher talking to a
+host-partitioned frontier. Per-row semantics mirror the reference:
+
+- status 200 + bytes on success;
+- deterministic pseudo-latency (seeded by url_key — stands in for
+  network time, drives the metrics rollup A6);
+- a deterministic ~1% failure tier (status 503, empty bytes) —
+  row-level degradation, never a raised exception
+  (`main.py:241-243, 545-548`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from job_crawler_ray.corpus import mix64
+from job_crawler_ray.hashing import as_unsigned
+
+NUM_CORPUS_BUCKETS = 32
+
+_u64 = np.uint64
+
+
+def host_bucket_of(url_keys: np.ndarray, num_buckets: int = NUM_CORPUS_BUCKETS) -> np.ndarray:
+    return (mix64(as_unsigned(url_keys), 101) % _u64(num_buckets)).astype(np.int64)
+
+
+def write_corpus_store(pages_ds, store_dir: str, num_buckets: int = NUM_CORPUS_BUCKETS):
+    """One-time layout of the corpus as bucket-partitioned Parquet.
+
+    Partition key = hash bucket of url_key — this is the "address
+    space" the fetcher resolves against (hive layout ⇒ fragment pruning
+    by bucket). Done as a Dataset write so it streams at any scale.
+    """
+    from job_crawler_ray.functions.urltools import add_url_key_columns
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = add_url_key_columns(batch)
+        bucket = host_bucket_of(batch["url_key"].to_numpy(), num_buckets)
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+
+    (
+        pages_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .select_columns(["url", "html", "bucket"])
+        .write_parquet(store_dir, partition_cols=["bucket"])
+    )
+    return store_dir
+
+
+class CorpusFetcher:
+    """Actor: fetch html for released frontier rows from the corpus store."""
+
+    def __init__(self, store_dir: str, num_buckets: int = NUM_CORPUS_BUCKETS):
+        # once per actor: open the dataset, build the fragment index
+        self.store = pads.dataset(store_dir, partitioning="hive")
+        self.num_buckets = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("html", pa.array([], pa.binary()))
+        urls = batch["url"].to_pandas()
+        keys = batch["url_key"].to_numpy()
+        buckets = host_bucket_of(keys, self.num_buckets)
+
+        html_map: dict[str, bytes] = {}
+        for b in np.unique(buckets):
+            want = urls[buckets == b]
+            frag = self.store.to_table(
+                columns=["url", "html"],
+                filter=(pads.field("bucket") == int(b))
+                & pads.field("url").isin(want.tolist()),
+            )
+            html_map.update(
+                zip(frag["url"].to_pylist(), frag["html"].to_pylist())
+            )
+
+        html = urls.map(html_map)  # NaN where the fetch "404"s
+        found = html.notna()
+
+        # deterministic failure tier (~1%) + pseudo-latency in ms
+        h = mix64(as_unsigned(keys), 202)
+        fail = (h % _u64(97) == 0) & found.to_numpy()
+        latency_ms = 20.0 + (mix64(as_unsigned(keys), 203) % _u64(2000)).astype(
+            np.float64
+        ) / 10.0
+        ok = found.to_numpy() & ~fail
+        status = np.where(ok, 200, np.where(fail, 503, 404)).astype(np.int32)
+        html = html.where(pd.Series(ok, index=html.index), None)
+        nbytes = html.str.len().fillna(0).astype(np.int64)
+
+        out = batch.append_column("html", pa.array(html, type=pa.binary(), from_pandas=True))
+        out = out.append_column("status_code", pa.array(status))
+        out = out.append_column("fetch_latency_ms", pa.array(latency_ms))
+        out = out.append_column("response_bytes", pa.array(nbytes.to_numpy()))
+        return out

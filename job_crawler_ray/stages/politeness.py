@@ -1,0 +1,85 @@
+"""Per-host politeness: robots rules + token-bucket budget release.
+
+Crawl-scale design for what the reference only implies (page cap 50 at
+`/root/reference/src/claude_job_agent/main.py:207`, request timeouts at
+`main.py:214`, rate-limit guidance in its README): an explicit per-host
+token bucket whose refill interval is the crawl epoch — each host may
+release at most ``budget`` URLs per epoch — plus a robots allow/deny
+table applied before any budget is spent.
+
+Both are implemented as Dataset-native operations so they stay
+deterministic and shuffle-efficient:
+
+- robots: a small host→disallow-prefix table broadcast with
+  ``ray.put`` and applied as a vectorized filter inside ``map_batches``
+  (no shuffle).
+- budget release: ``groupby("host")`` (the ONE partitioning key reused
+  by frontier, politeness and skew handling) → ``map_groups`` that
+  sorts the host's rows by the frontier priority order
+  (warc_ts DESC, canonical_url ASC — the reference crawls
+  newest-first, `main.py:210` ``sort_by: "date"``) and releases the
+  first ``budget``. Hot hosts (the Zipf head) are bounded by the
+  budget itself, which is exactly the skew cap: no host can dominate
+  an epoch's fetch wave.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from job_crawler_ray.hashing import xxh64
+
+PRIORITY_SORT = ["warc_ts", "canonical_url"]  # warc_ts DESC, canonical ASC
+_ASCENDING = [False, True]
+
+
+def synth_robots(hosts: list[str]) -> dict[str, str]:
+    """Deterministic synthetic robots rules: ~1 host in 6 disallows a
+    path prefix. Stand-in for fetched robots.txt (no network in this
+    sandbox); the cache shape (host → disallow prefix) is the real one.
+    """
+    rules: dict[str, str] = {}
+    for h in hosts:
+        v = xxh64(h.encode())
+        if v % 6 == 0:
+            rules[h] = f"/jobs/{v % 10}"
+        # else: allow all
+    return rules
+
+
+def robots_filter_batch(batch: pa.Table, rules: dict[str, str]) -> pa.Table:
+    """Drop rows whose (host, path-prefix) hits a disallow rule. Vectorized."""
+    if not rules or batch.num_rows == 0:
+        return batch
+    host = batch["host"].to_pandas()
+    canon = batch["canonical_url"].to_pandas()
+    # path of the canonical url = substring after "scheme://host"
+    after_scheme = canon.str.partition("://")[2]
+    path = after_scheme.str.partition("/")[1] + after_scheme.str.partition("/")[2]
+    prefix = host.map(rules)
+    disallowed = np.zeros(len(host), dtype=bool)
+    # few distinct disallow prefixes → one vectorized startswith per prefix
+    for pre in prefix.dropna().unique():
+        sel = (prefix == pre).to_numpy()
+        disallowed[sel] = path[sel].str.startswith(pre).to_numpy()
+    return batch.filter(pa.array(~disallowed))
+
+
+def make_budget_release(budget: int):
+    """map_groups fn: release ≤ ``budget`` rows per host per epoch.
+
+    Emits the group with two extra columns: ``released`` (bool) and
+    ``host_rank`` (0-based rank in the host's priority order, only
+    meaningful for released rows). Deterministic: pure sort + head —
+    the token bucket whose refill interval is the epoch.
+    """
+    budget = int(budget)
+
+    def budget_release(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(PRIORITY_SORT, ascending=_ASCENDING, kind="mergesort")
+        rank = np.arange(len(g), dtype=np.int64)
+        return g.assign(host_rank=rank, released=rank < budget)
+
+    return budget_release
