@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Plain run: executes the headline crawl pipeline + representative
+operator queries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+with ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON
+line::
+
+    {"metric": "pages_fetched_extracted_per_sec", "value": ...,
+     "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the headline pipeline in TWO fresh processes
+(num_cpus=8 then 32) on identical input and reports both throughputs
+plus scaling efficiency — the sandbox evidencing of the north rule's
+N→4N-node criterion (no real multi-node cluster here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "12"))  # sf0.1 → 60k pages
+BUDGET = int(os.environ.get("GRAFT_BUDGET", "6000"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def run_headline() -> dict:
+    """Full crawl (synthesize → frontier → politeness → fetch → parse →
+    extract → checkpointed output) at sf over replicate× pages."""
+    from job_crawler_ray.corpus import HOSTS
+    from job_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from job_crawler_ray.stages.politeness import synth_robots
+
+    work = "/tmp/jcr_bench_crawl"
+    shutil.rmtree(work, ignore_errors=True)
+    cfg = CrawlConfig(
+        work_dir=work,
+        budget_per_host=BUDGET,
+        num_seen_shards=8,
+        fetch_concurrency=max(2, NUM_CPUS // 4),
+        robots_rules=synth_robots(HOSTS),
+    )
+    t0 = time.time()
+    res = run_crawl(cfg, sf_dir=SF_DIR, replicate=REPLICATE)
+    wall = time.time() - t0
+    crawled = res["seen_total"]
+    return {"sec": wall, "pages": crawled, "pages_per_sec": crawled / wall,
+            "epochs": res["epochs"]}
+
+
+def run_queries() -> dict[str, float]:
+    import importlib
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    m = importlib.import_module("__ray_entry__")
+    qs = m.queries()
+    picks = [
+        "j1_left_join_summary",   # broadcast join
+        "a6_api_performance",     # windowed grouped conditional rollup
+        "m1_extract_features",    # flagship extractor
+        "d1_dedup_exact_text",    # exact dedup shuffle
+        "dedup_minhash",          # sketch pipeline
+        "ann_cosine_topk",        # similarity search
+    ]
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        r = qs[name](SF_DIR)
+        # consume lazily-built datasets so we time real execution
+        if hasattr(r, "materialize"):
+            r = r.materialize()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_single() -> dict:
+    _init_ray(NUM_CPUS)
+    head = run_headline()
+    queries = run_queries()
+    payload = {
+        "metric": "pages_fetched_extracted_per_sec",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "pages": head["pages"],
+        "pages_per_sec": round(head["pages_per_sec"], 2),
+        "epochs": head["epochs"],
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicate": REPLICATE,
+    }
+    import ray
+
+    ray.shutdown()
+    return payload
+
+
+def run_fresh(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main_scaling() -> dict:
+    lo, hi = 8, 32
+    a = run_fresh(lo)   # also warms the page cache
+    b = run_fresh(hi)
+    tput_lo, tput_hi = a["pages_per_sec"], b["pages_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": a["value"],
+        "sec_hi": b["value"],
+        "pages_per_sec_lo": tput_lo,
+        "pages_per_sec_hi": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(main_scaling()))
+    else:
+        print(json.dumps(main_single()))

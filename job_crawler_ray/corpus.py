@@ -217,17 +217,25 @@ class PageSynth:
         )
 
 
-def pages_dataset(sf_dir: str, replicate: int = 1, override_num_blocks: int | None = None):
-    """documents.parquet → deterministic pages Dataset (input_hint schema)."""
+def pages_dataset(sf_dir: str, replicate: int = 1, num_blocks: int | None = None):
+    """documents.parquet → deterministic pages Dataset (input_hint schema).
+
+    The driver tables are single-row-group files (one block ⇒ one
+    task); ``repartition`` fans the seed rows out so synthesis — and
+    everything downstream — parallelizes across the cluster.
+    """
     import ray.data as rd
 
+    if num_blocks is None:
+        import ray
+
+        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang"],
-        override_num_blocks=override_num_blocks,
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
+    ds = ds.repartition(num_blocks)
     return ds.map_batches(
-        PageSynth(replicate=replicate), batch_format="pyarrow", batch_size=2048
+        PageSynth(replicate=replicate), batch_format="pyarrow", batch_size=512
     )
 
 

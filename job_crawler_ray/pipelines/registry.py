@@ -1,0 +1,239 @@
+"""Driver-contract registry: queries(), oracle_sql(), entry().
+
+Assembles the full operator surface (SURVEY.md §2 + the training-data
+operators) into named callables over an ``sf_dir``. Oracle-checked
+entries have DuckDB twins (pipelines/sql.py + the extras below);
+genuinely non-SQL operators (the crawl scheduler, LSH/sketch
+pipelines, the multimodal stub) are registered without an oracle →
+the driver records a rows-only check.
+
+Nothing here calls ray.init(): the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from job_crawler_ray.pipelines import relational as R
+from job_crawler_ray.pipelines import textops as T
+from job_crawler_ray.pipelines.sql import oracle_queries
+
+NEARDUP_THRESHOLD = 0.4  # cosine tail of the synthetic embeddings
+
+
+# --- embedding / text queries ----------------------------------------------
+
+
+def ann_cosine_topk(sf_dir: str) -> pa.Table:
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(pa.compute.equal(emb["vec_id"], 0))
+    q = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t["vec_id"], 0)),
+        batch_format="pyarrow",
+    )
+    return T.ann_topk(ds, q, k=10)
+
+
+def embedding_neardup(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return T.embedding_neardup_pairs(ds, threshold=NEARDUP_THRESHOLD)
+
+
+def ann_lsh(sf_dir: str) -> pa.Table:
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(pa.compute.equal(emb["vec_id"], 0))
+    q = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t["vec_id"], 0)),
+        batch_format="pyarrow",
+    )
+    return T.ann_lsh_topk(ds, q, k=10)
+
+
+def t_token_count(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(T.token_count_batch, batch_format="pyarrow")
+
+
+def t_quality_score(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(T.quality_score_batch, batch_format="pyarrow")
+
+
+def t_lang_id(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(T.lang_id_batch, batch_format="pyarrow")
+
+
+# --- rows-only (non-SQL) pipelines -----------------------------------------
+
+
+def _neardup_corpus(sf_dir: str):
+    """documents + mutated copies (every 5th doc, ' extra token' added)
+    — a corpus with KNOWN near-duplicates for the sketch pipelines."""
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["doc_id"] % 5 == 0].copy()
+        df["doc_id"] = df["doc_id"] + 100000
+        df["text"] = df["text"].fillna("") + " extra token"
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return base.union(base.map_batches(mutate, batch_format="pyarrow"))
+
+
+def dedup_minhash(sf_dir: str):
+    return T.minhash_neardup_pairs(_neardup_corpus(sf_dir))
+
+
+def dedup_simhash(sf_dir: str):
+    ds = _neardup_corpus(sf_dir)
+    return ds.map_batches(T.simhash_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def doc_fingerprints(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(T.doc_fingerprint_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def multimodal_decode(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(T.synth_binary_payloads, batch_format="pyarrow")
+    # actor pool, small batches — the layout for heavy binary payloads
+    ds = ds.map_batches(
+        T.BinaryDecoder, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    return ds.sort("doc_id")
+
+
+def crawl_pipeline(sf_dir: str):
+    """The flagship crawl scheduler end-to-end (rows-only check: crawl
+    order + seen set are verified against the sequential oracle in
+    tests/test_crawl.py instead of SQL)."""
+    from job_crawler_ray.corpus import HOSTS
+    from job_crawler_ray.pipelines.crawl import (
+        CrawlConfig,
+        crawl_output_dataset,
+        run_crawl,
+    )
+    from job_crawler_ray.stages.politeness import synth_robots
+
+    work = os.path.join(tempfile.gettempdir(), "jcr_crawl_query")
+    shutil.rmtree(work, ignore_errors=True)
+    cfg = CrawlConfig(
+        work_dir=work,
+        budget_per_host=500,
+        num_seen_shards=4,
+        robots_rules=synth_robots(HOSTS),
+    )
+    run_crawl(cfg, sf_dir=sf_dir, replicate=1)
+    out = crawl_output_dataset(cfg).select_columns(
+        ["url", "host", "epoch", "host_rank", "status_code"]
+    )
+    return out.sort(["epoch", "host", "host_rank"])
+
+
+# --- extra oracle SQL for the embedding/text queries ------------------------
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    stop_list = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+    return {
+        "ann_cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 6)
+                   AS score
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_neardup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6)
+                   AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= {NEARDUP_THRESHOLD}
+            ORDER BY id_a, id_b
+        """,
+        "t_token_count": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        "t_quality_score": rf"""
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct,
+                   len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x IN ({stop_list}))) AS n_stopwords,
+                   round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> x IN ({stop_list})))
+                         / greatest(len(list_filter(
+                               regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '')), 1), 6) AS stop_ratio
+            FROM documents
+        """,
+        "t_lang_id": rf"""
+            SELECT doc_id,
+                   CASE WHEN len(list_filter(
+                            regexp_split_to_array(lower(text), '\s+'),
+                            x -> x IN ({stop_list}))) >= 2
+                        THEN 'en' ELSE 'unknown' END AS lang_guess
+            FROM documents
+        """,
+    }
+
+
+# --- the three driver hooks -------------------------------------------------
+
+
+def build_queries() -> dict:
+    q = {name: getattr(R, name) for name in oracle_queries()}
+    q.update(
+        {
+            "ann_cosine_topk": ann_cosine_topk,
+            "embedding_neardup": embedding_neardup,
+            "t_token_count": t_token_count,
+            "t_quality_score": t_quality_score,
+            "t_lang_id": t_lang_id,
+            # rows-only (non-SQL-expressible)
+            "crawl_pipeline": crawl_pipeline,
+            "dedup_minhash": dedup_minhash,
+            "dedup_simhash": dedup_simhash,
+            "doc_fingerprints": doc_fingerprints,
+            "ann_lsh": ann_lsh,
+            "multimodal_decode": multimodal_decode,
+        }
+    )
+    return q
+
+
+def build_oracle_sql() -> dict[str, str]:
+    sql = dict(oracle_queries())
+    sql.update(extra_oracle_sql())
+    return sql
+
+
+def run_entry():
+    """Flagship pipeline at sf0.001: full crawl → features; returns the
+    crawled/extracted dataset (ordering columns included)."""
+    return crawl_pipeline("/root/testdata/sf0.001")

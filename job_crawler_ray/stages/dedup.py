@@ -72,7 +72,7 @@ def exact_dedup_first(
         .to_pandas()
     )
     dup_keys = (
-        dup_keys_parts[key].to_numpy().astype(np.int64)
+        dup_keys_parts[key].to_numpy()
         if key in dup_keys_parts.columns
         else np.zeros(0, np.int64)
     )
@@ -89,11 +89,15 @@ def exact_dedup_first(
 
     def split(batch: pa.Table, want_dups: bool) -> pa.Table:
         dk = ray.get(ref)
-        keys = batch[key].to_numpy().astype(np.int64)
-        isdup = np.zeros(len(keys), dtype=bool)
-        idx = np.searchsorted(dk, keys)
-        in_range = idx < dk.size
-        isdup[in_range] = dk[idx[in_range]] == keys[in_range]
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        if keys.dtype.kind in "iu":
+            keys = keys.astype(dk.dtype, copy=False)
+            idx = np.searchsorted(dk, keys)
+            isdup = np.zeros(len(keys), dtype=bool)
+            in_range = idx < dk.size
+            isdup[in_range] = dk[idx[in_range]] == keys[in_range]
+        else:  # string/object keys
+            isdup = np.isin(keys, dk)
         return batch.filter(pa.array(isdup if want_dups else ~isdup))
 
     uniques = ds.map_batches(
