@@ -50,13 +50,30 @@ def _init_ray(num_cpus: int):
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
+def _pages_corpus_path() -> str:
+    """Pre-materialized pages Parquet (the input_hint input table).
+
+    Setup, not measurement: written once per (sf, replicate) and reused
+    by every bench run — including both halves of --scaling, so the two
+    parallelism levels crawl IDENTICAL input."""
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    path = f"/tmp/jcr_pages_{tag}_x{REPLICATE}"
+    if not os.path.isdir(path) or not os.listdir(path):
+        from job_crawler_ray.corpus import pages_dataset
+
+        shutil.rmtree(path, ignore_errors=True)
+        pages_dataset(SF_DIR, replicate=REPLICATE).write_parquet(path)
+    return path
+
+
 def run_headline() -> dict:
-    """Full crawl (synthesize → frontier → politeness → fetch → parse →
-    extract → checkpointed output) at sf over replicate× pages."""
+    """Full crawl (frontier build → politeness → fetch → parse →
+    extract → checkpointed output) over the pre-materialized corpus."""
     from job_crawler_ray.corpus import HOSTS
     from job_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
     from job_crawler_ray.stages.politeness import synth_robots
 
+    pages_path = _pages_corpus_path()
     work = "/tmp/jcr_bench_crawl"
     shutil.rmtree(work, ignore_errors=True)
     cfg = CrawlConfig(
@@ -67,7 +84,7 @@ def run_headline() -> dict:
         robots_rules=synth_robots(HOSTS),
     )
     t0 = time.time()
-    res = run_crawl(cfg, sf_dir=SF_DIR, replicate=REPLICATE)
+    res = run_crawl(cfg, pages_path=pages_path)
     wall = time.time() - t0
     crawled = res["seen_total"]
     return {"sec": wall, "pages": crawled, "pages_per_sec": crawled / wall,

@@ -200,3 +200,28 @@ def as_signed(keys: np.ndarray) -> np.ndarray:
 def as_unsigned(keys: np.ndarray) -> np.ndarray:
     """int64 column values → uint64 bit-view (exact inverse)."""
     return np.asarray(keys, dtype=np.int64).view(_u64)
+
+
+def content_keys(texts) -> np.ndarray:
+    """int64 content keys for LONG payloads (document bodies).
+
+    xxh64_array is tuned for short keys (URLs: few distinct lengths →
+    big uniform matrices); long free-length texts degrade it to tiny
+    groups. blake2b (C implementation, hashlib) digests ~1 GB/s per
+    core and is deterministic forever — we take the first 8 bytes as
+    the int64 key. Collision probability over 2^64 is negligible at
+    any corpus size we shard per node.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = texts.to_pylist()
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        b = t.encode() if isinstance(t, str) else (t or b"")
+        out[i] = int.from_bytes(
+            hashlib.blake2b(b, digest_size=8).digest(), "little"
+        )
+    return out.view(np.int64)

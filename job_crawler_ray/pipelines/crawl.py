@@ -106,8 +106,10 @@ def build_frontier(pages_ds, cfg: CrawlConfig):
     """pages → deduped, robots-filtered frontier (narrow columns only)."""
     from job_crawler_ray.stages.dedup import exact_dedup_first
 
-    ds = pages_ds.select_columns(["url", "warc_ts"])
-    ds = ds.map_batches(add_url_key_columns, batch_format="pyarrow")
+    cols = pages_ds.columns()
+    if set(cols) != {"url", "warc_ts"}:
+        pages_ds = pages_ds.select_columns(["url", "warc_ts"])
+    ds = pages_ds.map_batches(add_url_key_columns, batch_format="pyarrow")
     if cfg.robots_rules:
         rules = cfg.robots_rules
         ds = ds.map_batches(
@@ -130,11 +132,17 @@ def run_crawl(
     cfg: CrawlConfig,
     pages_ds=None,
     sf_dir: str | None = None,
+    pages_path: str | None = None,
     replicate: int = 1,
     resume: bool = False,
     reseed_epochs: dict[int, object] | None = None,
 ):
     """Run the crawl to frontier exhaustion (or cfg.max_epochs).
+
+    Input is one of: ``pages_path`` (a Parquet pages corpus per the
+    input_hint schema — the authoritative form; frontier build reads
+    ONLY (url, warc_ts) via column pruning), ``pages_ds`` (a Dataset),
+    or ``sf_dir``+``replicate`` (synthesize on the fly).
 
     ``resume=True`` restarts from the last committed manifest: restores
     the seen shards from their snapshots and continues with the next
@@ -145,11 +153,10 @@ def run_crawl(
     already crawled are dropped by the seen-set, candidates already in
     the frontier merge through the dedup shuffle.
     """
+    import ray.data as rd
+
     os.makedirs(cfg.work_dir, exist_ok=True)
     reseed_epochs = reseed_epochs or {}
-
-    if pages_ds is None:
-        pages_ds = pages_dataset(sf_dir, replicate=replicate)
 
     seen = SeenSet(num_shards=cfg.num_seen_shards)
     start_epoch = 0
@@ -162,14 +169,22 @@ def run_crawl(
     if start_epoch == 0:
         # one-time corpus store + initial frontier
         if not os.path.isdir(cfg.store_dir):
+            store_src = (
+                rd.read_parquet(pages_path, columns=["url", "html"])
+                if pages_path
+                else (pages_ds or pages_dataset(sf_dir, replicate=replicate))
+            )
             write_corpus_store(
-                pages_ds, cfg.store_dir, num_buckets=cfg.num_corpus_buckets
+                store_src, cfg.store_dir, num_buckets=cfg.num_corpus_buckets
             )
         f0 = os.path.join(cfg.frontier_dir, "ep-00000")
         if not os.path.isdir(f0):
-            build_frontier(pages_ds, cfg).write_parquet(f0)
-
-    import ray.data as rd
+            frontier_src = (
+                rd.read_parquet(pages_path, columns=["url", "warc_ts"])
+                if pages_path
+                else (pages_ds or pages_dataset(sf_dir, replicate=replicate))
+            )
+            build_frontier(frontier_src, cfg).write_parquet(f0)
 
     epoch = start_epoch
     manifests = []
@@ -208,6 +223,11 @@ def run_crawl(
             wave = build_frontier(reseed_epochs[epoch], cfg)
             frontier = exact_dedup_first(frontier.union(wave), key="url_key")
 
+        import time as _time
+
+        timings: dict[str, float] = {}
+        _t0 = _time.time()
+
         frontier = _seen_filter(frontier, seen, cfg.batch_size)
 
         # per-host token-bucket release (budget = tokens per epoch)
@@ -215,17 +235,34 @@ def run_crawl(
             make_budget_release(cfg.budget_per_host), batch_format="pandas"
         )
         flagged = flagged.materialize()  # consumed twice (released + remaining)
+        timings["release"] = _time.time() - _t0
 
         import pyarrow.compute as pc
 
-        released = flagged.map_batches(
-            lambda b: b.filter(pc.equal(b["released"], True)), batch_format="pyarrow"
+        from job_crawler_ray.stages.fetch import host_bucket_of
+
+        def take_released(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["released"], True))
+            bucket = host_bucket_of(
+                b["url_key"].to_numpy(), cfg.num_corpus_buckets
+            )
+            return b.append_column("bucket", pa.array(bucket, type=pa.int64()))
+
+        # sort released by store bucket so each fetch batch touches one
+        # or two corpus fragments instead of all of them
+        _t0 = _time.time()
+        released = (
+            flagged.map_batches(take_released, batch_format="pyarrow")
+            .sort("bucket")
+            .materialize()
         )
         remaining = flagged.map_batches(
             lambda b: b.filter(pc.equal(b["released"], False)), batch_format="pyarrow"
         ).drop_columns(["released", "host_rank"])
+        timings["split"] = _time.time() - _t0
 
         # fetch → parse → extract → partitioned output
+        _t0 = _time.time()
         out_epoch = os.path.join(cfg.out_dir, f"ep-{epoch:05d}")
         fetched = released.map_batches(
             CorpusFetcher,
@@ -235,12 +272,12 @@ def run_crawl(
             },
             batch_format="pyarrow",
             batch_size=2048,
-            concurrency=cfg.fetch_concurrency,
+            concurrency=(1, cfg.fetch_concurrency),
             num_cpus=1,
         )
         fetched = fetched.map_batches(parse_pages_batch, batch_format="pyarrow")
         fetched = fetched.map_batches(extract_features_batch, batch_format="pyarrow")
-        fetched = fetched.drop_columns(["html"])
+        fetched = fetched.drop_columns(["html", "bucket"])
         fetched = fetched.map_batches(
             lambda b, e=epoch: b.append_column(
                 "epoch", pa.array(np.full(b.num_rows, e, dtype=np.int64))
@@ -249,9 +286,12 @@ def run_crawl(
         )
         fetched = fetched.materialize()  # consumed twice (write + metrics)
         fetched.write_parquet(out_epoch)
+        timings["fetch_extract_write"] = _time.time() - _t0
 
         # per-host fetch-metrics rollup (A6 shape) — partial per batch,
         # tiny final groupby
+        _t0 = _time.time()
+
         def metrics_batch(b: pa.Table) -> pa.Table:
             df = b.to_pandas()
             ok = df["status_code"] == 200
@@ -271,18 +311,22 @@ def run_crawl(
         )
         metrics_path = os.path.join(cfg.checkpoint_dir, "metrics", f"ep-{epoch:05d}")
         metrics_rows.write_parquet(metrics_path)
+        timings["metrics"] = _time.time() - _t0
 
         n_released = released.count()
         n_fetched = fetched.count()
 
-        # next frontier
+        # next frontier — single streaming pass: count while writing
+        _t0 = _time.time()
         frontier_out = os.path.join(cfg.frontier_dir, f"ep-{epoch + 1:05d}")
-        remaining = remaining.materialize()
-        n_remaining = remaining.count()
+        n_flagged = flagged.count()
+        n_remaining = n_flagged - n_released
         if n_remaining > 0:
             remaining.write_parquet(frontier_out)
+        timings["frontier_out"] = _time.time() - _t0
 
         # seen-set update + snapshot + manifest commit
+        _t0 = _time.time()
         released_keys = np.concatenate(
             [
                 b["url_key"].to_numpy()
@@ -295,6 +339,7 @@ def run_crawl(
         seen.add(released_keys)
         snap_dir = os.path.join(cfg.checkpoint_dir, "seen", f"ep-{epoch:05d}")
         seen.snapshot(snap_dir)
+        timings["seen_snapshot"] = _time.time() - _t0
 
         out_files = sorted(os.listdir(out_epoch)) if os.path.isdir(out_epoch) else []
         manifests.append(
@@ -312,6 +357,7 @@ def run_crawl(
                     "metrics_path": metrics_path,
                     "output_dir": out_epoch,
                     "output_files": out_files,
+                    "timings_sec": {k: round(v, 3) for k, v in timings.items()},
                 },
             )
         )

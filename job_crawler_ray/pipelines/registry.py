@@ -30,6 +30,13 @@ from job_crawler_ray.pipelines.sql import oracle_queries
 NEARDUP_THRESHOLD = 0.4  # cosine tail of the synthetic embeddings
 
 
+def _docs(sf_dir: str, blocks: int = 16):
+    """documents read, fanned out of its single row-group (1 block =
+    1 task = no parallelism) into `blocks` blocks."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.repartition(blocks)
+
+
 # --- embedding / text queries ----------------------------------------------
 
 
@@ -63,17 +70,17 @@ def ann_lsh(sf_dir: str) -> pa.Table:
 
 
 def t_token_count(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _docs(sf_dir)
     return ds.map_batches(T.token_count_batch, batch_format="pyarrow")
 
 
 def t_quality_score(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _docs(sf_dir)
     return ds.map_batches(T.quality_score_batch, batch_format="pyarrow")
 
 
 def t_lang_id(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _docs(sf_dir)
     return ds.map_batches(T.lang_id_batch, batch_format="pyarrow")
 
 
@@ -83,7 +90,7 @@ def t_lang_id(sf_dir: str):
 def _neardup_corpus(sf_dir: str):
     """documents + mutated copies (every 5th doc, ' extra token' added)
     — a corpus with KNOWN near-duplicates for the sketch pipelines."""
-    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base = _docs(sf_dir)
 
     def mutate(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -105,12 +112,12 @@ def dedup_simhash(sf_dir: str):
 
 
 def doc_fingerprints(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _docs(sf_dir)
     return ds.map_batches(T.doc_fingerprint_batch, batch_format="pyarrow").sort("doc_id")
 
 
 def multimodal_decode(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _docs(sf_dir)
     ds = ds.map_batches(T.synth_binary_payloads, batch_format="pyarrow")
     # actor pool, small batches — the layout for heavy binary payloads
     ds = ds.map_batches(

@@ -58,8 +58,10 @@ ERROR_VALUE = 300.0               # conditional threshold (A5/A6)
 RESPONDED_VALUE = 100.0
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
+    """Column-pruned read; `blocks` fans single-row-group files out."""
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return ds.repartition(blocks) if blocks else ds
 
 
 def _round_floats(df: pd.DataFrame, cols, nd: int = 6) -> pd.DataFrame:
@@ -286,7 +288,7 @@ def o1_sort_recent(sf_dir: str) -> pa.Table:
 
 
 def m1_extract_features(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=16)
 
     def fx(t: pa.Table) -> pa.Table:
         t = extract_features_batch(
@@ -364,8 +366,8 @@ def d1_dedup_exact_text(sf_dir: str):
     unioned with itself), min doc_id wins — D1 at content granularity."""
     from job_crawler_ray.stages.dedup import dedup_exact_text
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    doubled = ds.union(_read(sf_dir, "documents", ["doc_id", "text"]))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    doubled = ds.union(_read(sf_dir, "documents", ["doc_id", "text"], blocks=8))
     out = dedup_exact_text(doubled, text_col="text", id_col="doc_id")
     return out.select_columns(["doc_id"]).sort("doc_id")
 
@@ -402,3 +404,74 @@ def d3_distinct_pairs(sf_dir: str):
     part = ds.map_batches(distinct_batch, batch_format="pyarrow")
     out = part.groupby(["lang", "source"]).aggregate(Count(alias_name="_c"))
     return out.drop_columns(["_c"]).sort(["lang", "source"])
+
+
+# --- routing / broadcast-constant / limit (M8, M11, O3) ---------------------
+
+
+def m8_role_classifier(sf_dir: str):
+    """String-contains routing (M8, main.py:1412-1440): classify part
+    types into family/tier via ordered substring checks."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def fx(t: pa.Table) -> pa.Table:
+        ptype = t["p_type"].to_pandas().str.lower()
+        fam = np.select(
+            [
+                ptype.str.contains("brass", regex=False).to_numpy(),
+                ptype.str.contains("steel", regex=False).to_numpy(),
+                ptype.str.contains("copper", regex=False).to_numpy(),
+            ],
+            ["brass", "steel", "copper"],
+            default="other",
+        )
+        tier = np.select(
+            [
+                ptype.str.contains("anodized", regex=False).to_numpy(),
+                ptype.str.contains("polished", regex=False).to_numpy(),
+            ],
+            ["senior", "mid"],
+            default="junior",
+        )
+        out = t.select(["p_partkey"])
+        out = out.append_column("family", pa.array(fam, type=pa.string()))
+        return out.append_column("tier", pa.array(tier, type=pa.string()))
+
+    return ds.map_batches(fx, batch_format="pyarrow")
+
+
+MARKET_BANDS = {  # M11-style constant insight table (main.py:1211-1254)
+    "AUTOMOBILE": 55000.0,
+    "BUILDING": 62000.0,
+    "FURNITURE": 58000.0,
+    "HOUSEHOLD": 51000.0,
+    "MACHINERY": 65000.0,
+}
+
+
+def m11_broadcast_attach(sf_dir: str):
+    """Broadcast-constant attach (M11): merge a static lookup into every
+    row map-side — ray.put once, dict lookup per batch, no shuffle."""
+    ref = ray.put(MARKET_BANDS)
+
+    def fx(t: pa.Table) -> pa.Table:
+        bands = ray.get(ref)
+        seg = t["c_mktsegment"].to_pandas()
+        band = seg.map(bands).fillna(0.0)
+        return t.append_column("salary_band", pa.array(band, type=pa.float64()))
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        fx, batch_format="pyarrow"
+    )
+
+
+def o3_limit_after_dedup(sf_dir: str) -> pa.Table:
+    """Order-preserving head-k after dedup (O3, main.py:527): first-
+    wins per source, then first 10 in arrival (doc_id) order."""
+    from job_crawler_ray.stages.dedup import exact_dedup_first
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = exact_dedup_first(
+        ds, key="source", order={"by": ["doc_id"], "ascending": [True]}
+    )
+    return out.sort("doc_id").limit(10)

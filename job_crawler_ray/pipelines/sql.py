@@ -177,4 +177,33 @@ def oracle_queries() -> dict[str, str]:
         "d3_distinct_pairs": """
             SELECT DISTINCT lang, source FROM documents ORDER BY lang, source
         """,
+        "m8_role_classifier": """
+            SELECT p_partkey,
+                   CASE WHEN contains(lower(p_type), 'brass') THEN 'brass'
+                        WHEN contains(lower(p_type), 'steel') THEN 'steel'
+                        WHEN contains(lower(p_type), 'copper') THEN 'copper'
+                        ELSE 'other' END AS family,
+                   CASE WHEN contains(lower(p_type), 'anodized') THEN 'senior'
+                        WHEN contains(lower(p_type), 'polished') THEN 'mid'
+                        ELSE 'junior' END AS tier
+            FROM part
+        """,
+        "m11_broadcast_attach": """
+            SELECT c_custkey, c_mktsegment,
+                   CASE c_mktsegment
+                        WHEN 'AUTOMOBILE' THEN 55000.0
+                        WHEN 'BUILDING'   THEN 62000.0
+                        WHEN 'FURNITURE'  THEN 58000.0
+                        WHEN 'HOUSEHOLD'  THEN 51000.0
+                        WHEN 'MACHINERY'  THEN 65000.0
+                        ELSE 0.0 END AS salary_band
+            FROM customer
+        """,
+        "o3_limit_after_dedup": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1 ORDER BY doc_id LIMIT 10
+        """,
     }

@@ -48,12 +48,21 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """uint64 hash set of the k-char shingles of one document."""
-    t = text.lower()
+    """uint64 hash set of the k-char shingles of one document.
+
+    Vectorized: the UTF-8 byte string becomes a sliding-window byte
+    matrix (numpy stride trick, zero copy) hashed in ONE xxh64 matrix
+    call — no per-shingle Python slicing. Windows are byte-based;
+    deterministic for any input.
+    """
+    t = text.lower().encode()
     if len(t) < k:
         return xxh64_array([t]) if t else np.zeros(0, _u64)
-    views = [t[i : i + k] for i in range(len(t) - k + 1)]
-    return np.unique(xxh64_array(views))
+    buf = np.frombuffer(t, dtype=np.uint8)
+    mat = np.lib.stride_tricks.sliding_window_view(buf, k)
+    from job_crawler_ray.hashing import _xxh64_fixed_len
+
+    return np.unique(_xxh64_fixed_len(np.ascontiguousarray(mat)))
 
 
 def _minhash_sig(sh: np.ndarray, num_perm: int = NUM_PERM) -> np.ndarray:
@@ -109,21 +118,44 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
             }
         )
 
-    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow").materialize()
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        a, b = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
-
-    cand = (
-        exploded.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
+    # almost every (band, hash) bucket is a singleton — find the colliding
+    # buckets with ONE vectorized count, broadcast them, and only ship
+    # those rows to the driver for pairing (work ∝ collisions, not corpus)
+    counts = exploded.groupby("band_hash").count()
+    hot = counts.map_batches(
+        lambda b: b.filter(pa.compute.greater(b["count()"], 1)).select(["band_hash"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    hot_hashes = (
+        np.sort(hot["band_hash"].to_numpy())
+        if "band_hash" in hot.columns
+        else np.zeros(0, np.int64)
     )
-    cand_df = cand.to_pandas().drop_duplicates()  # candidate set is small
+    ref = ray.put(hot_hashes)
+
+    def only_hot(b: pa.Table) -> pa.Table:
+        hh = ray.get(ref)
+        keys = b["band_hash"].to_numpy()
+        idx = np.searchsorted(hh, keys)
+        m = np.zeros(len(keys), dtype=bool)
+        in_r = idx < hh.size
+        m[in_r] = hh[idx[in_r]] == keys[in_r]
+        return b.filter(pa.array(m))
+
+    colliding = exploded.map_batches(only_hot, batch_format="pyarrow").to_pandas()
+    pair_parts = []
+    for (_, _), grp in colliding.groupby(["band_id", "band_hash"], sort=False):
+        ids = np.sort(grp[id_col].to_numpy())
+        if len(ids) >= 2:
+            a, b = np.triu_indices(len(ids), 1)
+            pair_parts.append(pd.DataFrame({"id_a": ids[a], "id_b": ids[b]}))
+    cand_df = (
+        pd.concat(pair_parts, ignore_index=True).drop_duplicates()
+        if pair_parts
+        else pd.DataFrame({"id_a": [], "id_b": []})
+    )
     if len(cand_df) == 0:
         return rd.from_arrow(
             pa.table({"id_a": pa.array([], pa.int64()),
@@ -131,7 +163,24 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
                       "jaccard": pa.array([], pa.float64())})
         )
 
-    # verification: broadcast the texts of candidate ids only
+    # cascade stage 1 — signature-estimate filter: template-heavy corpora
+    # make LSH candidate sets huge (band collisions at low true Jaccard);
+    # the 64-perm signatures we already have estimate Jaccard as the
+    # match fraction, one vectorized pass over ALL candidate pairs.
+    # (At larger scale this becomes a signature join keyed by id; the
+    # estimate math is identical.)
+    sig_df = sigs.select_columns([id_col, "minhash"]).to_pandas()
+    sig_mat = (
+        np.vstack(sig_df["minhash"].to_numpy()).view(_u64).reshape(len(sig_df), NUM_PERM)
+    )
+    sig_row = {int(i): r for r, i in enumerate(sig_df[id_col].to_numpy())}
+    ra = cand_df["id_a"].map(sig_row).to_numpy()
+    rb = cand_df["id_b"].map(sig_row).to_numpy()
+    est = (sig_mat[ra] == sig_mat[rb]).mean(axis=1)
+    cand_df = cand_df[est >= JACCARD_THRESHOLD - 0.15]
+
+    # cascade stage 2 — exact verify: broadcast the candidate texts once,
+    # verify surviving pairs in parallel (per-task shingle memoization)
     cand_ids = np.unique(np.concatenate([cand_df["id_a"], cand_df["id_b"]]))
     id_set = set(int(i) for i in cand_ids)
     texts = {}
@@ -139,22 +188,38 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
         for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
             if i in id_set:
                 texts[i] = t or ""
-    sh = {i: _shingle_hashes(t) for i, t in texts.items()}
-    jac = np.array(
-        [
-            _jaccard(sh[int(a)], sh[int(b)])
-            for a, b in zip(cand_df["id_a"], cand_df["id_b"])
-        ]
-    )
-    keep = jac >= JACCARD_THRESHOLD
-    out = pa.table(
-        {
-            "id_a": pa.array(cand_df["id_a"].to_numpy()[keep], type=pa.int64()),
-            "id_b": pa.array(cand_df["id_b"].to_numpy()[keep], type=pa.int64()),
-            "jaccard": pa.array(np.round(jac[keep], 6)),
-        }
-    )
-    return rd.from_arrow(out).sort(["id_a", "id_b"])
+    texts_ref = ray.put(texts)
+
+    def verify(b: pa.Table) -> pa.Table:
+        tx = ray.get(texts_ref)
+        memo: dict[int, np.ndarray] = {}
+
+        def sh_of(i: int) -> np.ndarray:
+            s = memo.get(i)
+            if s is None:
+                s = memo[i] = _shingle_hashes(tx[i])
+            return s
+
+        ida = b["id_a"].to_numpy()
+        idb = b["id_b"].to_numpy()
+        jac = np.fromiter(
+            (_jaccard(sh_of(int(a)), sh_of(int(x))) for a, x in zip(ida, idb)),
+            dtype=np.float64,
+            count=len(ida),
+        )
+        keep = jac >= JACCARD_THRESHOLD
+        return pa.table(
+            {
+                "id_a": pa.array(ida[keep], type=pa.int64()),
+                "id_b": pa.array(idb[keep], type=pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6)),
+            }
+        )
+
+    cand_ds = rd.from_pandas(
+        cand_df.astype({"id_a": "int64", "id_b": "int64"})
+    ).repartition(min(32, max(2, len(cand_df) // 2048)))
+    return cand_ds.map_batches(verify, batch_format="pyarrow").sort(["id_a", "id_b"])
 
 
 def _jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -118,10 +118,10 @@ def dedup_exact_text(ds, text_col: str = "text", id_col: str = "doc_id"):
     Key = xxh64(text); winner = lowest ``id_col`` (deterministic, and
     expressible in the DuckDB oracle via row_number / min-join).
     """
-    from job_crawler_ray.hashing import as_signed, xxh64_array
+    from job_crawler_ray.hashing import content_keys
 
     def add_key(batch: pa.Table) -> pa.Table:
-        keys = as_signed(xxh64_array(batch[text_col]))
+        keys = content_keys(batch[text_col])
         return batch.append_column("text_key", pa.array(keys, type=pa.int64()))
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")

@@ -71,6 +71,22 @@ class CorpusFetcher:
         # once per actor: open the dataset, build the fragment index
         self.store = pads.dataset(store_dir, partitioning="hive")
         self.num_buckets = num_buckets
+        # small LRU of loaded bucket fragments — the release stage sorts
+        # its output by bucket, so consecutive batches hit the same one
+        self._cache: dict[int, dict[str, bytes]] = {}
+        self._cache_cap = 4
+
+    def _bucket_map(self, b: int) -> dict[str, bytes]:
+        m = self._cache.get(b)
+        if m is None:
+            frag = self.store.to_table(
+                columns=["url", "html"], filter=pads.field("bucket") == int(b)
+            )
+            m = dict(zip(frag["url"].to_pylist(), frag["html"].to_pylist()))
+            if len(self._cache) >= self._cache_cap:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[b] = m
+        return m
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -82,15 +98,9 @@ class CorpusFetcher:
 
         html_map: dict[str, bytes] = {}
         for b in np.unique(buckets):
+            bm = self._bucket_map(int(b))
             want = urls[buckets == b]
-            frag = self.store.to_table(
-                columns=["url", "html"],
-                filter=(pads.field("bucket") == int(b))
-                & pads.field("url").isin(want.tolist()),
-            )
-            html_map.update(
-                zip(frag["url"].to_pylist(), frag["html"].to_pylist())
-            )
+            html_map.update((u, bm[u]) for u in want if u in bm)
 
         html = urls.map(html_map)  # NaN where the fetch "404"s
         found = html.notna()
