@@ -217,7 +217,12 @@ class PageSynth:
         )
 
 
-def pages_dataset(sf_dir: str, replicate: int = 1, num_blocks: int | None = None):
+def pages_dataset(
+    sf_dir: str,
+    replicate: int = 1,
+    num_blocks: int | None = None,
+    ballast_chars: int = 400,
+):
     """documents.parquet → deterministic pages Dataset (input_hint schema).
 
     The driver tables are single-row-group files (one block ⇒ one
@@ -235,7 +240,9 @@ def pages_dataset(sf_dir: str, replicate: int = 1, num_blocks: int | None = None
     )
     ds = ds.repartition(num_blocks)
     return ds.map_batches(
-        PageSynth(replicate=replicate), batch_format="pyarrow", batch_size=512
+        PageSynth(replicate=replicate, ballast_chars=ballast_chars),
+        batch_format="pyarrow",
+        batch_size=512,
     )
 
 

@@ -55,12 +55,12 @@ import pyarrow as pa
 import ray
 
 from job_crawler_ray.corpus import pages_dataset
-from job_crawler_ray.functions.extract import extract_features_batch
+from job_crawler_ray.functions.enrich import enrich_pages_batch
 from job_crawler_ray.functions.html import parse_pages_batch
 from job_crawler_ray.functions.urltools import add_url_key_columns
 from job_crawler_ray.stages.fetch import (
     NUM_CORPUS_BUCKETS,
-    CorpusFetcher,
+    make_direct_fetch_fn,
     write_corpus_store,
 )
 from job_crawler_ray.stages.politeness import (
@@ -84,6 +84,7 @@ class CrawlConfig:
     fetch_concurrency: int = 4
     batch_size: int = 8192
     robots_rules: dict[str, str] = field(default_factory=dict)
+    store_dir_override: str | None = None  # share a prebuilt corpus store
 
     @property
     def checkpoint_dir(self) -> str:
@@ -95,7 +96,7 @@ class CrawlConfig:
 
     @property
     def store_dir(self) -> str:
-        return os.path.join(self.work_dir, "corpus_store")
+        return self.store_dir_override or os.path.join(self.work_dir, "corpus_store")
 
     @property
     def frontier_dir(self) -> str:
@@ -166,8 +167,12 @@ def run_crawl(
             seen.restore(m["seen_snapshot_dir"])
             start_epoch = m["epoch"] + 1
 
+    import time as _time
+
+    setup_timings: dict[str, float] = {}
     if start_epoch == 0:
         # one-time corpus store + initial frontier
+        _t0 = _time.time()
         if not os.path.isdir(cfg.store_dir):
             store_src = (
                 rd.read_parquet(pages_path, columns=["url", "html"])
@@ -177,6 +182,8 @@ def run_crawl(
             write_corpus_store(
                 store_src, cfg.store_dir, num_buckets=cfg.num_corpus_buckets
             )
+        setup_timings["corpus_store"] = round(_time.time() - _t0, 3)
+        _t0 = _time.time()
         f0 = os.path.join(cfg.frontier_dir, "ep-00000")
         if not os.path.isdir(f0):
             frontier_src = (
@@ -185,6 +192,7 @@ def run_crawl(
                 else (pages_ds or pages_dataset(sf_dir, replicate=replicate))
             )
             build_frontier(frontier_src, cfg).write_parquet(f0)
+        setup_timings["frontier_build"] = round(_time.time() - _t0, 3)
 
     epoch = start_epoch
     manifests = []
@@ -200,6 +208,14 @@ def run_crawl(
 
     import shutil
 
+    # The live frontier is handed across epochs as a MATERIALIZED
+    # dataset (object store, spills under pressure); the per-epoch
+    # parquet under frontier/ is the CHECKPOINT copy, read back only on
+    # resume. Saves a write→read round trip per epoch.
+    live_frontier = None
+
+    fetch_fn = make_direct_fetch_fn(cfg.store_dir, cfg.num_corpus_buckets)
+
     while epoch < cfg.max_epochs:
         frontier_in = os.path.join(cfg.frontier_dir, f"ep-{epoch:05d}")
         # Exact replay after a mid-epoch crash: any outputs of THIS epoch
@@ -212,7 +228,9 @@ def run_crawl(
             os.path.join(cfg.frontier_dir, f"ep-{epoch + 1:05d}"),
         ):
             shutil.rmtree(leftover, ignore_errors=True)
-        if os.path.isdir(frontier_in):
+        if live_frontier is not None:
+            frontier = live_frontier
+        elif os.path.isdir(frontier_in):
             frontier = rd.read_parquet(frontier_in)
         else:  # drained earlier; only reseed waves can refill
             frontier = rd.from_arrow(empty_frontier)
@@ -265,18 +283,10 @@ def run_crawl(
         _t0 = _time.time()
         out_epoch = os.path.join(cfg.out_dir, f"ep-{epoch:05d}")
         fetched = released.map_batches(
-            CorpusFetcher,
-            fn_constructor_kwargs={
-                "store_dir": cfg.store_dir,
-                "num_buckets": cfg.num_corpus_buckets,
-            },
-            batch_format="pyarrow",
-            batch_size=2048,
-            concurrency=(1, cfg.fetch_concurrency),
-            num_cpus=1,
+            fetch_fn, batch_format="pyarrow", batch_size=2048
         )
         fetched = fetched.map_batches(parse_pages_batch, batch_format="pyarrow")
-        fetched = fetched.map_batches(extract_features_batch, batch_format="pyarrow")
+        fetched = fetched.map_batches(enrich_pages_batch, batch_format="pyarrow")
         fetched = fetched.drop_columns(["html", "bucket"])
         fetched = fetched.map_batches(
             lambda b, e=epoch: b.append_column(
@@ -316,13 +326,17 @@ def run_crawl(
         n_released = released.count()
         n_fetched = fetched.count()
 
-        # next frontier — single streaming pass: count while writing
+        # next frontier — materialized once: live handoff to the next
+        # epoch AND checkpoint parquet for resume
         _t0 = _time.time()
         frontier_out = os.path.join(cfg.frontier_dir, f"ep-{epoch + 1:05d}")
         n_flagged = flagged.count()
         n_remaining = n_flagged - n_released
         if n_remaining > 0:
-            remaining.write_parquet(frontier_out)
+            live_frontier = remaining.materialize()
+            live_frontier.write_parquet(frontier_out)
+        else:
+            live_frontier = None
         timings["frontier_out"] = _time.time() - _t0
 
         # seen-set update + snapshot + manifest commit
@@ -367,6 +381,7 @@ def run_crawl(
             break
 
     result = {
+        "setup_timings": setup_timings,
         "epochs": epoch - start_epoch,
         "out_dir": cfg.out_dir,
         "manifests": manifests,

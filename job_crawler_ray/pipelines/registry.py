@@ -17,7 +17,6 @@ import shutil
 import tempfile
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 

@@ -42,10 +42,9 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Mean, Sum
 
 from job_crawler_ray.functions.extract import (
-    BENEFIT_CLASSES,
     extract_benefit_classes_batch,
     extract_features_batch,
 )
@@ -475,3 +474,23 @@ def o3_limit_after_dedup(sf_dir: str) -> pa.Table:
         ds, key="source", order={"by": ["doc_id"], "ascending": [True]}
     )
     return out.sort("doc_id").limit(10)
+
+
+def m10_templates(sf_dir: str):
+    """Template generator (M10, main.py:1044-1140): per-row document
+    construction by string interpolation — wide derived text columns."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def fx(t: pa.Table) -> pa.Table:
+        name = t["c_name"].to_pandas().fillna("")
+        seg = t["c_mktsegment"].to_pandas().fillna("")
+        cover = (
+            "Dear " + name + ", thank you for your interest in the "
+            + seg + " segment."
+        )
+        cv_head = name + " | segment: " + seg
+        out = t.select(["c_custkey"])
+        out = out.append_column("cover_letter", pa.array(cover, type=pa.string()))
+        return out.append_column("cv_header", pa.array(cv_head, type=pa.string()))
+
+    return ds.map_batches(fx, batch_format="pyarrow")

@@ -199,6 +199,13 @@ def oracle_queries() -> dict[str, str]:
                         ELSE 0.0 END AS salary_band
             FROM customer
         """,
+        "m10_templates": """
+            SELECT c_custkey,
+                   'Dear ' || c_name || ', thank you for your interest in the '
+                       || c_mktsegment || ' segment.' AS cover_letter,
+                   c_name || ' | segment: ' || c_mktsegment AS cv_header
+            FROM customer
+        """,
         "o3_limit_after_dedup": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

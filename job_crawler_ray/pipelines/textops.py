@@ -120,19 +120,20 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     exploded = sigs.map_batches(explode_bands, batch_format="pyarrow").materialize()
 
-    # almost every (band, hash) bucket is a singleton — find the colliding
-    # buckets with ONE vectorized count, broadcast them, and only ship
-    # those rows to the driver for pairing (work ∝ collisions, not corpus)
-    counts = exploded.groupby("band_hash").count()
-    hot = counts.map_batches(
-        lambda b: b.filter(pa.compute.greater(b["count()"], 1)).select(["band_hash"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    hot_hashes = (
-        np.sort(hot["band_hash"].to_numpy())
-        if "band_hash" in hot.columns
-        else np.zeros(0, np.int64)
-    )
+    # almost every (band, hash) bucket is a singleton — find the
+    # colliding buckets by streaming just the 8-byte band hashes to the
+    # driver (rows × 8 bytes, no shuffle; see exact_dedup_first for the
+    # >100M-row distributed fallback), then only ship those rows back
+    # for pairing (work ∝ collisions, not corpus)
+    hash_parts = [
+        b["band_hash"].to_numpy()
+        for b in exploded.select_columns(["band_hash"]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        )
+    ]
+    all_hashes = np.concatenate(hash_parts) if hash_parts else np.zeros(0, np.int64)
+    uniq, cnt = np.unique(all_hashes, return_counts=True)
+    hot_hashes = np.sort(uniq[cnt > 1])
     ref = ray.put(hot_hashes)
 
     def only_hot(b: pa.Table) -> pa.Table:

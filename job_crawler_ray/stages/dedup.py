@@ -61,21 +61,44 @@ def exact_dedup_first(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return _keep(df, key, order, keep)
 
-    ds = ds.map_batches(partial, batch_format="pandas").materialize()
+    ds = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")  # arrow blocks
+        .materialize()
+    )
 
-    counts = ds.groupby(key).count()
-    dup_keys_parts = (
-        counts.map_batches(
+    # Find the keys that collide ACROSS batches. Keys are 8-byte ints
+    # (or small strings): streaming just the key column to the driver
+    # and counting with np.unique costs row_count × 8 bytes and no
+    # shuffle — far cheaper than a groupby().count() exchange up to
+    # ~100M rows per driver. Above `driver_key_limit` rows, fall back
+    # to the distributed count (at 10^10 keys this becomes a
+    # hash-partitioned count; same contract).
+    n_rows = ds.count()
+    driver_key_limit = 100_000_000
+    if n_rows <= driver_key_limit:
+        key_parts = [
+            b[key].to_numpy(zero_copy_only=False)
+            for b in ds.select_columns([key]).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20
+            )
+        ]
+        all_keys = (
+            np.concatenate(key_parts) if key_parts else np.zeros(0, np.int64)
+        )
+        uniq, cnt = np.unique(all_keys, return_counts=True)
+        dup_keys = uniq[cnt > 1]
+    else:
+        counts = ds.groupby(key).count()
+        dup_keys_parts = counts.map_batches(
             lambda b: b.filter(pa.compute.greater(b["count()"], 1)).select([key]),
             batch_format="pyarrow",
+        ).to_pandas()
+        dup_keys = (
+            dup_keys_parts[key].to_numpy()
+            if key in dup_keys_parts.columns
+            else np.zeros(0, np.int64)
         )
-        .to_pandas()
-    )
-    dup_keys = (
-        dup_keys_parts[key].to_numpy()
-        if key in dup_keys_parts.columns
-        else np.zeros(0, np.int64)
-    )
 
     if dup_keys.size == 0:
         return ds
@@ -104,11 +127,23 @@ def exact_dedup_first(
         lambda b: split(b, False), batch_format="pyarrow"
     )
     dups = ds.map_batches(lambda b: split(b, True), batch_format="pyarrow")
-    winners = dups.groupby(key).map_groups(
-        lambda g: _keep(g, key, order, keep), batch_format="pandas"
-    )
-    # normalize winners back to Arrow blocks so the union is homogeneous
-    winners = winners.map_batches(lambda t: t, batch_format="pyarrow")
+    if dup_keys.size <= 200_000:
+        # small collide population: resolve winners on the driver —
+        # Ray's shuffle has a multi-second fixed cost that dwarfs a
+        # pandas sort over a few thousand rows
+        import ray.data as _rd
+
+        target_schema = ds.schema().base_schema
+        win_df = _keep(dups.to_pandas(), key, order, keep)
+        win_tbl = pa.Table.from_pandas(win_df, preserve_index=False)
+        win_tbl = win_tbl.select(target_schema.names).cast(target_schema)
+        winners = _rd.from_arrow(win_tbl)
+    else:
+        winners = dups.groupby(key).map_groups(
+            lambda g: _keep(g, key, order, keep), batch_format="pandas"
+        )
+        # normalize winners back to Arrow blocks: homogeneous union
+        winners = winners.map_batches(lambda t: t, batch_format="pyarrow")
     return uniques.union(winners)
 
 

@@ -1,0 +1,155 @@
+"""Unit tests: exact dedup operators, politeness release, robots filter."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from job_crawler_ray.stages.dedup import (
+    dedup_exact_text,
+    exact_dedup_first,
+    upsert_last_wins,
+)
+from job_crawler_ray.stages.politeness import (
+    make_budget_release,
+    robots_filter_batch,
+)
+
+
+@pytest.fixture
+def frontier_ds(ray_session):
+    rows = {
+        "url": [f"https://h{i%3}.x/p{i}" for i in range(30)],
+        "warc_ts": pd.to_datetime(
+            [f"2024-01-{(i % 28) + 1:02d}" for i in range(30)]
+        ),
+        "canonical_url": [f"https://h{i%3}.x/p{i}" for i in range(30)],
+        "url_key": np.arange(30, dtype=np.int64) % 10,  # 10 keys, 3 rows each
+    }
+    return rd.from_arrow(pa.table(rows))
+
+
+class TestExactDedup:
+    def test_keep_first_newest_wins(self, frontier_ds):
+        out = exact_dedup_first(frontier_ds, key="url_key").to_pandas()
+        assert len(out) == 10
+        assert out["url_key"].nunique() == 10
+        # winner per key = max warc_ts (tie: min canonical, min url)
+        full = frontier_ds.to_pandas()
+        for k, grp in full.groupby("url_key"):
+            want = grp.sort_values(
+                ["warc_ts", "canonical_url", "url"], ascending=[False, True, True]
+            ).iloc[0]
+            got = out[out["url_key"] == k].iloc[0]
+            assert got["url"] == want["url"]
+
+    def test_no_dups_passthrough(self, ray_session):
+        ds = rd.from_arrow(
+            pa.table({"url_key": np.arange(50, dtype=np.int64), "v": np.arange(50)})
+        )
+        out = exact_dedup_first(
+            ds, key="url_key", order={"by": ["v"], "ascending": [True]}
+        )
+        assert out.count() == 50
+
+    def test_upsert_last_wins(self, ray_session):
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "url_key": pa.array([1, 1, 2], pa.int64()),
+                    "warc_ts": pd.to_datetime(
+                        ["2024-01-01", "2024-02-01", "2024-01-15"]
+                    ),
+                    "v": ["old", "new", "only"],
+                }
+            )
+        )
+        out = upsert_last_wins(ds, key="url_key").to_pandas()
+        got = dict(zip(out["url_key"], out["v"]))
+        assert got == {1: "new", 2: "only"}
+
+    def test_dedup_exact_text_min_id(self, ray_session):
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([5, 3, 9, 7], pa.int64()),
+                    "text": ["same", "same", "diff", "same"],
+                }
+            )
+        )
+        out = dedup_exact_text(ds).to_pandas()
+        assert sorted(out["doc_id"]) == [3, 9]
+
+
+class TestPoliteness:
+    def test_budget_release_caps_and_ranks(self):
+        g = pd.DataFrame(
+            {
+                "host": ["h"] * 5,
+                "warc_ts": pd.to_datetime(
+                    ["2024-01-05", "2024-01-01", "2024-01-03", "2024-01-04", "2024-01-02"]
+                ),
+                "canonical_url": [f"u{i}" for i in range(5)],
+            }
+        )
+        out = make_budget_release(2)(g)
+        rel = out[out["released"]].sort_values("host_rank")
+        assert len(rel) == 2
+        # newest first
+        assert rel.iloc[0]["warc_ts"] == pd.Timestamp("2024-01-05")
+        assert rel.iloc[1]["warc_ts"] == pd.Timestamp("2024-01-04")
+        assert (~out[out["host_rank"] >= 2]["released"]).all()
+
+    def test_budget_release_tiebreak_canonical(self):
+        g = pd.DataFrame(
+            {
+                "host": ["h"] * 3,
+                "warc_ts": pd.to_datetime(["2024-01-01"] * 3),
+                "canonical_url": ["c", "a", "b"],
+            }
+        )
+        out = make_budget_release(1)(g)
+        assert out[out["released"]].iloc[0]["canonical_url"] == "a"
+
+    def test_robots_filter(self):
+        batch = pa.table(
+            {
+                "host": ["a.x", "a.x", "b.x"],
+                "canonical_url": [
+                    "https://a.x/jobs/1",
+                    "https://a.x/other/1",
+                    "https://b.x/jobs/1",
+                ],
+            }
+        )
+        out = robots_filter_batch(batch, {"a.x": "/jobs/"})
+        urls = out["canonical_url"].to_pylist()
+        assert urls == ["https://a.x/other/1", "https://b.x/jobs/1"]
+
+    def test_robots_empty_rules_noop(self):
+        batch = pa.table({"host": ["a.x"], "canonical_url": ["https://a.x/1"]})
+        assert robots_filter_batch(batch, {}).num_rows == 1
+
+
+class TestConfigNormalizers:
+    def test_search_params(self):
+        from job_crawler_ray.functions.config import normalize_search_params
+
+        p = normalize_search_params("  python dev  ", "", 500)
+        assert p == {"query": "python dev", "location": "London", "max_results": 50}
+        with pytest.raises(ValueError):
+            normalize_search_params("   ")
+
+    def test_profile_params(self):
+        from job_crawler_ray.functions.config import normalize_profile_params
+
+        p = normalize_profile_params(-3, "REMOTE ", 500)
+        assert p == {
+            "experience_years": 0,
+            "remote_preference": "remote",
+            "timeline_months": 120,
+        }
+        assert normalize_profile_params(1, "weird", 1)["remote_preference"] == "hybrid"
+        assert normalize_profile_params(1, "weird", 1)["timeline_months"] == 6
