@@ -274,6 +274,12 @@ def run_crawl(
             .sort("bucket")
             .materialize()
         )
+        # map_batches parallelism is per BLOCK: the groupby+sort above can
+        # collapse the released set into one or two blocks, which would
+        # serialize the whole fetch→extract chain. Split (order-preserving,
+        # no shuffle) so every CPU gets work.
+        n_rel_blocks = max(2, min(512, released.count() // 2048 + 1))
+        released = released.repartition(n_rel_blocks).materialize()
         remaining = flagged.map_batches(
             lambda b: b.filter(pc.equal(b["released"], False)), batch_format="pyarrow"
         ).drop_columns(["released", "host_rank"])
