@@ -25,6 +25,7 @@ import ray.data as rd
 from job_crawler_ray.pipelines import relational as R
 from job_crawler_ray.pipelines import textops as T
 from job_crawler_ray.pipelines.sql import oracle_queries
+from job_crawler_ray.pipelines import windows as W
 
 NEARDUP_THRESHOLD = 0.4  # cosine tail of the synthetic embeddings
 
@@ -216,6 +217,10 @@ def build_queries() -> dict:
     q = {name: getattr(R, name) for name in oracle_queries()}
     q.update(
         {
+            "w1_tumbling_daily": W.w1_tumbling_daily,
+            "w2_sessionize": W.w2_sessionize,
+            "j4_asof_join": W.j4_asof_join,
+            "r1_range_join": W.r1_range_join,
             "ann_cosine_topk": ann_cosine_topk,
             "embedding_neardup": embedding_neardup,
             "t_token_count": t_token_count,
@@ -236,6 +241,7 @@ def build_queries() -> dict:
 def build_oracle_sql() -> dict[str, str]:
     sql = dict(oracle_queries())
     sql.update(extra_oracle_sql())
+    sql.update(W.WINDOW_SQL)
     return sql
 
 
