@@ -66,7 +66,6 @@ from job_crawler_ray.stages.fetch import (
 from job_crawler_ray.stages.politeness import (
     make_budget_release,
     robots_filter_batch,
-    synth_robots,
 )
 from job_crawler_ray.stages.seen import SeenSet
 from job_crawler_ray.state.checkpoint import latest_manifest, write_manifest

@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Mean
 
 SESSION_GAP_MIN = 30
 RANGE_JOIN_HOURS = 1
