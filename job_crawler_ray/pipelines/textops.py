@@ -146,17 +146,40 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
         return b.filter(pa.array(m))
 
     colliding = exploded.map_batches(only_hot, batch_format="pyarrow").to_pandas()
-    pair_parts = []
-    for (_, _), grp in colliding.groupby(["band_id", "band_hash"], sort=False):
-        ids = np.sort(grp[id_col].to_numpy())
-        if len(ids) >= 2:
-            a, b = np.triu_indices(len(ids), 1)
-            pair_parts.append(pd.DataFrame({"id_a": ids[a], "id_b": ids[b]}))
-    cand_df = (
-        pd.concat(pair_parts, ignore_index=True).drop_duplicates()
-        if pair_parts
-        else pd.DataFrame({"id_a": [], "id_b": []})
-    )
+    # vectorized all-pairs within each (band, hash) bucket: sort rows by
+    # (band, hash, id), compute group offsets, and generate every (i<j)
+    # pair with repeat/arange index arithmetic — no Python loop over the
+    # (possibly many) buckets
+    if len(colliding):
+        order = np.lexsort(
+            (
+                colliding[id_col].to_numpy(),
+                colliding["band_hash"].to_numpy(),
+                colliding["band_id"].to_numpy(),
+            )
+        )
+        ids_sorted = colliding[id_col].to_numpy()[order]
+        gb = colliding["band_id"].to_numpy()[order].astype(np.int64)
+        gh = colliding["band_hash"].to_numpy()[order]
+        new_grp = np.empty(len(order), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (gb[1:] != gb[:-1]) | (gh[1:] != gh[:-1])
+        grp_id = np.cumsum(new_grp) - 1
+        starts = np.nonzero(new_grp)[0]
+        pos = np.arange(len(order)) - starts[grp_id]  # 0-based pos in group
+        # each row r at position p is the RIGHT element of p pairs whose
+        # LEFT elements are the p earlier rows of the same group
+        rights = np.repeat(np.arange(len(order)), pos)
+        within = np.arange(pos.sum()) - np.repeat(
+            np.concatenate(([0], np.cumsum(pos)[:-1])), pos
+        )
+        lefts = np.repeat(starts[grp_id], pos) + within
+        cand_df = pd.DataFrame(
+            {"id_a": ids_sorted[lefts], "id_b": ids_sorted[rights]}
+        ).drop_duplicates()
+        cand_df = cand_df[cand_df["id_a"] != cand_df["id_b"]]
+    else:
+        cand_df = pd.DataFrame({"id_a": [], "id_b": []})
     if len(cand_df) == 0:
         return rd.from_arrow(
             pa.table({"id_a": pa.array([], pa.int64()),

@@ -61,3 +61,27 @@ def load_manifests(checkpoint_dir: str) -> list[dict[str, Any]]:
             with open(os.path.join(d, name)) as f:
                 out.append(json.load(f))
     return out
+
+
+def prune_checkpoints(checkpoint_dir: str, keep_last: int = 7) -> list[str]:
+    """Retention expiry for crawl state (reference semantics: gzip
+    backups pruned after 7 days, `/root/reference/src/claude_job_agent/
+    monitoring/backup_manager.py:77-101`, retention windows
+    `monitoring/config.py:19-22`): keep the last ``keep_last`` epochs'
+    seen-set snapshots and metrics, delete older ones. Manifests are
+    never pruned (they are the lineage record and are tiny); the
+    newest retained snapshot is always a valid resume point.
+    """
+    import shutil
+
+    removed: list[str] = []
+    for sub in ("seen", "metrics"):
+        d = os.path.join(checkpoint_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        epochs = sorted(e for e in os.listdir(d) if e.startswith("ep-"))
+        for stale in epochs[:-keep_last] if keep_last > 0 else []:
+            path = os.path.join(d, stale)
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    return removed

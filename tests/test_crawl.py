@@ -192,3 +192,34 @@ class TestExecutionShapeInvariance:
         assert np.array_equal(res["seen_keys"], oracle_result["seen_keys"])
         got = _order_df(cfg)
         assert (got["url"].to_numpy() == oracle_result["order"]["url"].to_numpy()).all()
+
+
+class TestRetention:
+    def test_prune_checkpoints_keeps_resume_point(
+        self, ray_session, sf_small, robots, tmp_path_factory
+    ):
+        from job_crawler_ray.state.checkpoint import load_manifests, prune_checkpoints
+
+        work = str(tmp_path_factory.mktemp("crawl_prune"))
+        cfg = CrawlConfig(
+            work_dir=work,
+            budget_per_host=BUDGET,
+            num_seen_shards=2,
+            robots_rules=robots,
+        )
+        res = run_crawl(cfg, sf_dir=sf_small, replicate=2)
+        n_epochs = res["epochs"]
+        assert n_epochs >= 3
+        removed = prune_checkpoints(cfg.checkpoint_dir, keep_last=2)
+        assert removed  # old epochs actually deleted
+        # manifests intact (lineage never pruned)
+        assert len(load_manifests(cfg.checkpoint_dir)) == n_epochs
+        # newest snapshot still valid: a fresh SeenSet can restore it
+        from job_crawler_ray.stages.seen import SeenSet
+
+        latest = os.path.join(
+            cfg.checkpoint_dir, "seen", f"ep-{n_epochs - 1:05d}"
+        )
+        s = SeenSet(num_shards=2)
+        assert s.restore(latest) == res["seen_total"]
+        s.shutdown()
