@@ -494,3 +494,25 @@ def m10_templates(sf_dir: str):
         return out.append_column("cv_header", pa.array(cv_head, type=pa.string()))
 
     return ds.map_batches(fx, batch_format="pyarrow")
+
+
+def u1_multi_source_union(sf_dir: str):
+    """Multi-source fan-in (reference: per-source try/except extend,
+    main.py:507-515, second source anticipated by its tests): two
+    "sources" (documents split by parity) unioned, then first-wins
+    dedup per source key — Dataset.union + the dedup shuffle."""
+    from job_crawler_ray.stages.dedup import exact_dedup_first
+
+    a = _read(sf_dir, "documents", ["doc_id", "source"], blocks=4).map_batches(
+        lambda t: t.filter(pa.compute.equal(pa.compute.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    b = _read(sf_dir, "documents", ["doc_id", "source"], blocks=4).map_batches(
+        lambda t: t.filter(pa.compute.equal(pa.compute.bit_wise_and(t["doc_id"], 1), 1)),
+        batch_format="pyarrow",
+    )
+    merged = a.union(b)
+    out = exact_dedup_first(
+        merged, key="source", order={"by": ["doc_id"], "ascending": [True]}
+    )
+    return out.sort("source")

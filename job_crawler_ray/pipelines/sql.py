@@ -206,6 +206,17 @@ def oracle_queries() -> dict[str, str]:
                    c_name || ' | segment: ' || c_mktsegment AS cv_header
             FROM customer
         """,
+        "u1_multi_source_union": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM (
+                    SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0
+                    UNION ALL
+                    SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1
+                )
+            ) WHERE rn = 1 ORDER BY source
+        """,
         "o3_limit_after_dedup": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,
