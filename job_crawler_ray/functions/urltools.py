@@ -8,7 +8,7 @@ URL form hashed with xxh64 (north rule). Canonicalization rules
 (standard crawler practice, cf. RFC 3986 §6):
 
 - lowercase scheme + host
-- strip a single trailing ``/`` on the path
+- strip trailing ``/`` runs on the path
 - drop the fragment (``#...``)
 - drop a default port (``:80`` http / ``:443`` https)
 - strip a leading ``www.`` host label
@@ -68,7 +68,7 @@ def canonicalize_urls(urls) -> pd.Series:
     is_https = f["scheme"].eq("https")
     netloc = netloc.str.replace(r":80$", "", regex=True).where(~is_https, netloc)
     netloc = netloc.str.replace(r":443$", "", regex=True).where(is_https, netloc)
-    path = f["path"].str.replace(r"/$", "", regex=True)
+    path = f["path"].str.replace(r"/+$", "", regex=True)
     path = path.where(path.str.len() > 0, "")
     # query rewrite: only rows that actually carry a query string
     query = f["query"].copy()

@@ -302,6 +302,12 @@ def run_crawl(
         fetched = fetched.materialize()  # consumed twice (write + metrics)
         fetched.write_parquet(out_epoch)
         timings["fetch_extract_write"] = _time.time() - _t0
+        # per-stage wall/cpu/memory breakdown of the hot pipeline —
+        # the observability feed for tuning batch/block sizes (ds.stats())
+        stats_dir = os.path.join(cfg.checkpoint_dir, "stats")
+        os.makedirs(stats_dir, exist_ok=True)
+        with open(os.path.join(stats_dir, f"ep-{epoch:05d}.txt"), "w") as fh:
+            fh.write(fetched.stats())
 
         # per-host fetch-metrics rollup (A6 shape) — partial per batch,
         # tiny final groupby
