@@ -223,3 +223,28 @@ class TestRetention:
         s = SeenSet(num_shards=2)
         assert s.restore(latest) == res["seen_total"]
         s.shutdown()
+
+
+class TestDriverScaleParity:
+    def test_sf001_parity_with_oracle(
+        self, ray_session, sf_mid, robots, tmp_path_factory
+    ):
+        """Same gate at the driver's correctness scale (sf0.01)."""
+        work = str(tmp_path_factory.mktemp("crawl_mid"))
+        cfg = CrawlConfig(
+            work_dir=work,
+            budget_per_host=300,
+            num_seen_shards=4,
+            robots_rules=robots,
+        )
+        res = run_crawl(cfg, sf_dir=sf_mid, replicate=1)
+        orc = crawl_oracle(
+            pages_table(sf_mid, replicate=1),
+            budget_per_host=300,
+            robots_rules=robots,
+        )
+        assert np.array_equal(res["seen_keys"], orc["seen_keys"])
+        got = _order_df(cfg)
+        want = orc["order"].reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["url"].to_numpy() == want["url"].to_numpy()).all()
