@@ -100,7 +100,6 @@ def run_headline() -> dict:
         work_dir=work,
         budget_per_host=BUDGET,
         num_seen_shards=8,
-        fetch_concurrency=max(2, NUM_CPUS // 4),
         robots_rules=synth_robots(HOSTS),
         store_dir_override=store_path,
     )

@@ -49,7 +49,6 @@ import os
 from dataclasses import dataclass, field
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -80,7 +79,6 @@ class CrawlConfig:
     num_seen_shards: int = 8
     max_epochs: int = 1000
     num_corpus_buckets: int = NUM_CORPUS_BUCKETS
-    fetch_concurrency: int = 4
     batch_size: int = 8192
     robots_rules: dict[str, str] = field(default_factory=dict)
     store_dir_override: str | None = None  # share a prebuilt corpus store

@@ -52,7 +52,6 @@ def engine_result(ray_session, sf_small, robots, tmp_path_factory):
         work_dir=work,
         budget_per_host=BUDGET,
         num_seen_shards=4,
-        fetch_concurrency=2,
         robots_rules=robots,
     )
     res = run_crawl(cfg, sf_dir=sf_small, replicate=2)
@@ -132,8 +131,7 @@ class TestReseedWave:
             work_dir=work,
             budget_per_host=BUDGET,
             num_seen_shards=4,
-            fetch_concurrency=2,
-            robots_rules=robots,
+                robots_rules=robots,
         )
         wave = pages_dataset(sf_small, replicate=2)
         res = run_crawl(
@@ -153,8 +151,7 @@ class TestResume:
         kw = dict(
             budget_per_host=BUDGET,
             num_seen_shards=4,
-            fetch_concurrency=2,
-            robots_rules=robots,
+                robots_rules=robots,
         )
         cfg_a = CrawlConfig(work_dir=work, max_epochs=3, **kw)
         run_crawl(cfg_a, sf_dir=sf_small, replicate=2)
@@ -184,7 +181,6 @@ class TestExecutionShapeInvariance:
             work_dir=work,
             budget_per_host=BUDGET,
             num_seen_shards=2,       # different sharding
-            fetch_concurrency=1,     # different pool size
             batch_size=257,          # pathological batch size
             robots_rules=robots,
         )
