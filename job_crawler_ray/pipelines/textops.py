@@ -47,43 +47,174 @@ LSH_BANDS = 16         # 16 bands × 4 rows
 JACCARD_THRESHOLD = 0.5
 
 
-def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """uint64 hash set of the k-char shingles of one document.
+_SHINGLE_SALT = 1337
 
-    Vectorized: the UTF-8 byte string becomes a sliding-window byte
-    matrix (numpy stride trick, zero copy) hashed in ONE xxh64 matrix
-    call — no per-shingle Python slicing. Windows are byte-based;
-    deterministic for any input.
+
+def _packed_window_hashes(buf: np.ndarray, pos: np.ndarray, k: int) -> np.ndarray:
+    """Hash k-byte windows of ``buf`` starting at ``pos``: the bytes are
+    packed little-endian into one uint64 (k ≤ 7), tagged with the window
+    length in the top byte (so short whole-doc 'windows' can never
+    collide with full k-windows), then splitmix64-mixed once. ~15
+    vectorized passes total — no per-window matrix."""
+    assert k <= 7
+    val = np.zeros(len(pos), dtype=_u64)
+    for j in range(k):
+        val |= buf[pos + j].astype(_u64) << _u64(8 * j)
+    val |= _u64(k) << _u64(56)
+    return mix64(val, _SHINGLE_SALT)
+
+
+def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """uint64 hash set of the k-char shingles of one document — scalar
+    twin of ``_batch_shingle_hashes`` (tests + readable reference).
+
+    Windows are byte-based over the lower-cased UTF-8 encoding; each
+    window is packed into a length-tagged uint64 and splitmix64-mixed
+    (see ``_packed_window_hashes``). Docs shorter than k hash whole.
     """
     t = text.lower().encode()
-    if len(t) < k:
-        return xxh64_array([t]) if t else np.zeros(0, _u64)
     buf = np.frombuffer(t, dtype=np.uint8)
-    mat = np.lib.stride_tricks.sliding_window_view(buf, k)
-    from job_crawler_ray.hashing import _xxh64_fixed_len
+    if len(t) == 0:
+        return np.zeros(0, _u64)
+    if len(t) < k:
+        val = _u64(0)
+        for j, b in enumerate(t):
+            val |= _u64(b) << _u64(8 * j)
+        val |= _u64(len(t)) << _u64(56)
+        return mix64(np.array([val]), _SHINGLE_SALT)
+    pos = np.arange(len(t) - k + 1)
+    return np.unique(_packed_window_hashes(buf, pos, k))
 
-    return np.unique(_xxh64_fixed_len(np.ascontiguousarray(mat)))
+
+# per-permutation multiply-add constants (a odd), derived once from
+# splitmix64 — the standard cheap minhash family (2 vector ops per perm
+# instead of a full 5-op mix; same approach as e.g. datasketch)
+_MH_A = mix64(np.arange(1, NUM_PERM + 1, dtype=_u64), 7000) | _u64(1)
+_MH_B = mix64(np.arange(1, NUM_PERM + 1, dtype=_u64), 7001)
 
 
 def _minhash_sig(sh: np.ndarray, num_perm: int = NUM_PERM) -> np.ndarray:
-    """num_perm minima of splitmix64-mixed shingle hashes (one pass,
-    vectorized (num_perm × n_shingles) — no stored permutation state)."""
+    """num_perm minima of (a_i·h + b_i mod 2^64)-mixed shingle hashes —
+    scalar twin of ``minhash_signatures_batch`` (kept for tests)."""
     if sh.size == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=_u64)
-    salts = np.arange(1, num_perm + 1, dtype=np.int64)
-    mat = np.empty((num_perm, sh.size), dtype=_u64)
-    for i, s in enumerate(salts):  # num_perm tiny; inner op vectorized
-        mat[i] = mix64(sh, int(s) + 7000)
+    with np.errstate(over="ignore"):
+        mat = _MH_A[:num_perm, None] * sh[None, :] + _MH_B[:num_perm, None]
     return mat.min(axis=1)
 
 
+# --- batch shingle kernel: zero per-row Python -------------------------------
+
+
+def _lower_bytes_offsets(col) -> tuple[np.ndarray, np.ndarray]:
+    """Lower-cased UTF-8 bytes of every row of a string column as ONE
+    flat uint8 buffer plus int64 row offsets (len n+1). Operates on the
+    Arrow data/offset buffers directly — no per-row Python objects."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        col = pa.array(list(col), type=pa.string())
+    col = pc.utf8_lower(pc.fill_null(col, ""))
+    if isinstance(col, pa.ChunkedArray):  # kernels may re-chunk
+        col = col.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data_buf = col.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.zeros(0, np.uint8)
+    )
+    return data, offs
+
+
+def _batch_shingle_hashes(
+    col, k: int = SHINGLE_K, unique: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc k-byte-shingle hash sets for a WHOLE batch: one packed-
+    uint64 hash pass over every window (see ``_packed_window_hashes``)
+    plus one small pass per distinct short-doc length. Semantics match
+    ``_shingle_hashes`` row by row when ``unique=True``.
+
+    ``unique=False`` skips the per-doc dedup sort — correct whenever the
+    consumer is duplicate-invariant (e.g. a segment MIN for minhash).
+
+    Returns ``(hashes, offsets)``: doc i's hashes are
+    ``hashes[offsets[i]:offsets[i+1]]`` (ascending when unique=True).
+    """
+    data, offs = _lower_bytes_offsets(col)
+    n = len(offs) - 1
+    lens = offs[1:] - offs[:-1]
+    w = np.maximum(lens - k + 1, 0)  # sliding-window count (docs ≥ k bytes)
+    short = (lens > 0) & (lens < k)  # hashed whole, like _shingle_hashes
+    w[short] = 0
+    total = int(w.sum())
+    if total:
+        cum = np.concatenate(([0], np.cumsum(w[:-1])))
+        pos = np.arange(total) + np.repeat(offs[:-1] - cum, w)
+        hashes = _packed_window_hashes(data, pos, k)
+        doc_of = np.repeat(np.arange(n), w)
+    else:
+        doc_of = np.zeros(0, np.int64)
+        hashes = np.zeros(0, _u64)
+    if short.any():
+        sidx = np.nonzero(short)[0]
+        slens = lens[sidx]
+        val = np.zeros(len(sidx), dtype=_u64)
+        for j in range(k - 1):
+            sel = slens > j
+            val[sel] |= data[offs[sidx[sel]] + j].astype(_u64) << _u64(8 * j)
+        val |= slens.astype(_u64) << _u64(56)
+        s_hashes = mix64(val, _SHINGLE_SALT)
+        hashes = np.concatenate([hashes, s_hashes])
+        doc_of = np.concatenate([doc_of, sidx])
+        # keep doc_of non-decreasing for the unique=False reduceat path
+        order0 = np.argsort(doc_of, kind="stable")
+        hashes, doc_of = hashes[order0], doc_of[order0]
+    if not unique:
+        counts = np.bincount(doc_of, minlength=n) if len(doc_of) else np.zeros(n, np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        return hashes, offsets
+    # sort by (doc, hash), drop within-doc duplicates → unique sets
+    order = np.lexsort((hashes, doc_of))
+    h_s, d_s = hashes[order], doc_of[order]
+    keep = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    h_u, d_u = h_s[keep], d_s[keep]
+    counts = np.bincount(d_u, minlength=n) if len(d_u) else np.zeros(n, np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    return h_u, offsets
+
+
+def _segment_starts(offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(nonempty mask, reduceat-ready starts) for contiguous segments."""
+    nonempty = offsets[1:] > offsets[:-1]
+    return nonempty, offsets[:-1][nonempty]
+
+
 def minhash_signatures_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch[text_col].to_pandas().fillna("")
-    sigs = np.vstack([_minhash_sig(_shingle_hashes(t)) for t in texts])
+    """One xxh64 call for the whole batch's shingles, then NUM_PERM
+    mix-and-segment-min passes (np.minimum.reduceat) — no per-doc loop."""
+    h, offs = _batch_shingle_hashes(batch[text_col], unique=False)  # min is dup-invariant
+    n = batch.num_rows
+    sigs = np.full((NUM_PERM, n), np.iinfo(np.uint64).max, dtype=_u64)
+    nonempty, starts = _segment_starts(offs)
+    scratch = np.empty_like(h)
+    with np.errstate(over="ignore"):
+        for i in range(NUM_PERM):  # NUM_PERM tiny; inner ops fully vectorized
+            np.multiply(h, _MH_A[i], out=scratch)
+            np.add(scratch, _MH_B[i], out=scratch)
+            if starts.size:
+                sigs[i][nonempty] = np.minimum.reduceat(scratch, starts)
     out = batch.select([c for c in batch.column_names if c != text_col])
     return out.append_column(
         "minhash", pa.FixedSizeListArray.from_arrays(
-            pa.array(sigs.reshape(-1).view(np.int64)), NUM_PERM
+            pa.array(sigs.T.reshape(-1).view(np.int64)), NUM_PERM
         )
     )
 
@@ -260,18 +391,25 @@ def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit SimHash over char-shingle hashes (Charikar '02)."""
-    texts = batch[text_col].to_pandas().fillna("")
-    out_bits = np.zeros(len(texts), dtype=_u64)
-    for row, t in enumerate(texts):
-        sh = _shingle_hashes(t)
-        if sh.size == 0:
-            continue
-        bits = ((sh[:, None] >> np.arange(64, dtype=_u64)) & _u64(1)).astype(np.int64)
-        vote = bits.sum(axis=0) * 2 - sh.size  # +1/-1 votes per bit
-        out_bits[row] = np.packbits(
-            (vote > 0).astype(np.uint8)[::-1], bitorder="little"
-        ).view(_u64)[0]
+    """64-bit SimHash over char-shingle hashes (Charikar '02).
+
+    One shingle-hash pass for the whole batch, then 64 segment-sum
+    passes (one per output bit, np.add.reduceat) — no per-doc loop.
+    Output bit b is the majority of the shingles' bit b (+1/-1 votes).
+    """
+    h, offs = _batch_shingle_hashes(batch[text_col])
+    n = batch.num_rows
+    counts = offs[1:] - offs[:-1]
+    votes_pos = np.zeros((n, 64), dtype=np.int64)
+    nonempty, starts = _segment_starts(offs)
+    if starts.size:
+        for b in range(64):
+            bit = ((h >> _u64(b)) & _u64(1)).astype(np.int64)
+            votes_pos[nonempty, b] = np.add.reduceat(bit, starts)
+    vote = votes_pos * 2 - counts[:, None]
+    out_bits = (
+        (vote > 0).astype(_u64) << np.arange(64, dtype=_u64)
+    ).sum(axis=1, dtype=_u64)
     keep = batch.select([c for c in batch.column_names if c != text_col])
     return keep.append_column(
         "simhash", pa.array(out_bits.view(np.int64), type=pa.int64())
@@ -280,17 +418,18 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def doc_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Winnowing-style fingerprint: min shingle-hash per document window
-    (here: global min + count — a compact content fingerprint)."""
-    texts = batch[text_col].to_pandas().fillna("")
-    fp = np.zeros(len(texts), dtype=_u64)
-    n_sh = np.zeros(len(texts), dtype=np.int64)
-    for row, t in enumerate(texts):
-        sh = _shingle_hashes(t)
-        n_sh[row] = sh.size
-        fp[row] = sh.min() if sh.size else 0
+    (here: global min + count — a compact content fingerprint).
+    Vectorized across the batch: one shingle pass + one segment-min."""
+    h, offs = _batch_shingle_hashes(batch[text_col])
+    n = batch.num_rows
+    counts = (offs[1:] - offs[:-1]).astype(np.int64)
+    fp = np.zeros(n, dtype=_u64)
+    nonempty, starts = _segment_starts(offs)
+    if starts.size:
+        fp[nonempty] = np.minimum.reduceat(h, starts)
     keep = batch.select([c for c in batch.column_names if c != text_col])
     keep = keep.append_column("fingerprint", pa.array(fp.view(np.int64)))
-    return keep.append_column("n_shingles", pa.array(n_sh))
+    return keep.append_column("n_shingles", pa.array(counts))
 
 
 # ---------------------------------------------------------------------------
