@@ -1,0 +1,492 @@
+"""Full M2/M10/M9 framework surface (reference parity, round-2 gap).
+
+Ports the reference's largest remaining template/framework surfaces as
+vectorized Arrow batch kernels PLUS DuckDB SQL twins generated from the
+SAME constant tables (so the driver's value-hash gate covers them):
+
+- M2 full analysis framework (`/root/reference/src/claude_job_agent/
+  main.py:361-437`): all 3 analysis prompts (requirements extraction
+  interpolated per row; compatibility scoring + application strategy
+  constants) and the scoring-criteria struct emitted as a JSON column.
+- M10 skill buckets (`main.py:605-655`): the 4-bucket user-profile
+  partition (languages/frameworks/tools/databases) + the scoring
+  template's criterion weights (`main.py:659-716`).
+- M10 application templates (`main.py:1044-1140`): CV summary, cover
+  opening/closing and company interview questions interpolated per row.
+- M10 career progression (`main.py:1314-1441`): role routing into the
+  skill-progression table (family × tier), required skills + timeline.
+- M9 list-column skill gap (`main.py:1442-1500`): per-row set
+  difference of required vs present skills with ``gap_percentage``
+  (zero-guarded), the reference's exact formula.
+
+The constant keyword/progression tables are copied verbatim — they ARE
+the semantics under test (same rationale as functions/extract.py);
+every execution strategy here is new (vectorized containment matrices,
+no per-row Python).
+
+All kernels take the documents table (doc_id, text, source); the
+"role"/"job posting" text is the document text, company is the source
+column — the same table-shaped re-expression used by M1/M7/M8.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from job_crawler_ray.functions.extract import (
+    SCORING_CRITERIA,
+    _contains_matrix,
+    _list_array_from_matrix,
+)
+
+# --- constant tables (verbatim; see module docstring) -----------------------
+
+# main.py:605-655 — the 4-bucket skill partition of the user profile
+SKILL_BUCKETS = {
+    "programming_languages": [
+        "python", "javascript", "java", "c++", "c#", "ruby", "php", "go", "rust",
+    ],
+    "frameworks": ["react", "vue", "angular", "django", "flask", "spring", "laravel"],
+    "tools": ["aws", "docker", "kubernetes", "git", "jenkins", "terraform"],
+    "databases": ["sql", "postgresql", "mysql", "mongodb", "redis", "elasticsearch"],
+}
+
+# main.py:659-716 — compatibility scoring template criterion weights
+SCORING_WEIGHTS = {
+    "technical_skills": 40,
+    "experience_level": 25,
+    "salary_alignment": 20,
+    "work_arrangement": 15,
+}
+
+# main.py:1314-1410 — skill progression table (routing uses the
+# junior_to_mid / mid_to_senior tiers, main.py:1417-1441)
+SKILL_PROGRESSIONS = {
+    "software_engineer": {
+        "junior_to_mid": {
+            "technical": ["Advanced debugging", "Code review skills",
+                          "Testing frameworks", "CI/CD"],
+            "soft": ["Communication", "Time management", "Basic mentoring"],
+            "timeline": "12-18 months",
+        },
+        "mid_to_senior": {
+            "technical": ["System design", "Architecture patterns",
+                          "Performance optimization", "Security"],
+            "soft": ["Leadership", "Technical mentoring", "Project planning"],
+            "timeline": "18-36 months",
+        },
+    },
+    "data_scientist": {
+        "junior_to_mid": {
+            "technical": ["Advanced SQL", "Machine learning algorithms",
+                          "Data visualization", "Statistical analysis"],
+            "soft": ["Business acumen", "Presentation skills", "Problem-solving"],
+            "timeline": "12-24 months",
+        },
+        "mid_to_senior": {
+            "technical": ["MLOps", "Deep learning", "Big data technologies",
+                          "Model deployment"],
+            "soft": ["Cross-functional collaboration", "Technical communication",
+                     "Project leadership"],
+            "timeline": "18-36 months",
+        },
+    },
+    "product_manager": {
+        "junior_to_mid": {
+            "technical": ["User research", "Data analysis",
+                          "Product analytics", "A/B testing"],
+            "soft": ["Stakeholder management", "Communication", "Priority setting"],
+            "timeline": "12-18 months",
+        },
+        "mid_to_senior": {
+            "technical": ["Product strategy", "Market analysis",
+                          "Technical understanding", "Metrics definition"],
+            "soft": ["Leadership", "Vision setting", "Cross-team collaboration"],
+            "timeline": "18-30 months",
+        },
+    },
+}
+
+# main.py:368-405 — the three analysis prompts. requirements_extraction
+# interpolates per row; the other two are constants.
+REQ_PROMPT_PREFIX = (
+    "Analyze this job posting and extract: required technical skills, "
+    "nice-to-have skills, years of experience, key responsibilities, "
+    "benefits, red flags. Job Title: "
+)
+REQ_PROMPT_COMPANY = " Company: "
+REQ_PROMPT_DESC = " Description: "
+COMPAT_PROMPT = (
+    "Score this job compatibility for a candidate: technical skill match, "
+    "experience level alignment, role responsibilities fit, salary "
+    "expectations vs offering, remote work preferences. "
+    "Provide a score 1-10 with detailed reasoning."
+)
+STRATEGY_PROMPT = (
+    "Based on this job posting, suggest: key points to highlight in CV, "
+    "cover letter talking points, potential interview questions, research "
+    "areas about the company. Focus on what would make a candidate stand "
+    "out for this specific role."
+)
+SCORING_CRITERIA_JSON = json.dumps(SCORING_CRITERIA, separators=(",", ":"))
+
+# main.py:1044-1140 — application template fragments ({company} interpolated)
+CV_SUMMARY_PREFIX = (
+    "Years of experience in relevant field with expertise in key skills. "
+    "Proven track record. Seeking to leverage specific skills to "
+    "contribute to "
+)
+CV_SUMMARY_SUFFIX = "'s mission."
+COVER_OPEN_PREFIX = "I am writing to express my strong interest in the "
+COVER_OPEN_MID = " position at "
+COVER_OPEN_SUFFIX = "."
+COVER_CLOSE_PREFIX = (
+    "I would welcome the opportunity to discuss how my background can "
+    "contribute to "
+)
+COVER_CLOSE_SUFFIX = "'s continued success. Thank you for considering my application."
+INTERVIEW_Q_PREFIX = "Why do you want to work at "
+INTERVIEW_Q_SUFFIX = "?"
+
+TITLE_CHARS = 40  # derived job title = first 40 chars of the document
+
+
+# --- routing (main.py:1417-1441) --------------------------------------------
+
+
+def _route_family_tier(lower: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """The reference's role-routing conditions over a lowered text
+    column: family ∈ {software_engineer, data_scientist,
+    product_manager}, tier ∈ {junior_to_mid, mid_to_senior}."""
+    has = lambda w: lower.str.contains(w, regex=False).to_numpy()  # noqa: E731
+    senior = has("senior") | has("lead")
+    eng = (has("engineer") | has("developer")) & ~has("data") & ~has("product")
+    data = has("data")
+    family = np.select(
+        [eng, data], ["software_engineer", "data_scientist"],
+        default="product_manager",
+    )
+    tier = np.where(senior, "mid_to_senior", "junior_to_mid")
+    return family, tier
+
+
+# --- M2: full analysis framework ---------------------------------------------
+
+
+def full_framework_batch(
+    batch: pa.Table, text_col: str = "text", company_col: str = "source"
+) -> pa.Table:
+    """All 3 analysis prompts + scoring criteria (main.py:361-437)."""
+    text = batch[text_col].to_pandas().fillna("")
+    company = batch[company_col].to_pandas().fillna("")
+    title = text.str.slice(0, TITLE_CHARS)
+    desc800 = text.str.slice(0, 800)
+    req = (
+        REQ_PROMPT_PREFIX + title + REQ_PROMPT_COMPANY + company
+        + REQ_PROMPT_DESC + desc800
+    )
+    n = batch.num_rows
+    out = batch.select(["doc_id"])
+    out = out.append_column("job_title", pa.array(title, type=pa.string()))
+    out = out.append_column("company", pa.array(company, type=pa.string()))
+    out = out.append_column(
+        "desc800_len", pa.array(desc800.str.len().to_numpy(dtype=np.int64))
+    )
+    out = out.append_column("requirements_prompt", pa.array(req, type=pa.string()))
+    out = out.append_column(
+        "compatibility_prompt", pa.array([COMPAT_PROMPT] * n, type=pa.string())
+    )
+    out = out.append_column(
+        "strategy_prompt", pa.array([STRATEGY_PROMPT] * n, type=pa.string())
+    )
+    return out.append_column(
+        "scoring_criteria", pa.array([SCORING_CRITERIA_JSON] * n, type=pa.string())
+    )
+
+
+# --- M10: skill buckets + scoring weights ------------------------------------
+
+
+def skill_buckets_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """4-bucket skill partition (main.py:605-655) + criterion weights
+    (main.py:659-716) — one containment matrix per bucket, CSV in
+    vocabulary order."""
+    lower = batch[text_col].to_pandas().fillna("").str.lower()
+    out = batch.select(["doc_id"])
+    for bucket, vocab in SKILL_BUCKETS.items():
+        matrix = _contains_matrix(lower, vocab)
+        csv = pa.compute.binary_join(_list_array_from_matrix(matrix, vocab), ",")
+        out = out.append_column(f"{bucket}_csv", csv)
+    n = batch.num_rows
+    for crit, weight in SCORING_WEIGHTS.items():
+        out = out.append_column(
+            f"{crit}_weight",
+            pa.array(np.full(n, weight, dtype=np.int64)),
+        )
+    return out
+
+
+# --- M10: application templates ----------------------------------------------
+
+
+def app_templates_batch(
+    batch: pa.Table, title_col: str = "c_mktsegment", company_col: str = "c_name",
+    key_col: str = "c_custkey",
+) -> pa.Table:
+    """CV/cover/interview template interpolation (main.py:1044-1140)."""
+    company = batch[company_col].to_pandas().fillna("")
+    title = batch[title_col].to_pandas().fillna("")
+    out = batch.select([key_col])
+    out = out.append_column(
+        "cv_summary",
+        pa.array(CV_SUMMARY_PREFIX + company + CV_SUMMARY_SUFFIX, type=pa.string()),
+    )
+    out = out.append_column(
+        "cover_opening",
+        pa.array(
+            COVER_OPEN_PREFIX + title + COVER_OPEN_MID + company + COVER_OPEN_SUFFIX,
+            type=pa.string(),
+        ),
+    )
+    out = out.append_column(
+        "cover_closing",
+        pa.array(COVER_CLOSE_PREFIX + company + COVER_CLOSE_SUFFIX, type=pa.string()),
+    )
+    return out.append_column(
+        "interview_question",
+        pa.array(INTERVIEW_Q_PREFIX + company + INTERVIEW_Q_SUFFIX, type=pa.string()),
+    )
+
+
+# --- M10: career progression + M9 skill gap ----------------------------------
+
+
+def career_progression_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Role routing into the progression table (main.py:1417-1441):
+    family, tier, timeline and required-skill lists as CSV columns."""
+    lower = batch[text_col].to_pandas().fillna("").str.lower()
+    family, tier = _route_family_tier(lower)
+    timeline = np.empty(len(lower), dtype=object)
+    req_tech = np.empty(len(lower), dtype=object)
+    req_soft = np.empty(len(lower), dtype=object)
+    for fam, tiers in SKILL_PROGRESSIONS.items():
+        for tr, prog in tiers.items():
+            m = (family == fam) & (tier == tr)
+            timeline[m] = prog["timeline"]
+            req_tech[m] = ",".join(prog["technical"])
+            req_soft[m] = ",".join(prog["soft"])
+    out = batch.select(["doc_id"])
+    out = out.append_column("family", pa.array(family, type=pa.string()))
+    out = out.append_column("tier", pa.array(tier, type=pa.string()))
+    out = out.append_column("timeline", pa.array(timeline, type=pa.string()))
+    out = out.append_column("required_technical_csv", pa.array(req_tech, type=pa.string()))
+    return out.append_column("required_soft_csv", pa.array(req_soft, type=pa.string()))
+
+
+def skill_gap_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """M9 list-column skill gap (main.py:1442-1500): required skills of
+    the routed progression MINUS skills present in the document, with
+    the reference's exact zero-guarded ``gap_percentage`` formula.
+    'Present' = case-insensitive containment in the text (the
+    table-shaped analog of list membership)."""
+    lower = batch[text_col].to_pandas().fillna("").str.lower()
+    family, tier = _route_family_tier(lower)
+    n = len(lower)
+    miss_tech = np.empty(n, dtype=object)
+    miss_soft = np.empty(n, dtype=object)
+    gap = np.zeros(n, dtype=np.float64)
+    for fam, tiers in SKILL_PROGRESSIONS.items():
+        for tr, prog in tiers.items():
+            m = (family == fam) & (tier == tr)
+            if not m.any():
+                continue
+            sub = lower[m]
+            t_matrix = ~_contains_matrix(sub, [s.lower() for s in prog["technical"]])
+            s_matrix = ~_contains_matrix(sub, [s.lower() for s in prog["soft"]])
+            miss_tech[m] = pa.compute.binary_join(
+                _list_array_from_matrix(t_matrix, prog["technical"]), ","
+            ).to_numpy(zero_copy_only=False)
+            miss_soft[m] = pa.compute.binary_join(
+                _list_array_from_matrix(s_matrix, prog["soft"]), ","
+            ).to_numpy(zero_copy_only=False)
+            total = len(prog["technical"]) + len(prog["soft"])
+            gap[m] = (
+                (t_matrix.sum(axis=1) + s_matrix.sum(axis=1)) / total * 100.0
+                if total > 0
+                else 0.0  # reference zero-guard (main.py:1494-1500)
+            )
+    out = batch.select(["doc_id"])
+    out = out.append_column("family", pa.array(family, type=pa.string()))
+    out = out.append_column("tier", pa.array(tier, type=pa.string()))
+    out = out.append_column("missing_technical_csv", pa.array(miss_tech, type=pa.string()))
+    out = out.append_column("missing_soft_csv", pa.array(miss_soft, type=pa.string()))
+    return out.append_column("gap_percentage", pa.array(np.round(gap, 6)))
+
+
+# --- query registry entries (sf_dir → Dataset) -------------------------------
+
+
+def _docs_read(sf_dir: str, blocks: int = 16):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return ds.repartition(blocks)
+
+
+def m2_full_framework(sf_dir: str):
+    return _docs_read(sf_dir).map_batches(full_framework_batch, batch_format="pyarrow")
+
+
+def m10_skill_buckets(sf_dir: str):
+    return _docs_read(sf_dir).map_batches(skill_buckets_batch, batch_format="pyarrow")
+
+
+def m10_app_templates(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).repartition(8)
+    return ds.map_batches(app_templates_batch, batch_format="pyarrow")
+
+
+def m10_career_progression(sf_dir: str):
+    return _docs_read(sf_dir).map_batches(
+        career_progression_batch, batch_format="pyarrow"
+    )
+
+
+def m9_skill_gap(sf_dir: str):
+    return _docs_read(sf_dir).map_batches(skill_gap_batch, batch_format="pyarrow")
+
+
+# --- DuckDB SQL twins (generated from the SAME constants) --------------------
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _contains_any_sql(col: str, words) -> str:
+    return "(" + " OR ".join(f"contains({col}, '{_q(w)}')" for w in words) + ")"
+
+
+_FAMILY_SQL = (
+    "CASE WHEN (contains(lt, 'engineer') OR contains(lt, 'developer')) "
+    "AND NOT contains(lt, 'data') AND NOT contains(lt, 'product') "
+    "THEN 'software_engineer' "
+    "WHEN contains(lt, 'data') THEN 'data_scientist' "
+    "ELSE 'product_manager' END"
+)
+_TIER_SQL = (
+    "CASE WHEN contains(lt, 'senior') OR contains(lt, 'lead') "
+    "THEN 'mid_to_senior' ELSE 'junior_to_mid' END"
+)
+
+
+def _prog_case_sql(value_of) -> str:
+    """CASE over the 6 (family, tier) combos; value_of(prog) returns the
+    SQL expression for that combo."""
+    whens = []
+    for fam, tiers in SKILL_PROGRESSIONS.items():
+        for tr, prog in tiers.items():
+            whens.append(
+                f"WHEN family = '{fam}' AND tier = '{tr}' THEN {value_of(prog)}"
+            )
+    return "CASE " + " ".join(whens) + " END"
+
+
+def framework_oracle_sql() -> dict[str, str]:
+    bucket_cols = ",\n                   ".join(
+        "coalesce(array_to_string(list_filter("
+        + "[" + ", ".join(f"'{_q(w)}'" for w in vocab) + "]"
+        + ", k -> contains(lower(text), k)), ','), '') AS "
+        + f"{bucket}_csv"
+        for bucket, vocab in SKILL_BUCKETS.items()
+    )
+    weight_cols = ",\n                   ".join(
+        f"CAST({w} AS BIGINT) AS {crit}_weight"
+        for crit, w in SCORING_WEIGHTS.items()
+    )
+
+    def missing_csv(skills):
+        arr = "[" + ", ".join(f"'{_q(s)}'" for s in skills) + "]"
+        return (
+            f"coalesce(array_to_string(list_filter({arr}, "
+            "s -> NOT contains(lt, lower(s))), ','), '')"
+        )
+
+    def gap_expr(prog):
+        tech = "[" + ", ".join(f"'{_q(s.lower())}'" for s in prog["technical"]) + "]"
+        soft = "[" + ", ".join(f"'{_q(s.lower())}'" for s in prog["soft"]) + "]"
+        total = len(prog["technical"]) + len(prog["soft"])
+        return (
+            f"round((len(list_filter({tech}, s -> NOT contains(lt, s)))"
+            f" + len(list_filter({soft}, s -> NOT contains(lt, s))))"
+            f" * 100.0 / {total}, 6)"
+        )
+
+    return {
+        "m2_full_framework": f"""
+            SELECT doc_id,
+                   substr(text, 1, {TITLE_CHARS}) AS job_title,
+                   source AS company,
+                   length(substr(text, 1, 800)) AS desc800_len,
+                   '{_q(REQ_PROMPT_PREFIX)}' || substr(text, 1, {TITLE_CHARS})
+                     || '{_q(REQ_PROMPT_COMPANY)}' || source
+                     || '{_q(REQ_PROMPT_DESC)}' || substr(text, 1, 800)
+                     AS requirements_prompt,
+                   '{_q(COMPAT_PROMPT)}' AS compatibility_prompt,
+                   '{_q(STRATEGY_PROMPT)}' AS strategy_prompt,
+                   '{_q(SCORING_CRITERIA_JSON)}' AS scoring_criteria
+            FROM documents
+        """,
+        "m10_skill_buckets": f"""
+            SELECT doc_id,
+                   {bucket_cols},
+                   {weight_cols}
+            FROM documents
+        """,
+        "m10_app_templates": f"""
+            SELECT c_custkey,
+                   '{_q(CV_SUMMARY_PREFIX)}' || c_name || '{_q(CV_SUMMARY_SUFFIX)}'
+                     AS cv_summary,
+                   '{_q(COVER_OPEN_PREFIX)}' || c_mktsegment
+                     || '{_q(COVER_OPEN_MID)}' || c_name
+                     || '{_q(COVER_OPEN_SUFFIX)}' AS cover_opening,
+                   '{_q(COVER_CLOSE_PREFIX)}' || c_name
+                     || '{_q(COVER_CLOSE_SUFFIX)}' AS cover_closing,
+                   '{_q(INTERVIEW_Q_PREFIX)}' || c_name
+                     || '{_q(INTERVIEW_Q_SUFFIX)}' AS interview_question
+            FROM customer
+        """,
+        "m10_career_progression": f"""
+            SELECT doc_id, family, tier,
+                   {_prog_case_sql(lambda p: "'" + _q(p["timeline"]) + "'")}
+                     AS timeline,
+                   {_prog_case_sql(lambda p: "'" + _q(",".join(p["technical"])) + "'")}
+                     AS required_technical_csv,
+                   {_prog_case_sql(lambda p: "'" + _q(",".join(p["soft"])) + "'")}
+                     AS required_soft_csv
+            FROM (SELECT doc_id, lower(text) AS lt,
+                         {_FAMILY_SQL} AS family, {_TIER_SQL} AS tier
+                  FROM documents)
+        """,
+        "m9_skill_gap": f"""
+            SELECT doc_id, family, tier,
+                   {_prog_case_sql(lambda p: missing_csv(p["technical"]))}
+                     AS missing_technical_csv,
+                   {_prog_case_sql(lambda p: missing_csv(p["soft"]))}
+                     AS missing_soft_csv,
+                   {_prog_case_sql(gap_expr)} AS gap_percentage
+            FROM (SELECT doc_id, lower(text) AS lt,
+                         {_FAMILY_SQL} AS family, {_TIER_SQL} AS tier
+                  FROM documents)
+        """,
+    }

@@ -22,6 +22,7 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
+from job_crawler_ray.functions import frameworks as F
 from job_crawler_ray.pipelines import relational as R
 from job_crawler_ray.pipelines import textops as T
 from job_crawler_ray.pipelines.sql import oracle_queries
@@ -221,6 +222,11 @@ def build_queries() -> dict:
             "w2_sessionize": W.w2_sessionize,
             "j4_asof_join": W.j4_asof_join,
             "r1_range_join": W.r1_range_join,
+            "m2_full_framework": F.m2_full_framework,
+            "m10_skill_buckets": F.m10_skill_buckets,
+            "m10_app_templates": F.m10_app_templates,
+            "m10_career_progression": F.m10_career_progression,
+            "m9_skill_gap": F.m9_skill_gap,
             "ann_cosine_topk": ann_cosine_topk,
             "embedding_neardup": embedding_neardup,
             "t_token_count": t_token_count,
@@ -242,6 +248,7 @@ def build_oracle_sql() -> dict[str, str]:
     sql = dict(oracle_queries())
     sql.update(extra_oracle_sql())
     sql.update(W.WINDOW_SQL)
+    sql.update(F.framework_oracle_sql())
     return sql
 
 

@@ -33,7 +33,6 @@ import ray
 import ray.data as rd
 
 from job_crawler_ray.corpus import mix64
-from job_crawler_ray.hashing import xxh64_array
 
 _u64 = np.uint64
 
@@ -219,9 +218,129 @@ def minhash_signatures_batch(batch: pa.Table, text_col: str = "text") -> pa.Tabl
     )
 
 
+# signature-estimate cut below the exact threshold: 4σ of the k-perm
+# Jaccard estimator (σ² = t(1-t)/k ≤ 0.25/k), so LSH-surfaced true
+# pairs are not dropped before exact verification (ADVICE round 1)
+MINHASH_EST_MARGIN = 2.0 / np.sqrt(NUM_PERM)
+
+# band rows counted on the driver below this (8 B/row stream, no
+# shuffle); above it the hot-bucket scan switches to the distributed
+# groupby + join path
+HOT_HASH_DRIVER_LIMIT = 50_000_000
+PAIR_GEN_PARTS = 64  # coarse partitions for distributed in-bucket pairing
+
+# candidate pairs (NOT corpus rows) handled on the driver below this:
+# 16 B/pair ⇒ ~320 MB at the limit. Above it the cascade switches to
+# the fully distributed dedup + full-corpus text-fragment path.
+PAIR_DRIVER_LIMIT = 20_000_000
+TEXT_FRAGS = 64  # hash buckets of the verify-stage text-fragment store
+
+
+class _PairTextVerifier:
+    """Actor-pool verify stage: resolves each pair's two texts from the
+    bucket-fragment store (per-actor LRU over fragments), then computes
+    EXACT shingle-set Jaccard for the whole batch in one vectorized
+    sort pass (no per-pair Python set ops)."""
+
+    def __init__(self, frag_dir: str, id_col: str, text_col: str):
+        self.frag_dir = frag_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _load(self, bucket: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self.cache.get(bucket)
+        if hit is None:
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            if len(self.cache) >= 8:
+                self.cache.pop(next(iter(self.cache)))
+            files = glob.glob(
+                os.path.join(self.frag_dir, f"tbucket={bucket}", "*.parquet")
+            )
+            tables = [
+                pq.read_table(f, columns=[self.id_col, self.text_col])
+                for f in files
+            ]
+            t = pa.concat_tables(tables) if tables else pa.table(
+                {self.id_col: pa.array([], pa.int64()),
+                 self.text_col: pa.array([], pa.string())}
+            )
+            ids = t[self.id_col].to_numpy()
+            order = np.argsort(ids)
+            txt = np.asarray(t[self.text_col].to_pandas().fillna(""), dtype=object)
+            hit = self.cache[bucket] = (ids[order], txt[order])
+        return hit
+
+    def _texts_of(self, ids: np.ndarray) -> np.ndarray:
+        buckets = (mix64(ids.view(_u64), 303) % _u64(TEXT_FRAGS)).astype(np.int64)
+        out = np.empty(len(ids), dtype=object)
+        for b in np.unique(buckets):
+            frag_ids, frag_txt = self._load(int(b))
+            sel = buckets == b
+            pos = np.searchsorted(frag_ids, ids[sel])
+            out[sel] = frag_txt[pos]
+        return out
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        npair = b.num_rows
+        if npair == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        ids_a = b["id_a"].to_numpy()
+        ids_b = b["id_b"].to_numpy()
+        ha, offa = _batch_shingle_hashes(pa.array(self._texts_of(ids_a)))
+        hb, offb = _batch_shingle_hashes(pa.array(self._texts_of(ids_b)))
+        ca = offa[1:] - offa[:-1]
+        cb = offb[1:] - offb[:-1]
+        pair_of = np.concatenate(
+            [np.repeat(np.arange(npair), ca), np.repeat(np.arange(npair), cb)]
+        )
+        allh = np.concatenate([ha, hb])
+        order = np.lexsort((allh, pair_of))
+        hs, ps = allh[order], pair_of[order]
+        dup = (hs[1:] == hs[:-1]) & (ps[1:] == ps[:-1])
+        inter = np.bincount(ps[1:][dup], minlength=npair)
+        union = ca + cb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = jac >= JACCARD_THRESHOLD
+        return pa.table(
+            {
+                "id_a": pa.array(ids_a[keep], type=pa.int64()),
+                "id_b": pa.array(ids_b[keep], type=pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6)),
+            }
+        )
+
+
 def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     """MinHash→LSH→verify: candidate pairs with exact shingle-Jaccard ≥
-    threshold. Returns Dataset[(id_a, id_b, jaccard)] with id_a < id_b."""
+    threshold. Returns Dataset[(id_a, id_b, jaccard)] with id_a < id_b.
+
+    Fully distributed cascade — the driver only ever holds data
+    proportional to the COLLIDING population, never the corpus:
+
+    1. signatures + banding (map_batches, fixed-width vectors);
+    2. hot-bucket detection (driver 8-byte count under
+       ``HOT_HASH_DRIVER_LIMIT`` band rows, distributed groupby+join
+       above);
+    3. in-bucket pair generation, distributed over ``PAIR_GEN_PARTS``
+       coarse hash partitions (vectorized lexsort pairing per part);
+    4. cross-band pair dedup + signature-estimate cut at
+       ``JACCARD_THRESHOLD - MINHASH_EST_MARGIN``: on the driver with
+       the CANDIDATE signatures only while pairs ≤ ``PAIR_DRIVER_LIMIT``
+       (pairs are O(collisions), 16 B each), else a coarse pair-key
+       groupby dedup with the estimate skipped (estimate prunes cost,
+       never recall — exact verify decides membership);
+    5. exact verify: candidate texts spilled once to a hash-bucketed
+       fragment store; verify actors load only the fragments their
+       batch references and compute pairwise Jaccard in one vectorized
+       sort pass. Texts never touch the driver.
+    """
     sigs = ds.map_batches(
         lambda b: minhash_signatures_batch(b, text_col), batch_format="pyarrow"
     ).materialize()
@@ -249,49 +368,71 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
             }
         )
 
+    import pyarrow.compute as pc
+
     exploded = sigs.map_batches(explode_bands, batch_format="pyarrow").materialize()
 
-    # almost every (band, hash) bucket is a singleton — find the
-    # colliding buckets by streaming just the 8-byte band hashes to the
-    # driver (rows × 8 bytes, no shuffle; see exact_dedup_first for the
-    # >100M-row distributed fallback), then only ship those rows back
-    # for pairing (work ∝ collisions, not corpus)
-    hash_parts = [
-        b["band_hash"].to_numpy()
-        for b in exploded.select_columns(["band_hash"]).iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20
+    # --- stage 2: hot-bucket detection -------------------------------------
+    # almost every (band, hash) bucket is a singleton; only colliding
+    # buckets generate candidates (work ∝ collisions, not corpus)
+    n_band_rows = exploded.count()  # metadata only (materialized)
+    if n_band_rows <= HOT_HASH_DRIVER_LIMIT:
+        hash_parts = [
+            b["band_hash"].to_numpy()
+            for b in exploded.select_columns(["band_hash"]).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20
+            )
+        ]
+        all_hashes = (
+            np.concatenate(hash_parts) if hash_parts else np.zeros(0, np.int64)
         )
-    ]
-    all_hashes = np.concatenate(hash_parts) if hash_parts else np.zeros(0, np.int64)
-    uniq, cnt = np.unique(all_hashes, return_counts=True)
-    hot_hashes = np.sort(uniq[cnt > 1])
-    ref = ray.put(hot_hashes)
+        uniq, cnt = np.unique(all_hashes, return_counts=True)
+        hot_hashes = np.sort(uniq[cnt > 1])
+        ref = ray.put(hot_hashes)
 
-    def only_hot(b: pa.Table) -> pa.Table:
-        hh = ray.get(ref)
-        keys = b["band_hash"].to_numpy()
-        idx = np.searchsorted(hh, keys)
-        m = np.zeros(len(keys), dtype=bool)
-        in_r = idx < hh.size
-        m[in_r] = hh[idx[in_r]] == keys[in_r]
-        return b.filter(pa.array(m))
+        def only_hot(b: pa.Table) -> pa.Table:
+            hh = ray.get(ref)
+            keys = b["band_hash"].to_numpy()
+            idx = np.searchsorted(hh, keys)
+            m = np.zeros(len(keys), dtype=bool)
+            in_r = idx < hh.size
+            m[in_r] = hh[idx[in_r]] == keys[in_r]
+            return b.filter(pa.array(m))
 
-    colliding = exploded.map_batches(only_hot, batch_format="pyarrow").to_pandas()
-    # vectorized all-pairs within each (band, hash) bucket: sort rows by
-    # (band, hash, id), compute group offsets, and generate every (i<j)
-    # pair with repeat/arange index arithmetic — no Python loop over the
-    # (possibly many) buckets
-    if len(colliding):
+        colliding = exploded.map_batches(only_hot, batch_format="pyarrow")
+    else:
+        # distributed fallback: count buckets with a groupby, join the
+        # hot keys back — no driver materialization at any size
+        from ray.data.aggregate import Count as _Count
+
+        counts = exploded.groupby("band_hash").aggregate(_Count(alias_name="_c"))
+        hot = counts.map_batches(
+            lambda t: t.filter(pc.greater(t["_c"], 1)).select(["band_hash"]),
+            batch_format="pyarrow",
+        )
+        colliding = exploded.join(
+            hot, "inner", num_partitions=PAIR_GEN_PARTS, on=("band_hash",)
+        )
+
+    # --- stage 3: distributed in-bucket pair generation --------------------
+    # coarse-partition by band_hash so every (band, hash) bucket lands
+    # whole in exactly one group; pairing inside a group is the
+    # vectorized lexsort/arange construction (no per-bucket Python)
+    def add_part(b: pa.Table) -> pa.Table:
+        part = (b["band_hash"].to_numpy() & (PAIR_GEN_PARTS - 1)).astype(np.int64)
+        return b.append_column("part", pa.array(part))
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort(
             (
-                colliding[id_col].to_numpy(),
-                colliding["band_hash"].to_numpy(),
-                colliding["band_id"].to_numpy(),
+                df[id_col].to_numpy(),
+                df["band_hash"].to_numpy(),
+                df["band_id"].to_numpy(),
             )
         )
-        ids_sorted = colliding[id_col].to_numpy()[order]
-        gb = colliding["band_id"].to_numpy()[order].astype(np.int64)
-        gh = colliding["band_hash"].to_numpy()[order]
+        ids_sorted = df[id_col].to_numpy()[order]
+        gb = df["band_id"].to_numpy()[order].astype(np.int64)
+        gh = df["band_hash"].to_numpy()[order]
         new_grp = np.empty(len(order), dtype=bool)
         new_grp[0] = True
         new_grp[1:] = (gb[1:] != gb[:-1]) | (gh[1:] != gh[:-1])
@@ -305,84 +446,143 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
             np.concatenate(([0], np.cumsum(pos)[:-1])), pos
         )
         lefts = np.repeat(starts[grp_id], pos) + within
-        cand_df = pd.DataFrame(
+        out = pd.DataFrame(
             {"id_a": ids_sorted[lefts], "id_b": ids_sorted[rights]}
         ).drop_duplicates()
-        cand_df = cand_df[cand_df["id_a"] != cand_df["id_b"]]
-    else:
-        cand_df = pd.DataFrame({"id_a": [], "id_b": []})
-    if len(cand_df) == 0:
-        return rd.from_arrow(
-            pa.table({"id_a": pa.array([], pa.int64()),
+        out = out[out["id_a"] != out["id_b"]]
+        return out.astype({"id_a": "int64", "id_b": "int64"})
+
+    pairs = (
+        colliding.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gen_pairs, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")  # homogeneous blocks
+        .materialize()
+    )
+    n_pairs_raw = pairs.count()  # metadata only
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
+    if n_pairs_raw == 0:
+        return rd.from_arrow(empty)
+
+    # --- stage 4: cross-band pair dedup + signature-estimate filter --------
+    # candidate pairs are O(collisions), not O(corpus): below the
+    # documented limit (16 B/pair) dedup + estimate run on the driver
+    # with the CANDIDATE signatures only; above it, dedup goes through a
+    # coarse pair-key groupby and the estimate stage is skipped (the
+    # exact verify decides membership either way — the estimate only
+    # prunes cost, never recall)
+    if n_pairs_raw <= PAIR_DRIVER_LIMIT:
+        pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+        cand_ids = np.unique(
+            np.concatenate([pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()])
+        )
+        cid_ref = ray.put(cand_ids)
+
+        def sigs_of_candidates(b: pa.Table) -> pa.Table:
+            cids = ray.get(cid_ref)
+            ids = b[id_col].to_numpy()
+            idx = np.searchsorted(cids, ids)
+            m = np.zeros(len(ids), dtype=bool)
+            in_r = idx < cids.size
+            m[in_r] = cids[idx[in_r]] == ids[in_r]
+            return b.filter(pa.array(m))
+
+        cand_sig_df = (
+            sigs.select_columns([id_col, "minhash"])
+            .map_batches(sigs_of_candidates, batch_format="pyarrow")
+            .to_pandas()
+        )
+        order = np.argsort(cand_sig_df[id_col].to_numpy())
+        sig_ids = cand_sig_df[id_col].to_numpy()[order]
+        sig_mat = (
+            np.vstack(cand_sig_df["minhash"].to_numpy())
+            .view(_u64)
+            .reshape(len(cand_sig_df), NUM_PERM)[order]
+        )
+        ra = np.searchsorted(sig_ids, pdf["id_a"].to_numpy())
+        rb = np.searchsorted(sig_ids, pdf["id_b"].to_numpy())
+        est = (sig_mat[ra] == sig_mat[rb]).mean(axis=1)
+        pdf = pdf[est >= JACCARD_THRESHOLD - MINHASH_EST_MARGIN]
+        if len(pdf) == 0:
+            return rd.from_arrow(empty)
+        n_surv = len(pdf)
+        survivors = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(pdf["id_a"].to_numpy(), type=pa.int64()),
+                    "id_b": pa.array(pdf["id_b"].to_numpy(), type=pa.int64()),
+                }
+            )
         )
 
-    # cascade stage 1 — signature-estimate filter: template-heavy corpora
-    # make LSH candidate sets huge (band collisions at low true Jaccard);
-    # the 64-perm signatures we already have estimate Jaccard as the
-    # match fraction, one vectorized pass over ALL candidate pairs.
-    # (At larger scale this becomes a signature join keyed by id; the
-    # estimate math is identical.)
-    sig_df = sigs.select_columns([id_col, "minhash"]).to_pandas()
-    sig_mat = (
-        np.vstack(sig_df["minhash"].to_numpy()).view(_u64).reshape(len(sig_df), NUM_PERM)
+        def texts_of_candidates(b: pa.Table) -> pa.Table:
+            cids = ray.get(cid_ref)
+            ids = b[id_col].to_numpy()
+            idx = np.searchsorted(cids, ids)
+            m = np.zeros(len(ids), dtype=bool)
+            in_r = idx < cids.size
+            m[in_r] = cids[idx[in_r]] == ids[in_r]
+            return b.filter(pa.array(m)).select([id_col, text_col])
+
+        cand_texts = ds.map_batches(texts_of_candidates, batch_format="pyarrow")
+    else:
+        def add_pair_part(t: pa.Table) -> pa.Table:
+            a = t["id_a"].to_numpy().view(_u64)
+            b = t["id_b"].to_numpy().view(_u64)
+            pp = ((mix64(a, 101) ^ mix64(b, 202)) & _u64(PAIR_GEN_PARTS - 1)).astype(np.int64)
+            return t.append_column("pair_part", pa.array(pp))
+
+        survivors = (
+            pairs.map_batches(add_pair_part, batch_format="pyarrow")
+            .groupby("pair_part")
+            .map_groups(
+                lambda g: g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
+                batch_format="pandas",
+            )
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+        n_surv = n_pairs_raw  # upper bound; sizing only
+        cand_texts = ds.map_batches(
+            lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+        )
+
+    # --- stage 5: exact verify (texts via the bucket-fragment store) --------
+    # the candidate texts are spilled once to TEXT_FRAGS hash-bucketed
+    # parquet fragments (streaming write); each verify task loads just
+    # the fragments ITS batch references (per-actor LRU) — the same
+    # partition-pruned pattern as the crawl's corpus store, with no
+    # all-to-all operator (Ray 2.49 hash joins can deadlock under
+    # constrained CPU counts)
+    import os
+    import shutil
+    import tempfile
+
+    frag_dir = os.path.join(tempfile.gettempdir(), "jcr_minhash_texts")
+    shutil.rmtree(frag_dir, ignore_errors=True)
+
+    def add_tbucket(t: pa.Table) -> pa.Table:
+        tb = (
+            mix64(t[id_col].to_numpy().view(_u64), 303) % _u64(TEXT_FRAGS)
+        ).astype(np.int64)
+        return t.append_column("tbucket", pa.array(tb))
+
+    cand_texts.map_batches(add_tbucket, batch_format="pyarrow").write_parquet(
+        frag_dir, partition_cols=["tbucket"]
     )
-    sig_row = {int(i): r for r, i in enumerate(sig_df[id_col].to_numpy())}
-    ra = cand_df["id_a"].map(sig_row).to_numpy()
-    rb = cand_df["id_b"].map(sig_row).to_numpy()
-    est = (sig_mat[ra] == sig_mat[rb]).mean(axis=1)
-    cand_df = cand_df[est >= JACCARD_THRESHOLD - 0.15]
 
-    # cascade stage 2 — exact verify: broadcast the candidate texts once,
-    # verify surviving pairs in parallel (per-task shingle memoization)
-    cand_ids = np.unique(np.concatenate([cand_df["id_a"], cand_df["id_b"]]))
-    id_set = set(int(i) for i in cand_ids)
-    texts = {}
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            if i in id_set:
-                texts[i] = t or ""
-    texts_ref = ray.put(texts)
-
-    def verify(b: pa.Table) -> pa.Table:
-        tx = ray.get(texts_ref)
-        memo: dict[int, np.ndarray] = {}
-
-        def sh_of(i: int) -> np.ndarray:
-            s = memo.get(i)
-            if s is None:
-                s = memo[i] = _shingle_hashes(tx[i])
-            return s
-
-        ida = b["id_a"].to_numpy()
-        idb = b["id_b"].to_numpy()
-        jac = np.fromiter(
-            (_jaccard(sh_of(int(a)), sh_of(int(x))) for a, x in zip(ida, idb)),
-            dtype=np.float64,
-            count=len(ida),
+    survivors = survivors.repartition(int(min(32, max(2, n_surv // 2048 + 1))))
+    return (
+        survivors.map_batches(
+            _PairTextVerifier,
+            fn_constructor_kwargs=dict(frag_dir=frag_dir, id_col=id_col,
+                                       text_col=text_col),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
         )
-        keep = jac >= JACCARD_THRESHOLD
-        return pa.table(
-            {
-                "id_a": pa.array(ida[keep], type=pa.int64()),
-                "id_b": pa.array(idb[keep], type=pa.int64()),
-                "jaccard": pa.array(np.round(jac[keep], 6)),
-            }
-        )
-
-    cand_ds = rd.from_pandas(
-        cand_df.astype({"id_a": "int64", "id_b": "int64"})
-    ).repartition(min(32, max(2, len(cand_df) // 2048)))
-    return cand_ds.map_batches(verify, batch_format="pyarrow").sort(["id_a", "id_b"])
-
-
-def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
-    if a.size == 0 and b.size == 0:
-        return 1.0
-    inter = np.intersect1d(a, b, assume_unique=True).size
-    union = a.size + b.size - inter
-    return inter / union if union else 0.0
+        .sort(["id_a", "id_b"])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -474,33 +674,114 @@ def ann_topk(ds, query_vec: np.ndarray, k: int = 10, id_col: str = "vec_id"):
     return pa.Table.from_pandas(parts, preserve_index=False)
 
 
-def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id"):
-    """All pairs with cosine ≥ threshold: broadcast the (normalized)
-    right side once, blocked matmul per left batch. At 100 TB the right
-    side becomes IVF-bucketed chunks; the per-batch kernel is the same."""
-    whole = ds.to_pandas()  # small at test scale; see docstring for scale path
-    ids_all = whole[id_col].to_numpy()
-    m = np.vstack(whole["embedding"].to_numpy()).astype(np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
-    ref = ray.put((ids_all, m))
+EMB_FRAG_ROWS = 65_536  # rows per normalized fragment (dim 64 f64 ⇒ ~32 MB)
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        rids, rm = ray.get(ref)
-        lm = _load_matrix(batch)
-        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True).clip(min=1e-12)
-        lids = batch[id_col].to_numpy()
-        sims = lm @ rm.T
-        li, ri = np.nonzero(sims >= threshold)
-        keep = lids[li] < rids[ri]  # i<j, also drops self-pairs
+
+class _FragPairScorer:
+    """Actor-pool stage scoring one FRAGMENT PAIR per input row: loads
+    the two normalized fragments (per-actor cache — each actor re-sees
+    ~F/concurrency fragments), one dense matmul, emits (id_a, id_b,
+    cosine) with id_a < id_b. State in __init__, work in __call__."""
+
+    def __init__(self, frag_dir: str, files: list[str], threshold: float,
+                 id_col: str):
+        self.frag_dir = frag_dir
+        self.files = files
+        self.threshold = threshold
+        self.id_col = id_col
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _load(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self.cache.get(i)
+        if hit is None:
+            import os
+            import pyarrow.parquet as pq
+
+            if len(self.cache) >= 4:  # bound actor heap: tiny LRU
+                self.cache.pop(next(iter(self.cache)))
+            t = pq.read_table(os.path.join(self.frag_dir, self.files[i]))
+            ids = t[self.id_col].to_numpy()
+            m = _load_matrix(t, col="emb_norm")
+            hit = self.cache[i] = (ids, m)
+        return hit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            lids, lm = self._load(i)
+            rids, rm = self._load(j)
+            sims = lm @ rm.T
+            li, ri = np.nonzero(sims >= self.threshold)
+            if i == j:
+                keep = li < ri  # strict upper triangle (ids unique)
+                li, ri = li[keep], ri[keep]
+            a, b = lids[li], rids[ri]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_c.append(np.round(sims[li, ri], 6))
+        cat = lambda parts, dt: (  # noqa: E731
+            np.concatenate(parts) if parts else np.zeros(0, dt)
+        )
         return pa.table(
             {
-                "id_a": pa.array(lids[li][keep], type=pa.int64()),
-                "id_b": pa.array(rids[ri][keep], type=pa.int64()),
-                "cosine": pa.array(np.round(sims[li, ri][keep], 6)),
+                "id_a": pa.array(cat(out_a, np.int64), type=pa.int64()),
+                "id_b": pa.array(cat(out_b, np.int64), type=pa.int64()),
+                "cosine": pa.array(cat(out_c, np.float64), type=pa.float64()),
             }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow").sort(["id_a", "id_b"])
+
+def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",
+                            work_dir: str | None = None):
+    """EXACT all pairs with cosine ≥ threshold, blocked: the corpus is
+    normalized and spilled to F parquet fragments (streaming write —
+    the driver never holds the matrix), then every fragment pair
+    (i ≤ j) is one matmul task over an actor pool with per-actor
+    fragment caching. O(F²) tasks is inherent to exact all-pairs; the
+    sub-quadratic approximate path is ``ann_lsh_topk``'s hyperplane
+    bucketing. Fragments are a resumable on-disk layout (shared
+    storage on a real cluster)."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    work_dir = work_dir or os.path.join(tempfile.gettempdir(), "jcr_embdup_frags")
+    shutil.rmtree(work_dir, ignore_errors=True)
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        m = _load_matrix(batch, col="embedding")
+        m = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+        dim = m.shape[1] if m.size else 0
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), type=pa.float64()), dim or 1
+        )
+        return pa.table({id_col: batch[id_col], "emb_norm": emb})
+
+    n = ds.count()  # parquet sources: metadata-only
+    nfrag = max(1, math.ceil(n / EMB_FRAG_ROWS))
+    ds.map_batches(normalize, batch_format="pyarrow").repartition(
+        nfrag
+    ).write_parquet(work_dir)
+    files = sorted(f for f in os.listdir(work_dir) if f.endswith(".parquet"))
+    items = [
+        {"i": i, "j": j} for i in range(len(files)) for j in range(i, len(files))
+    ]
+    pairs_ds = rd.from_items(items)
+    # autoscaling pool (min 1): a fixed-size pool larger than the
+    # cluster's free CPUs can never start and hangs the job
+    conc = (1, int(min(16, max(1, len(items)))))
+    scored = pairs_ds.map_batches(
+        _FragPairScorer,
+        fn_constructor_kwargs=dict(
+            frag_dir=work_dir, files=files, threshold=threshold, id_col=id_col
+        ),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=conc,
+    )
+    return scored.sort(["id_a", "id_b"])
 
 
 def ann_lsh_topk(ds, query_vec: np.ndarray, k: int = 10, n_planes: int = 6,

@@ -85,7 +85,10 @@ def _fetch_semantics(urls, keys, html_map):
     ok = have.to_numpy() & ~fail
     status = np.where(ok, 200, np.where(fail, 503, 404)).astype(np.int32)
     html = found.where(pd.Series(ok, index=found.index), None)
-    nbytes = html.str.len().fillna(0).astype(np.int64)
+    if html.notna().any():
+        nbytes = html.str.len().fillna(0).astype(np.int64)
+    else:  # all-miss batch: .str would reject the all-NaN (float) series
+        nbytes = pd.Series(np.zeros(len(html), dtype=np.int64), index=html.index)
     return html, status, latency_ms, nbytes
 
 

@@ -111,6 +111,31 @@ class TestRowsOnlyPipelines:
         assert (df["width"] >= 16).all() and (df["height"] >= 16).all()
         assert (df["body_bytes"] > 0).all()
 
+    def test_embedding_neardup_multifragment(self, sf_small, ray_session, monkeypatch):
+        """The blocked fragment-pair path must produce the identical
+        exact pair set regardless of fragment count."""
+        from job_crawler_ray.pipelines import textops as T
+        from job_crawler_ray.pipelines.registry import embedding_neardup
+
+        base = embedding_neardup(sf_small).to_pandas().reset_index(drop=True)
+        monkeypatch.setattr(T, "EMB_FRAG_ROWS", 37)
+        frag = embedding_neardup(sf_small).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(base, frag)
+
+    def test_minhash_distributed_fallback_same_pairs(
+        self, sf_small, ray_session, monkeypatch
+    ):
+        """Forcing the >PAIR_DRIVER_LIMIT path (groupby dedup, no
+        estimate stage, full-corpus text join) must yield the same
+        exact pair set."""
+        from job_crawler_ray.pipelines import textops as T
+        from job_crawler_ray.pipelines.registry import dedup_minhash
+
+        a = dedup_minhash(sf_small).to_pandas().reset_index(drop=True)
+        monkeypatch.setattr(T, "PAIR_DRIVER_LIMIT", 0)
+        b = dedup_minhash(sf_small).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
     def test_doc_fingerprints_deterministic(self, sf_small, ray_session):
         from job_crawler_ray.pipelines.registry import doc_fingerprints
 
