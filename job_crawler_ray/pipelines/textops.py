@@ -784,35 +784,59 @@ def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",
     return scored.sort(["id_a", "id_b"])
 
 
-def ann_lsh_topk(ds, query_vec: np.ndarray, k: int = 10, n_planes: int = 6,
-                 id_col: str = "vec_id", multiprobe: int = 2):
-    """LSH-bucketed ANN (random-hyperplane signatures, deterministic
-    planes) with multiprobe: search only vectors whose signature is
-    within Hamming distance ``multiprobe`` of the query's — the scale
-    path where brute force won't fit (prunes ~2/3 of candidates at
-    these defaults; recall/cost tunes via n_planes × multiprobe)."""
-    dim = len(query_vec)
-    # deterministic hyperplanes from splitmix64 (no RNG state)
+def _lsh_planes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic hyperplanes from splitmix64 (no RNG state)."""
     raw = mix64(np.arange(n_planes * dim, dtype=_u64), 12345)
-    planes = (raw.astype(np.float64) / 2**63 - 1.0).reshape(n_planes, dim)
+    return (raw.astype(np.float64) / 2**63 - 1.0).reshape(n_planes, dim)
+
+
+def ann_lsh_index(ds, n_planes: int = 6, id_col: str = "vec_id"):
+    """Precompute the PERSISTED LSH index: hyperplane signature +
+    vector norm per row, materialized once. Queries reuse it — the
+    signature pass is amortized across every subsequent lookup instead
+    of being recomputed per query."""
+    def sig_batch(b: pa.Table) -> pa.Table:
+        m = _load_matrix(b)
+        pl = _lsh_planes(m.shape[1] if m.size else 1, n_planes)
+        sigs = (((m @ pl.T) > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+        norms = np.linalg.norm(m, axis=1).clip(min=1e-12)
+        out = b.append_column("lsh_sig", pa.array(sigs))
+        return out.append_column("vec_norm", pa.array(norms))
+
+    return ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
+
+
+def ann_lsh_topk(index_ds, query_vec: np.ndarray, k: int = 10, n_planes: int = 6,
+                 id_col: str = "vec_id", multiprobe: int = 2):
+    """LSH-bucketed ANN over a prebuilt :func:`ann_lsh_index` with
+    multiprobe: scores only vectors whose stored signature is within
+    Hamming distance ``multiprobe`` of the query's — the scale path
+    where brute force won't fit (prunes ~2/3 of candidates at these
+    defaults; recall/cost tunes via n_planes × multiprobe)."""
+    dim = len(query_vec)
+    planes = _lsh_planes(dim, n_planes)
     q = query_vec / np.linalg.norm(query_vec)
     q_sig = int(((planes @ q) > 0) @ (1 << np.arange(n_planes)))
     near = {q_sig}
     for _ in range(multiprobe):
         near |= {s ^ (1 << b) for s in list(near) for b in range(n_planes)}
-    ref = ray.put((q, planes, near))
+    ref = ray.put((q, np.fromiter(near, dtype=np.int64)))
 
     def score(batch: pa.Table) -> pa.Table:
-        qv, pl, ok_sigs = ray.get(ref)
-        m = _load_matrix(batch)
-        norms = np.linalg.norm(m, axis=1).clip(min=1e-12)
-        sigs = ((m @ pl.T) > 0) @ (1 << np.arange(pl.shape[0]))
-        mask = np.isin(sigs, list(ok_sigs))
+        qv, ok_sigs = ray.get(ref)
+        mask = np.isin(batch["lsh_sig"].to_numpy(), ok_sigs)
         ids = batch[id_col].to_numpy()[mask]
-        sims = (m[mask] @ qv) / norms[mask]
+        if not mask.any():
+            return pa.table({id_col: pa.array(ids),
+                             "score": pa.array([], pa.float64())})
+        m = _load_matrix(batch)[mask]
+        sims = (m @ qv) / batch["vec_norm"].to_numpy()[mask]
+        if len(ids) > k:  # partial top-k: ship k rows, not the batch
+            part = np.argpartition(-sims, k)[: k + 1]
+            ids, sims = ids[part], sims[part]
         return pa.table({id_col: pa.array(ids), "score": pa.array(np.round(sims, 6))})
 
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    parts = index_ds.map_batches(score, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(
         ["score", id_col], ascending=[False, True], kind="mergesort"
     ).head(k)

@@ -105,7 +105,7 @@ def exact_dedup_first(
     if dup_keys.size > max_broadcast_keys:
         return ds.groupby(key).map_groups(
             lambda g: _keep(g, key, order, keep).head(1), batch_format="pandas"
-        )
+        ).map_batches(lambda t: t, batch_format="pyarrow")
 
     dup_sorted = np.sort(dup_keys)
     ref = ray.put(dup_sorted)
@@ -150,8 +150,10 @@ def exact_dedup_first(
 def dedup_exact_text(ds, text_col: str = "text", id_col: str = "doc_id"):
     """D1 over documents: one row per exact text, min id wins.
 
-    Key = xxh64(text); winner = lowest ``id_col`` (deterministic, and
-    expressible in the DuckDB oracle via row_number / min-join).
+    Key = blake2b-64(text) (see ``hashing.content_keys``; null text
+    keys as the empty string — the oracle coalesces to match); winner =
+    lowest ``id_col`` (deterministic, and expressible in the DuckDB
+    oracle via row_number / min-join).
     """
     from job_crawler_ray.hashing import content_keys
 

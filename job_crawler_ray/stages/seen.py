@@ -17,8 +17,10 @@ tiers restore bit-exactly on resume.
 At 10^10-URL scale: shards scale horizontally (`num_shards`), the
 cuckoo tier answers the overwhelmingly common "never seen" case in
 O(1) vectorized probes, and the exact tier — required here for the
-north rule's exact seen-set parity — would page to per-shard sorted
-key runs on disk (the snapshot format is already that sorted run).
+north rule's exact seen-set parity — is ONE sorted uint64 array per
+shard (8 B/key: 10^10 keys ≈ 80 GB across the cluster, ~10 GB per
+8-shard node group; the same array pages to disk naturally since it
+IS the snapshot format).
 """
 
 from __future__ import annotations
@@ -34,41 +36,65 @@ from job_crawler_ray.state.cuckoo import CuckooFilter
 
 @ray.remote(num_cpus=0.25)
 class SeenShard:
-    """One shard of the URL-seen set (cuckoo + exact uint64 key set)."""
+    """One shard of the URL-seen set.
+
+    Exact tier = ONE sorted uint64 array (8 B/key — the densest exact
+    representation; ``contains`` is a vectorized ``np.searchsorted``,
+    ``add`` a sorted merge; the array IS the snapshot format, so
+    snapshot/restore are O(1) copies). Cuckoo tier = negative cache for
+    the overwhelmingly common "never seen" case; if it saturates the
+    shard degrades to exact-tier-only membership (the filter is only an
+    optimization, skipping it is semantically safe) instead of killing
+    the crawl mid-epoch.
+    """
 
     def __init__(self, shard_id: int, capacity: int = 1 << 18):
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity=capacity)
-        self.exact: set[int] = set()
+        self.keys = np.zeros(0, dtype=np.uint64)  # sorted, unique
+        self.saturated = False
+
+    def _member(self, keys: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.keys, keys)
+        out = np.zeros(len(keys), dtype=bool)
+        in_r = idx < self.keys.size
+        out[in_r] = self.keys[idx[in_r]] == keys[in_r]
+        return out
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
         keys = as_unsigned(keys)
         if keys.size == 0:
             return np.zeros(0, dtype=bool)
-        maybe = self.filter.contains(keys)
-        out = np.zeros(len(keys), dtype=bool)
-        if maybe.any():
-            exact = self.exact
-            idx = np.nonzero(maybe)[0]
-            out[idx] = [int(keys[i]) in exact for i in idx]
-        return out
+        if not self.saturated:
+            maybe = self.filter.contains(keys)
+            out = np.zeros(len(keys), dtype=bool)
+            if maybe.any():
+                out[maybe] = self._member(keys[maybe])
+            return out
+        return self._member(keys)
 
     def add_many(self, keys: np.ndarray) -> int:
-        keys = as_unsigned(keys)
-        fresh = np.fromiter(
-            (int(k) not in self.exact for k in keys), dtype=bool, count=len(keys)
-        )
+        keys = np.unique(as_unsigned(keys))
+        if keys.size == 0:
+            return 0
+        fresh = ~self._member(keys)
         new_keys = keys[fresh]
         if new_keys.size:
-            self.filter.add(new_keys)
-            self.exact.update(int(k) for k in new_keys)
+            if not self.saturated:
+                try:
+                    self.filter.add(new_keys)
+                except RuntimeError:  # cuckoo full: degrade, don't crash
+                    self.saturated = True
+            merged = np.concatenate([self.keys, new_keys])
+            merged.sort(kind="mergesort")  # two sorted runs
+            self.keys = merged
         return int(new_keys.size)
 
     def size(self) -> int:
-        return len(self.exact)
+        return int(self.keys.size)
 
     def keys_sorted(self) -> np.ndarray:
-        return np.sort(np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)))
+        return self.keys
 
     def snapshot(self, path: str) -> str:
         """Atomic per-shard snapshot (tmp + rename): exact keys + cuckoo table."""
@@ -77,7 +103,8 @@ class SeenShard:
         st = self.filter.state()
         with open(tmp, "wb") as f:
             np.savez_compressed(
-                f, exact=self.keys_sorted(), table=st["table"], count=st["count"]
+                f, exact=self.keys, table=st["table"], count=st["count"],
+                saturated=np.array([self.saturated]),
             )
         os.replace(tmp, path)
         return path
@@ -87,8 +114,11 @@ class SeenShard:
             self.filter = CuckooFilter.from_state(
                 {"table": z["table"], "count": z["count"]}
             )
-            self.exact = {int(k) for k in z["exact"]}
-        return len(self.exact)
+            self.keys = np.sort(np.asarray(z["exact"], dtype=np.uint64))
+            self.saturated = (
+                bool(z["saturated"][0]) if "saturated" in z.files else False
+            )
+        return int(self.keys.size)
 
 
 class SeenSet:

@@ -74,6 +74,37 @@ class TestHttpFetchParity:
         assert (out.tail(3)["status_code"] == 404).all()
         assert out.tail(3)["html"].isna().all()
 
+    def test_crawl_parity_direct_vs_http(self, store, server, sf_small):
+        """The WHOLE crawl output is bit-identical under either fetch
+        transport (same rows, same order, same enrichment)."""
+        from job_crawler_ray.pipelines.crawl import (
+            CrawlConfig,
+            crawl_output_dataset,
+            run_crawl,
+        )
+
+        outs = []
+        for base_url in (None, "http"):
+            work = tempfile.mkdtemp(prefix="jcr_httpcrawl_")
+            cfg = CrawlConfig(
+                work_dir=work,
+                budget_per_host=100,
+                num_seen_shards=2,
+                store_dir_override=store,
+                http_fetch_base_url=server.base_url if base_url else None,
+                fetch_concurrency=2,
+            )
+            run_crawl(cfg, sf_dir=sf_small, replicate=1)
+            df = (
+                crawl_output_dataset(cfg)
+                .to_pandas()
+                .sort_values(["epoch", "host", "host_rank"])
+                .reset_index(drop=True)
+            )
+            outs.append(df[sorted(df.columns)])
+            shutil.rmtree(work, ignore_errors=True)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
     def test_server_down_degrades_not_raises(self, store, sf_small):
         dead = CorpusHTTPServer(store)
         base = dead.base_url
