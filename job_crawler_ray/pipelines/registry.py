@@ -89,6 +89,11 @@ def t_token_count(sf_dir: str):
     return ds.map_batches(T.token_count_batch, batch_format="pyarrow")
 
 
+def t_token_count_bpe(sf_dir: str):
+    ds = _docs(sf_dir)
+    return ds.map_batches(T.token_count_bpe_batch, batch_format="pyarrow")
+
+
 def t_quality_score(sf_dir: str):
     ds = _docs(sf_dir)
     return ds.map_batches(T.quality_score_batch, batch_format="pyarrow")
@@ -124,6 +129,20 @@ def dedup_minhash(sf_dir: str):
 def dedup_simhash(sf_dir: str):
     ds = _neardup_corpus(sf_dir)
     return ds.map_batches(T.simhash_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def dedup_simhash_pairs(sf_dir: str):
+    """SimHash banded near-dup pairs (Hamming ≤ 3, exact-recall banding)."""
+    return T.simhash_neardup_pairs(_neardup_corpus(sf_dir))
+
+
+def dedup_minhash_apply(sf_dir: str):
+    """Near-dup REMOVAL: minhash pair graph → connected components →
+    keep min-id representative per cluster; returns surviving doc ids."""
+    ds = _neardup_corpus(sf_dir)
+    pairs = T.minhash_neardup_pairs(ds)
+    kept = T.neardup_keep_representatives(_neardup_corpus(sf_dir), pairs)
+    return kept.select_columns(["doc_id"]).sort("doc_id")
 
 
 def doc_fingerprints(sf_dir: str):
@@ -171,8 +190,23 @@ def crawl_pipeline(sf_dir: str):
 # --- extra oracle SQL for the embedding/text queries ------------------------
 
 
+def _sw_hits_sql(words) -> str:
+    """Σ word-boundary regex counts — the SQL twin of _stopword_hits."""
+    return "(" + " + ".join(
+        rf"len(regexp_extract_all(lower(text), '\b{w}\b'))" for w in words
+    ) + ")"
+
+
 def extra_oracle_sql() -> dict[str, str]:
-    stop_list = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+    langs = list(T.LANG_STOPWORDS)
+    lang_hits = ",\n                   ".join(
+        f"{_sw_hits_sql(T.LANG_STOPWORDS[lg])} AS h_{lg}" for lg in langs
+    )
+    g = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    winner = "CASE " + " ".join(
+        f"WHEN h_{lg} = g THEN '{lg}'" for lg in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    bpe_pat = T.BPE_TOKEN_PATTERN.replace("'", "''")
     return {
         "ann_cosine_topk": """
             SELECT vec_id,
@@ -201,26 +235,32 @@ def extra_oracle_sql() -> dict[str, str]:
                                    x -> x <> '')) AS n_tokens
             FROM documents
         """,
+        "t_token_count_bpe": rf"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS n_tokens_ws,
+                   len(regexp_extract_all(text, '{bpe_pat}')) AS n_tokens_bpe
+            FROM documents
+        """,
         "t_quality_score": rf"""
             SELECT doc_id,
                    length(text) AS n_chars_q,
                    length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct,
-                   len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                   x -> x IN ({stop_list}))) AS n_stopwords,
-                   round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                         x -> x IN ({stop_list})))
+                   {_sw_hits_sql(T.STOPWORDS)} AS n_stopwords,
+                   round({_sw_hits_sql(T.STOPWORDS)}
                          / greatest(len(list_filter(
                                regexp_split_to_array(lower(text), '\s+'),
                                x -> x <> '')), 1), 6) AS stop_ratio
             FROM documents
         """,
-        "t_lang_id": rf"""
+        "t_lang_id": f"""
             SELECT doc_id,
-                   CASE WHEN len(list_filter(
-                            regexp_split_to_array(lower(text), '\s+'),
-                            x -> x IN ({stop_list}))) >= 2
-                        THEN 'en' ELSE 'unknown' END AS lang_guess
-            FROM documents
+                   CASE WHEN g >= 2 THEN {winner} ELSE 'unknown' END AS lang_guess
+            FROM (SELECT doc_id, {g} AS g,
+                         h_{', h_'.join(langs)}
+                  FROM (SELECT doc_id,
+                   {lang_hits}
+                        FROM documents))
         """,
     }
 
@@ -244,12 +284,15 @@ def build_queries() -> dict:
             "ann_cosine_topk": ann_cosine_topk,
             "embedding_neardup": embedding_neardup,
             "t_token_count": t_token_count,
+            "t_token_count_bpe": t_token_count_bpe,
             "t_quality_score": t_quality_score,
             "t_lang_id": t_lang_id,
             # rows-only (non-SQL-expressible)
             "crawl_pipeline": crawl_pipeline,
             "dedup_minhash": dedup_minhash,
+            "dedup_minhash_apply": dedup_minhash_apply,
             "dedup_simhash": dedup_simhash,
+            "dedup_simhash_pairs": dedup_simhash_pairs,
             "doc_fingerprints": doc_fingerprints,
             "ann_lsh": ann_lsh,
             "multimodal_decode": multimodal_decode,

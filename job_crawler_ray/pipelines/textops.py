@@ -696,6 +696,200 @@ def doc_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return keep.append_column("n_shingles", pa.array(counts))
 
 
+SIMHASH_BANDS = 4          # 4 × 16-bit bands
+SIMHASH_MAX_HAMMING = 3    # pigeonhole: ≤3 flipped bits ⇒ ≥1 band identical
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (bytewise table lookup)."""
+    table = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    return table[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
+
+def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                          max_hamming: int = SIMHASH_MAX_HAMMING):
+    """SimHash near-dup pairs: all (id_a, id_b, hamming ≤ max_hamming).
+
+    Banding is EXACT for the default radius: a 64-bit simhash split
+    into 4 × 16-bit bands must keep ≥1 band identical when ≤3 bits
+    differ (pigeonhole), so candidate generation by band equality has
+    recall 1.0; verification is an XOR-popcount. Work ∝ band
+    collisions, the same shape as the minhash cascade — candidates are
+    O(collisions) and only 16 B/doc (id + simhash) ever reach the
+    driver."""
+    sims = ds.map_batches(
+        lambda b: simhash_batch(b, text_col), batch_format="pyarrow"
+    ).materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        sh = b["simhash"].to_numpy().view(_u64)
+        bands = np.empty((len(ids), SIMHASH_BANDS), dtype=np.int64)
+        for j in range(SIMHASH_BANDS):
+            bands[:, j] = ((sh >> _u64(16 * j)) & _u64(0xFFFF)).astype(np.int64)
+        band_id = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), len(ids))
+        # disambiguate band values across bands with the band index
+        band_hash = (bands + (np.arange(SIMHASH_BANDS) << 17)).reshape(-1)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, SIMHASH_BANDS)),
+                "band_id": pa.array(band_id),
+                "band_hash": pa.array(band_hash),
+            }
+        )
+
+    exploded = sims.map_batches(explode, batch_format="pyarrow").materialize()
+    # hot buckets: 2^19 possible band values → bincount on the driver
+    hash_parts = [
+        b["band_hash"].to_numpy()
+        for b in exploded.select_columns(["band_hash"]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        )
+    ]
+    allh = np.concatenate(hash_parts) if hash_parts else np.zeros(0, np.int64)
+    uniq, cnt = np.unique(allh, return_counts=True)
+    hot = np.sort(uniq[cnt > 1])
+    if hot.size == 0:
+        return rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+        )
+    ref = ray.put(hot)
+
+    def only_hot(b: pa.Table) -> pa.Table:
+        hh = ray.get(ref)
+        keys = b["band_hash"].to_numpy()
+        idx = np.searchsorted(hh, keys)
+        m = np.zeros(len(keys), dtype=bool)
+        in_r = idx < hh.size
+        m[in_r] = hh[idx[in_r]] == keys[in_r]
+        return b.filter(pa.array(m))
+
+    colliding = exploded.map_batches(only_hot, batch_format="pyarrow")
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = (b["band_hash"].to_numpy() & (PAIR_GEN_PARTS - 1)).astype(np.int64)
+        return b.append_column("part", pa.array(part))
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df[id_col].to_numpy(), df["band_hash"].to_numpy()))
+        ids_sorted = df[id_col].to_numpy()[order]
+        gh = df["band_hash"].to_numpy()[order]
+        new_grp = np.empty(len(order), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = gh[1:] != gh[:-1]
+        grp_id = np.cumsum(new_grp) - 1
+        starts = np.nonzero(new_grp)[0]
+        pos = np.arange(len(order)) - starts[grp_id]
+        rights = np.repeat(np.arange(len(order)), pos)
+        within = np.arange(pos.sum()) - np.repeat(
+            np.concatenate(([0], np.cumsum(pos)[:-1])), pos
+        )
+        lefts = np.repeat(starts[grp_id], pos) + within
+        out = pd.DataFrame(
+            {"id_a": ids_sorted[lefts], "id_b": ids_sorted[rights]}
+        ).drop_duplicates()
+        out = out[out["id_a"] != out["id_b"]]
+        return out.astype({"id_a": "int64", "id_b": "int64"})
+
+    pairs = (
+        colliding.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gen_pairs, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    # candidate sims (16 B/doc, O(collisions)) → broadcast; verify =
+    # XOR popcount, fully vectorized inside map_batches
+    sid_parts, sval_parts = [], []
+    for tb in sims.select_columns([id_col, "simhash"]).iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20
+    ):
+        sid_parts.append(tb[id_col].to_numpy())
+        sval_parts.append(tb["simhash"].to_numpy())
+    all_ids = np.concatenate(sid_parts)
+    all_sims = np.concatenate(sval_parts)
+    order = np.argsort(all_ids)
+    sim_ref = ray.put((all_ids[order], all_sims[order]))
+
+    def verify(b: pa.Table) -> pa.Table:
+        ids_s, sims_s = ray.get(sim_ref)
+        a = b["id_a"].to_numpy()
+        bb = b["id_b"].to_numpy()
+        # canonical orientation + cross-band dedup within the batch
+        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
+        key = mix64(lo.view(_u64), 101) ^ mix64(hi.view(_u64), 202)
+        _, first = np.unique(key, return_index=True)
+        lo, hi = lo[first], hi[first]
+        sa = sims_s[np.searchsorted(ids_s, lo)].view(_u64)
+        sb = sims_s[np.searchsorted(ids_s, hi)].view(_u64)
+        d = _popcount64(sa ^ sb)
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "id_a": pa.array(lo[keep], type=pa.int64()),
+                "id_b": pa.array(hi[keep], type=pa.int64()),
+                "hamming": pa.array(d[keep], type=pa.int64()),
+            }
+        )
+
+    verified = pairs.map_batches(verify, batch_format="pyarrow")
+    # batch-local dedup can miss cross-batch duplicates → tiny global
+    # distinct on the (already near-dup-only) output
+    out = verified.to_pandas().drop_duplicates(["id_a", "id_b"])
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def neardup_keep_representatives(ds, pairs, id_col: str = "doc_id"):
+    """Near-dup APPLICATION: collapse each connected component of the
+    pair graph to one representative (min id) and filter the corpus to
+    survivors — the step that actually removes duplicates from a
+    training set.
+
+    The pair list is O(true duplicates) — union-find runs on the driver
+    over ids only (16 B/pair), then survivors are kept by a broadcast
+    sorted-array filter; the corpus itself streams. (At extreme dup
+    rates this becomes iterative distributed label propagation — the
+    per-batch kernel is the same min-label lookup.)"""
+    pr = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    ids_a = pr["id_a"].to_numpy()
+    ids_b = pr["id_b"].to_numpy()
+    nodes = np.unique(np.concatenate([ids_a, ids_b]))
+    parent = np.arange(len(nodes))
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    ia = np.searchsorted(nodes, ids_a)
+    ib = np.searchsorted(nodes, ids_b)
+    for x, y in zip(ia, ib):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)  # min-id wins ⇒ deterministic
+    roots = np.fromiter((find(i) for i in range(len(nodes))), dtype=np.int64,
+                        count=len(nodes))
+    losers = np.sort(nodes[roots != np.arange(len(nodes))])
+    ref = ray.put(losers)
+
+    def keep(b: pa.Table) -> pa.Table:
+        drop = ray.get(ref)
+        ids = b[id_col].to_numpy()
+        idx = np.searchsorted(drop, ids)
+        m = np.zeros(len(ids), dtype=bool)
+        in_r = idx < drop.size
+        m[in_r] = drop[idx[in_r]] == ids[in_r]
+        return b.filter(pa.array(~m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # embeddings: brute-force ANN + near-dup + LSH buckets
 # ---------------------------------------------------------------------------
@@ -913,6 +1107,29 @@ def ann_lsh_topk(index_ds, query_vec: np.ndarray, k: int = 10, n_planes: int = 6
 
 STOPWORDS = ["the", "and", "of", "a", "to", "in", "is", "for", "on", "with"]
 
+# per-language stopword tables for the multi-language heuristic tier;
+# a row is labeled by the language with the most word-boundary stopword
+# hits (≥ 2, priority order below on ties)
+LANG_STOPWORDS = {
+    "en": STOPWORDS,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "auf", "zu"],
+    "fr": ["le", "les", "des", "et", "est", "pas", "pour", "dans", "une", "que"],
+    "es": ["el", "los", "las", "y", "es", "por", "para", "con", "del", "como"],
+}
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the merge-free first pass of byte-pair tokenizers
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
+
+
+def _stopword_hits(lower: pd.Series, words) -> np.ndarray:
+    """Σ word-boundary occurrences of each stopword — one vectorized
+    regex count per word, no per-row Python."""
+    hits = np.zeros(len(lower), dtype=np.int64)
+    for w in words:
+        hits += lower.str.count(r"\b" + w + r"\b").to_numpy(dtype=np.int64)
+    return hits
+
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch[text_col].to_pandas().fillna("")
@@ -921,31 +1138,48 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return keep.append_column("n_tokens", pa.array(n.to_numpy()))
 
 
+def token_count_bpe_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Sub-word-ish token count: whitespace tokens AND the BPE-style
+    pre-tokenization count (letter/digit runs + symbols)."""
+    texts = batch[text_col].to_pandas().fillna("")
+    n_ws = texts.str.split().str.len().fillna(0).astype("int64")
+    n_bpe = texts.str.count(BPE_TOKEN_PATTERN).astype("int64")
+    keep = batch.select([c for c in batch.column_names if c != text_col])
+    keep = keep.append_column("n_tokens_ws", pa.array(n_ws.to_numpy()))
+    return keep.append_column("n_tokens_bpe", pa.array(n_bpe.to_numpy()))
+
+
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Length / punctuation / stopword signals (heuristic quality)."""
+    """Length / punctuation / stopword signals (heuristic quality).
+    Stopword hits are word-boundary regex counts — fully vectorized."""
     texts = batch[text_col].to_pandas().fillna("")
     n_chars = texts.str.len().astype("int64")
     n_punct = texts.str.count(r"[.!?]").astype("int64")
-    toks = texts.str.lower().str.split()
-    n_tokens = toks.str.len().fillna(0).astype("int64")
-    stopset = set(STOPWORDS)
-    n_stop = toks.map(lambda ws: sum(w in stopset for w in ws)).astype("int64")
+    lower = texts.str.lower()
+    n_tokens = lower.str.split().str.len().fillna(0).astype("int64")
+    n_stop = _stopword_hits(lower, STOPWORDS)
     stop_ratio = (n_stop / n_tokens.where(n_tokens > 0, 1)).round(6)
     keep = batch.select([c for c in batch.column_names if c != text_col])
     keep = keep.append_column("n_chars_q", pa.array(n_chars.to_numpy()))
     keep = keep.append_column("n_punct", pa.array(n_punct.to_numpy()))
-    keep = keep.append_column("n_stopwords", pa.array(n_stop.to_numpy()))
+    keep = keep.append_column("n_stopwords", pa.array(n_stop))
     return keep.append_column("stop_ratio", pa.array(stop_ratio.to_numpy()))
 
 
 def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Stopword-hit language heuristic: 'en' if ≥2 English stopword
-    tokens else 'unknown' (n-gram heuristic tier of a real lang-id)."""
+    """Multi-language stopword-hit heuristic: the language with the
+    most word-boundary stopword hits wins (≥ 2 required; ties resolve
+    in LANG_STOPWORDS priority order), else 'unknown'."""
     texts = batch[text_col].to_pandas().fillna("")
-    toks = texts.str.lower().str.split()
-    stopset = set(STOPWORDS)
-    hits = toks.map(lambda ws: sum(w in stopset for w in ws))
-    guess = np.where(hits >= 2, "en", "unknown")
+    lower = texts.str.lower()
+    langs = list(LANG_STOPWORDS)
+    hit_mat = np.column_stack(
+        [_stopword_hits(lower, LANG_STOPWORDS[lg]) for lg in langs]
+    )
+    best = hit_mat.max(axis=1)
+    # first language reaching the max (priority order on ties)
+    winner = np.argmax(hit_mat == best[:, None], axis=1)
+    guess = np.where(best >= 2, np.asarray(langs, dtype=object)[winner], "unknown")
     keep = batch.select([c for c in batch.column_names if c != text_col])
     return keep.append_column("lang_guess", pa.array(guess, type=pa.string()))
 

@@ -83,6 +83,44 @@ class TestRowsOnlyPipelines:
         sub = pairs.set_index(["id_a", "id_b"]).loc[sorted(planted)]
         assert (sub["jaccard"] > 0.8).all()
 
+    def test_simhash_pairs_match_bruteforce_oracle(self, sf_small, ray_session):
+        """Banding is EXACT-recall for Hamming ≤ 3 (pigeonhole over
+        4 × 16-bit bands): the operator output must equal the brute-
+        force all-pairs oracle exactly."""
+        from job_crawler_ray.pipelines.registry import (
+            dedup_simhash,
+            dedup_simhash_pairs,
+        )
+
+        pairs = dedup_simhash_pairs(sf_small).to_pandas()
+        assert (pairs["hamming"] <= 3).all()
+        assert (pairs["id_a"] < pairs["id_b"]).all()
+        sims = dedup_simhash(sf_small).to_pandas()
+        ids = sims["doc_id"].to_numpy()
+        sh = sims["simhash"].to_numpy().view(np.uint64)
+        x = sh[:, None] ^ sh[None, :]
+        table = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+        ham = table[x.view(np.uint8).reshape(len(ids), len(ids), 8)].sum(axis=2)
+        ii, jj = np.nonzero((ham <= 3) & (ids[:, None] < ids[None, :]))
+        want = set(zip(ids[ii].astype(int), ids[jj].astype(int)))
+        found = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+        assert found == want
+
+    def test_minhash_apply_removes_planted_mutants(self, sf_small, ray_session):
+        from job_crawler_ray.pipelines.registry import dedup_minhash_apply
+        import pyarrow.parquet as pq
+
+        kept = set(dedup_minhash_apply(sf_small).to_pandas()["doc_id"].astype(int))
+        docs = pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id"])
+        base_ids = [int(i) for i in docs["doc_id"].to_pylist()]
+        planted_mutants = {i + 100000 for i in base_ids if i % 5 == 0}
+        # every planted mutant collapses into its base's cluster
+        assert not (kept & planted_mutants)
+        # a planted base survives unless it is itself a near-dup of a
+        # smaller id (natural dups exist in the synthetic corpus)
+        planted_bases = {i for i in base_ids if i % 5 == 0}
+        assert len(planted_bases - kept) <= len(planted_bases) * 0.2
+
     def test_simhash_neardups_have_close_hashes(self, sf_small, ray_session):
         from job_crawler_ray.pipelines.registry import dedup_simhash
 
