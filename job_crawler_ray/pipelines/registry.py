@@ -84,6 +84,28 @@ def ann_lsh(sf_dir: str) -> pa.Table:
     return T.ann_lsh_topk(_ann_index_for(sf_dir), q, k=10)
 
 
+_IVF_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def ann_ivf(sf_dir: str) -> pa.Table:
+    """IVF-cell ANN (the clustering scale path): index built once per
+    corpus (deterministic Lloyd rounds), queries probe 4 of 16 cells."""
+    idx = _IVF_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).map_batches(
+            lambda t: t.filter(pa.compute.not_equal(t["vec_id"], 0)),
+            batch_format="pyarrow",
+        )
+        idx = _IVF_INDEX_CACHE[sf_dir] = T.ann_ivf_index(ds)
+    index_ds, cent = idx
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(pa.compute.equal(emb["vec_id"], 0))
+    q = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
+    return T.ann_ivf_topk(index_ds, cent, q, k=10, n_probe=6)
+
+
 def t_token_count(sf_dir: str):
     ds = _docs(sf_dir)
     return ds.map_batches(T.token_count_batch, batch_format="pyarrow")
@@ -295,6 +317,7 @@ def build_queries() -> dict:
             "dedup_simhash_pairs": dedup_simhash_pairs,
             "doc_fingerprints": doc_fingerprints,
             "ann_lsh": ann_lsh,
+            "ann_ivf": ann_ivf,
             "multimodal_decode": multimodal_decode,
         }
     )

@@ -7,20 +7,26 @@ training-data pipeline needs. All sketch/signature math is
 deterministic (splitmix64-derived permutations — no RNG state), fully
 vectorized numpy inside ``map_batches``, and mergeable across batches:
 
-- MinHash+LSH near-dup  (Broder '97; banding per Leskovec et al., MMDS ch.3)
-- SimHash fingerprints  (Charikar '02)
-- character n-gram Jaccard verification
-- embedding cosine near-dup + brute-force ANN top-k (+ LSH-bucketed)
-- language-ID heuristic, quality scoring, token counts, rolling-hash
-  document fingerprints
+- MinHash+LSH near-dup  (Broder '97; banding per Leskovec et al., MMDS
+  ch.3) — fully distributed cascade + cluster-collapse REMOVAL
+  (``neardup_keep_representatives``)
+- SimHash fingerprints (Charikar '02) + banded Hamming≤3 pair search
+  (exact-recall banding by pigeonhole)
+- character n-gram Jaccard verification (memoized per-doc sets)
+- embedding cosine near-dup (exact, blocked fragment pairs) +
+  brute-force ANN top-k + LSH persisted index + IVF cells
+- language-ID (4-language stopword heuristic), quality scoring,
+  whitespace + BPE-ish token counts, rolling-hash fingerprints
 - multimodal binary decode plumbing (decode kernel STUBBED — no image
   libs in this sandbox; the Ray-side schema/actor/batch plumbing is real)
 
 Scale notes: signatures are fixed-width vectors per doc (shuffle moves
-k×8 bytes, not documents); LSH candidate generation is a
-groupby((band, band_hash)) over exploded band rows; verification
-touches candidate PAIRS only. The brute-force ANN broadcasts the query
-matrix once (``ray.put``) and does one numpy matmul per batch.
+k×8 bytes, not documents); LSH candidate generation is bucketed over
+exploded band rows; verification touches candidate PAIRS only, with
+texts resolved from a hash-bucketed fragment store (never the driver).
+Kernels deliberately favor BOUNDED SMALL temporaries (per-doc segment
+ops) over batch-global sorts: huge fresh allocations pay first-touch
+page costs every batch, small ones are reused by the allocator.
 """
 
 from __future__ import annotations
@@ -1090,6 +1096,118 @@ def ann_lsh_topk(index_ds, query_vec: np.ndarray, k: int = 10, n_planes: int = 6
         m = _load_matrix(batch)[mask]
         sims = (m @ qv) / batch["vec_norm"].to_numpy()[mask]
         if len(ids) > k:  # partial top-k: ship k rows, not the batch
+            part = np.argpartition(-sims, k)[: k + 1]
+            ids, sims = ids[part], sims[part]
+        return pa.table({id_col: pa.array(ids), "score": pa.array(np.round(sims, 6))})
+
+    parts = index_ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["score", id_col], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pa.Table.from_pandas(parts, preserve_index=False)
+
+
+# --- IVF ANN: coarse-quantizer cells, probe a few at query time -------------
+
+
+def ann_ivf_index(ds, n_cells: int = 16, n_iters: int = 3,
+                  id_col: str = "vec_id"):
+    """Build a deterministic IVF index: seed centroids = the rows with
+    the ``n_cells`` smallest ``mix64(id)`` values (no RNG state), then
+    ``n_iters`` Lloyd rounds where assignment + per-cell partial sums
+    run distributed in ``map_batches`` and only (cells × dim) floats
+    reach the driver per round. Returns ``(index_ds, centroids)`` —
+    the index materializes each row's cell id and norm so queries scan
+    ~n_probe/n_cells of the data.
+    """
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        key = mix64(ids.view(_u64), 777)
+        m = _load_matrix(b)
+        take = np.argsort(key)[: n_cells]
+        dim = m.shape[1] if m.size else 1
+        return pa.table(
+            {
+                "key": pa.array(key[take].view(np.int64)),
+                "emb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m[take].reshape(-1), type=pa.float64()), dim
+                ),
+            }
+        )
+
+    seeds = ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
+    key_order = np.argsort(seeds["key"].to_numpy().view(_u64))[: n_cells]
+    cent = np.vstack(seeds["emb"].to_numpy()[key_order]).astype(np.float64)
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
+
+    for _ in range(n_iters):
+        ref = ray.put(cent)
+
+        def lloyd_partial(b: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _load_matrix(b)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+            cell = np.argmax(mn @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, cell, mn)
+            cnt = np.bincount(cell, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cell": pa.array(np.arange(len(c), dtype=np.int64)),
+                    "vsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.reshape(-1), type=pa.float64()),
+                        c.shape[1],
+                    ),
+                    "cnt": pa.array(cnt),
+                }
+            )
+
+        parts = ds.map_batches(lloyd_partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(cent)
+        cnts = np.zeros(len(cent), dtype=np.int64)
+        for cell, vsum, cnt in zip(
+            parts["cell"].to_numpy(), parts["vsum"].to_numpy(), parts["cnt"].to_numpy()
+        ):
+            sums[cell] += np.asarray(vsum)
+            cnts[cell] += cnt
+        nonempty = cnts > 0
+        cent[nonempty] = sums[nonempty] / np.linalg.norm(
+            sums[nonempty], axis=1, keepdims=True
+        ).clip(min=1e-12)
+
+    cref = ray.put(cent)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _load_matrix(b)
+        norms = np.linalg.norm(m, axis=1).clip(min=1e-12)
+        cell = np.argmax((m / norms[:, None]) @ c.T, axis=1).astype(np.int64)
+        out = b.append_column("ivf_cell", pa.array(cell))
+        return out.append_column("vec_norm", pa.array(norms))
+
+    index = ds.map_batches(finalize, batch_format="pyarrow").materialize()
+    return index, cent
+
+
+def ann_ivf_topk(index_ds, centroids: np.ndarray, query_vec: np.ndarray,
+                 k: int = 10, n_probe: int = 4, id_col: str = "vec_id"):
+    """IVF query: score the query against the centroids, scan only the
+    ``n_probe`` nearest cells (mask + masked matmul per batch, partial
+    top-k per batch, k-row driver merge)."""
+    q = query_vec / np.linalg.norm(query_vec)
+    probe = np.argsort(-(centroids @ q))[: n_probe].astype(np.int64)
+    ref = ray.put((q, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv, cells = ray.get(ref)
+        mask = np.isin(batch["ivf_cell"].to_numpy(), cells)
+        ids = batch[id_col].to_numpy()[mask]
+        if not mask.any():
+            return pa.table({id_col: pa.array(ids),
+                             "score": pa.array([], pa.float64())})
+        m = _load_matrix(batch)[mask]
+        sims = (m @ qv) / batch["vec_norm"].to_numpy()[mask]
+        if len(ids) > k:
             part = np.argpartition(-sims, k)[: k + 1]
             ids, sims = ids[part], sims[part]
         return pa.table({id_col: pa.array(ids), "score": pa.array(np.round(sims, 6))})

@@ -141,6 +141,14 @@ class TestRowsOnlyPipelines:
         approx = set(ann_lsh(sf_mid).to_pandas()["vec_id"])
         assert len(exact & approx) >= 5  # ≥50% recall at tiny scale
 
+    def test_ann_ivf_recall_vs_bruteforce(self, sf_mid, ray_session):
+        from job_crawler_ray.pipelines.registry import ann_cosine_topk, ann_ivf
+
+        exact = set(ann_cosine_topk(sf_mid).to_pandas()["vec_id"])
+        approx = set(ann_ivf(sf_mid).to_pandas()["vec_id"])
+        assert len(approx) == 10
+        assert len(exact & approx) >= 5  # ≥50% recall probing 4/16 cells
+
     def test_multimodal_decode_plumbing(self, sf_small, ray_session):
         from job_crawler_ray.pipelines.registry import multimodal_decode
 
