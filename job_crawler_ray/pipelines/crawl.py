@@ -53,6 +53,8 @@ import pyarrow as pa
 
 import ray
 
+from job_crawler_ray.util import strip_meta
+
 from job_crawler_ray.corpus import pages_dataset
 from job_crawler_ray.functions.enrich import enrich_pages_batch
 from job_crawler_ray.functions.html import parse_pages_batch
@@ -281,7 +283,7 @@ def run_crawl(
         flagged = (
             frontier.groupby("host")
             .map_groups(make_budget_release(cfg.budget_per_host), batch_format="pandas")
-            .map_batches(lambda t: t, batch_format="pyarrow")
+            .map_batches(strip_meta, batch_format="pyarrow")
         )
         flagged = flagged.materialize()  # consumed twice (released + remaining)
         timings["release"] = _time.time() - _t0

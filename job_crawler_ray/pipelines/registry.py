@@ -34,8 +34,10 @@ NEARDUP_THRESHOLD = 0.4  # cosine tail of the synthetic embeddings
 def _docs(sf_dir: str, blocks: int = 16):
     """documents read, fanned out of its single row-group (1 block =
     1 task = no parallelism) into `blocks` blocks."""
+    from job_crawler_ray.util import strip_meta
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.repartition(blocks)
+    return ds.map_batches(strip_meta, batch_format="pyarrow").repartition(blocks)
 
 
 # --- embedding / text queries ----------------------------------------------

@@ -58,8 +58,13 @@ RESPONDED_VALUE = 100.0
 
 
 def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
-    """Column-pruned read; `blocks` fans single-row-group files out."""
+    """Column-pruned read; `blocks` fans single-row-group files out.
+    Schema metadata is stripped (pandas-written parquet carries
+    unhashable metadata that spams Ray's schema dedup on reduces)."""
+    from job_crawler_ray.util import strip_meta
+
     ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    ds = ds.map_batches(strip_meta, batch_format="pyarrow")
     return ds.repartition(blocks) if blocks else ds
 
 

@@ -36,6 +36,8 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+
+from job_crawler_ray.util import strip_meta
 import ray.data as rd
 
 from job_crawler_ray.corpus import mix64
@@ -492,7 +494,7 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
         colliding.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(gen_pairs, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")  # homogeneous blocks
+        .map_batches(strip_meta, batch_format="pyarrow")  # homogeneous blocks
         .materialize()
     )
     n_pairs_raw = pairs.count()  # metadata only
@@ -596,7 +598,7 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
                 lambda g: g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
                 batch_format="pandas",
             )
-            .map_batches(lambda t: t, batch_format="pyarrow")
+            .map_batches(strip_meta, batch_format="pyarrow")
         )
         n_surv = n_pairs_raw  # upper bound; sizing only
         cand_texts = ds.map_batches(
@@ -803,7 +805,7 @@ def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         colliding.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(gen_pairs, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
+        .map_batches(strip_meta, batch_format="pyarrow")
         .materialize()
     )
     # candidate sims (16 B/doc, O(collisions)) → broadcast; verify =

@@ -33,13 +33,15 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Mean
 
+from job_crawler_ray.util import strip_meta
+
 SESSION_GAP_MIN = 30
 RANGE_JOIN_HOURS = 1
 
 
 def _events(sf_dir: str, columns=None):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
-    return ds.repartition(8)
+    return ds.map_batches(strip_meta, batch_format="pyarrow").repartition(8)
 
 
 def w1_tumbling_daily(sf_dir: str) -> pa.Table:
@@ -82,7 +84,7 @@ def w2_sessionize(sf_dir: str) -> pa.Table:
     out = (
         ds.groupby("user_id")
         .map_groups(sessions, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
+        .map_batches(strip_meta, batch_format="pyarrow")
         .sort("user_id")
     )
     return out
@@ -129,7 +131,7 @@ def j4_asof_join(sf_dir: str) -> pa.Table:
     out = (
         ds.groupby("user_id")
         .map_groups(asof, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
+        .map_batches(strip_meta, batch_format="pyarrow")
         .sort("purchase_id")
     )
     return out
@@ -167,7 +169,7 @@ def r1_range_join(sf_dir: str) -> pa.Table:
     out = (
         ds.groupby("user_id")
         .map_groups(pairs, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
+        .map_batches(strip_meta, batch_format="pyarrow")
         .sort(["purchase_id", "error_id"])
     )
     return out

@@ -32,6 +32,8 @@ import pyarrow as pa
 
 import ray
 
+from job_crawler_ray.util import strip_meta
+
 DEFAULT_ORDER = {
     "by": ["warc_ts", "canonical_url", "url"],
     "ascending": [False, True, True],
@@ -63,7 +65,7 @@ def exact_dedup_first(
 
     ds = (
         ds.map_batches(partial, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")  # arrow blocks
+        .map_batches(strip_meta, batch_format="pyarrow")  # arrow blocks
         .materialize()
     )
 
@@ -105,7 +107,7 @@ def exact_dedup_first(
     if dup_keys.size > max_broadcast_keys:
         return ds.groupby(key).map_groups(
             lambda g: _keep(g, key, order, keep).head(1), batch_format="pandas"
-        ).map_batches(lambda t: t, batch_format="pyarrow")
+        ).map_batches(strip_meta, batch_format="pyarrow")
 
     dup_sorted = np.sort(dup_keys)
     ref = ray.put(dup_sorted)
@@ -143,7 +145,7 @@ def exact_dedup_first(
             lambda g: _keep(g, key, order, keep), batch_format="pandas"
         )
         # normalize winners back to Arrow blocks: homogeneous union
-        winners = winners.map_batches(lambda t: t, batch_format="pyarrow")
+        winners = winners.map_batches(strip_meta, batch_format="pyarrow")
     return uniques.union(winners)
 
 
