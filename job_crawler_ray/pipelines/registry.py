@@ -160,6 +160,15 @@ def dedup_simhash_pairs(sf_dir: str):
     return T.simhash_neardup_pairs(_neardup_corpus(sf_dir))
 
 
+def embedding_neardup_approx(sf_dir: str):
+    """Sub-quadratic near-dup (IVF in-cell pairs) — the approximate
+    scale path; exact twin is `embedding_neardup`."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return T.embedding_neardup_pairs_approx(ds, threshold=NEARDUP_THRESHOLD)
+
+
 def dedup_minhash_apply(sf_dir: str):
     """Near-dup REMOVAL: minhash pair graph → connected components →
     keep min-id representative per cluster; returns surviving doc ids."""
@@ -180,6 +189,28 @@ def multimodal_decode(sf_dir: str):
     # actor pool, small batches — the layout for heavy binary payloads
     ds = ds.map_batches(
         T.BinaryDecoder, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    return ds.sort("doc_id")
+
+
+def multimodal_pipeline(sf_dir: str):
+    """Full multimodal chain: synth payloads → resize (stub kernel,
+    real plumbing) → decode → byte-level feature extraction (real
+    kernels) — each transform an actor-pool map_batches stage with
+    small batches."""
+    ds = _docs(sf_dir)
+    ds = ds.map_batches(T.synth_binary_payloads, batch_format="pyarrow")
+    ds = ds.map_batches(
+        T.BinaryResizer, fn_constructor_kwargs=dict(factor=2),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 2),
+    )
+    ds = ds.map_batches(
+        T.BinaryFeatureExtractor, fn_constructor_kwargs=dict(keep_payload=True),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 2),
+    )
+    ds = ds.map_batches(
+        T.BinaryDecoder, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 2),
     )
     return ds.sort("doc_id")
 
@@ -320,7 +351,9 @@ def build_queries() -> dict:
             "doc_fingerprints": doc_fingerprints,
             "ann_lsh": ann_lsh,
             "ann_ivf": ann_ivf,
+            "embedding_neardup_approx": embedding_neardup_approx,
             "multimodal_decode": multimodal_decode,
+            "multimodal_pipeline": multimodal_pipeline,
         }
     )
     return q

@@ -1109,6 +1109,41 @@ def ann_lsh_topk(index_ds, query_vec: np.ndarray, k: int = 10, n_planes: int = 6
     return pa.Table.from_pandas(parts, preserve_index=False)
 
 
+def embedding_neardup_pairs_approx(ds, threshold: float, n_cells: int = 16,
+                                   id_col: str = "vec_id"):
+    """APPROXIMATE near-dup: exact all-pairs WITHIN each IVF cell only —
+    the sub-quadratic scale path (work ∝ Σ cell²  ≪ corpus² when
+    n_cells grows with the corpus). Cross-cell pairs are missed by
+    design; every emitted pair is exact (cosines computed, not
+    estimated), so precision is 1.0 and the output is a subset of
+    :func:`embedding_neardup_pairs` (pinned by test)."""
+    index, _cent = ann_ivf_index(ds, n_cells=n_cells, id_col=id_col)
+
+    def cell_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        m = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+        sims = m @ m.T
+        li, ri = np.nonzero(sims >= threshold)
+        keep = li < ri
+        li, ri = li[keep], ri[keep]
+        a, b = ids[li], ids[ri]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine": np.round(sims[li, ri], 6),
+            }
+        )
+
+    return (
+        index.groupby("ivf_cell")
+        .map_groups(cell_pairs, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .sort(["id_a", "id_b"])
+    )
+
+
 # --- IVF ANN: coarse-quantizer cells, probe a few at query time -------------
 
 
@@ -1350,6 +1385,73 @@ class BinaryDecoder:
         out = out.append_column("height", pa.array(h))
         out = out.append_column("body_bytes", pa.array(nbytes))
         return out.append_column("decoded_ok", pa.array(ok))
+
+
+class BinaryResizer:
+    """Actor-pool 'resize' stage for opaque payloads. The pixel kernel
+    is a sandbox STUB (no codecs): dims in the header are halved and
+    the body truncated to a quarter — but the plumbing a real resize
+    needs (binary in/out, small batches, per-actor state, row-level
+    passthrough of undecodable payloads) is real and tested. Swap the
+    body for PIL/libvips in production."""
+
+    def __init__(self, factor: int = 2):
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        f = self.factor
+        out_payloads = []
+        for p in batch["payload"].to_pylist():
+            if p is None or not p.startswith(BinaryDecoder.MAGIC):
+                out_payloads.append(p)  # passthrough, like fetch errors
+                continue
+            w = int.from_bytes(p[8:12], "little") // f
+            h = int.from_bytes(p[12:16], "little") // f
+            body = p[16:]
+            out_payloads.append(
+                BinaryDecoder.MAGIC
+                + w.to_bytes(4, "little")
+                + h.to_bytes(4, "little")
+                + body[: max(1, len(body) // (f * f))]
+            )
+        keep = batch.select([c for c in batch.column_names if c != "payload"])
+        return keep.append_column(
+            "payload", pa.array(out_payloads, type=pa.binary())
+        )
+
+
+class BinaryFeatureExtractor:
+    """Actor-pool byte-level feature extraction — REAL kernels that
+    need no codec: Shannon entropy, mean byte and distinct-byte count
+    of each payload body (per-row np.bincount: small temporaries by
+    design, see module docstring). ``keep_payload=True`` passes the
+    binary column through so further stages (e.g. decode) can chain."""
+
+    def __init__(self, keep_payload: bool = False):
+        self.keep_payload = keep_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        entropy = np.zeros(n, dtype=np.float64)
+        mean_byte = np.zeros(n, dtype=np.float64)
+        distinct = np.zeros(n, dtype=np.int64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            if not p or len(p) <= 16:
+                continue
+            body = np.frombuffer(p, dtype=np.uint8, offset=16)
+            counts = np.bincount(body, minlength=256)
+            probs = counts[counts > 0] / body.size
+            entropy[i] = float(-(probs * np.log2(probs)).sum())
+            mean_byte[i] = float(body.mean())
+            distinct[i] = int((counts > 0).sum())
+        out = (
+            batch
+            if self.keep_payload
+            else batch.select([c for c in batch.column_names if c != "payload"])
+        )
+        out = out.append_column("byte_entropy", pa.array(np.round(entropy, 6)))
+        out = out.append_column("mean_byte", pa.array(np.round(mean_byte, 6)))
+        return out.append_column("distinct_bytes", pa.array(distinct))
 
 
 def synth_binary_payloads(batch: pa.Table, text_col: str = "text") -> pa.Table:

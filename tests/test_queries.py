@@ -149,6 +149,43 @@ class TestRowsOnlyPipelines:
         assert len(approx) == 10
         assert len(exact & approx) >= 5  # ≥50% recall probing 4/16 cells
 
+    def test_embedding_neardup_approx_subset_of_exact(self, sf_small, ray_session):
+        """Every approximate pair is exact (precision 1.0: a subset of
+        the exact all-pairs result with identical cosines), and in-cell
+        recall is non-trivial."""
+        from job_crawler_ray.pipelines.registry import (
+            embedding_neardup,
+            embedding_neardup_approx,
+        )
+
+        exact = embedding_neardup(sf_small).to_pandas()
+        approx = embedding_neardup_approx(sf_small).to_pandas()
+        e = {(int(a), int(b)): c for a, b, c in exact.itertuples(index=False)}
+        a = {(int(x), int(y)): c for x, y, c in approx.itertuples(index=False)}
+        assert set(a) <= set(e)
+        for k, c in a.items():
+            assert abs(e[k] - c) < 1e-9
+        assert len(a) >= 0.2 * max(1, len(e))  # non-trivial in-cell recall
+
+    def test_multimodal_pipeline_chain(self, sf_small, ray_session):
+        """resize (stub) → byte features (real) → decode, chained as
+        actor-pool stages: halved dims, sane entropy, all rows kept."""
+        from job_crawler_ray.pipelines.registry import (
+            multimodal_decode,
+            multimodal_pipeline,
+        )
+
+        base = multimodal_decode(sf_small).to_pandas().set_index("doc_id")
+        out = multimodal_pipeline(sf_small).to_pandas().set_index("doc_id")
+        assert len(out) == len(base)
+        assert out["decoded_ok"].all()
+        assert (out["width"] == base["width"] // 2).all()
+        assert (out["height"] == base["height"] // 2).all()
+        nonempty = out["body_bytes"] > 0
+        assert (out.loc[nonempty, "byte_entropy"] >= 0).all()
+        assert (out.loc[nonempty, "byte_entropy"] <= 8.0).all()
+        assert (out.loc[nonempty, "distinct_bytes"] > 0).all()
+
     def test_multimodal_decode_plumbing(self, sf_small, ray_session):
         from job_crawler_ray.pipelines.registry import multimodal_decode
 
