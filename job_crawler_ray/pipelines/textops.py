@@ -251,6 +251,11 @@ PAIR_GEN_PARTS = 64  # coarse partitions for distributed in-bucket pairing
 # 16 B/pair ⇒ ~320 MB at the limit. Above it the cascade switches to
 # the fully distributed dedup + full-corpus text-fragment path.
 PAIR_DRIVER_LIMIT = 20_000_000
+# colliding band rows (24 B each, O(collisions)) paired in one driver
+# pass below this; above it pairing distributes over PAIR_GEN_PARTS
+COLLIDE_DRIVER_LIMIT = 20_000_000
+# verified output rows sorted on the driver below this
+OUT_SORT_DRIVER_LIMIT = 5_000_000
 TEXT_FRAGS = 16  # hash buckets of the verify-stage text-fragment store
 
 
@@ -366,8 +371,10 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     2. hot-bucket detection (driver 8-byte count under
        ``HOT_HASH_DRIVER_LIMIT`` band rows, distributed groupby+join
        above);
-    3. in-bucket pair generation, distributed over ``PAIR_GEN_PARTS``
-       coarse hash partitions (vectorized lexsort pairing per part);
+    3. in-bucket pair generation: colliding rows are O(collisions) —
+       one vectorized driver pass under ``COLLIDE_DRIVER_LIMIT``, else
+       distributed over ``PAIR_GEN_PARTS`` coarse hash partitions
+       (the identical lexsort pairing per part);
     4. cross-band pair dedup + signature-estimate cut at
        ``JACCARD_THRESHOLD - MINHASH_EST_MARGIN``: on the driver with
        the CANDIDATE signatures only while pairs ≤ ``PAIR_DRIVER_LIMIT``
@@ -490,17 +497,29 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
         out = out[out["id_a"] != out["id_b"]]
         return out.astype({"id_a": "int64", "id_b": "int64"})
 
-    pairs = (
-        colliding.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(gen_pairs, batch_format="pandas")
-        .map_batches(strip_meta, batch_format="pyarrow")  # homogeneous blocks
-        .materialize()
-    )
-    n_pairs_raw = pairs.count()  # metadata only
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
+    colliding = colliding.materialize()
+    n_coll = colliding.count()  # metadata only; colliding ∝ collisions
+    if n_coll == 0:
+        return rd.from_arrow(empty)
+    if n_coll <= COLLIDE_DRIVER_LIMIT:
+        # colliding rows are 24 B each and O(collisions): one global
+        # vectorized pairing pass on the driver skips the groupby
+        # exchange entirely (Ray shuffle fixed costs are seconds even
+        # on tiny data)
+        pairs = gen_pairs(colliding.to_pandas())
+        n_pairs_raw = len(pairs)
+    else:
+        pairs = (
+            colliding.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(gen_pairs, batch_format="pandas")
+            .map_batches(strip_meta, batch_format="pyarrow")  # homogeneous blocks
+            .materialize()
+        )
+        n_pairs_raw = pairs.count()  # metadata only
     if n_pairs_raw == 0:
         return rd.from_arrow(empty)
 
@@ -511,18 +530,22 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     # coarse pair-key groupby and the estimate stage is skipped (the
     # exact verify decides membership either way — the estimate only
     # prunes cost, never recall)
-    if n_pairs_raw <= PAIR_DRIVER_LIMIT:
-        # stream the raw pairs as Arrow (8+8 B/row) and dedup on a mixed
-        # 64-bit pair key with np.unique — no pandas round trip, no
-        # object columns
-        pa_parts, pb_parts = [], []
-        for tb in pairs.select_columns(["id_a", "id_b"]).iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20
-        ):
-            pa_parts.append(tb["id_a"].to_numpy())
-            pb_parts.append(tb["id_b"].to_numpy())
-        ids_a = np.concatenate(pa_parts)
-        ids_b = np.concatenate(pb_parts)
+    if isinstance(pairs, pd.DataFrame) or n_pairs_raw <= PAIR_DRIVER_LIMIT:
+        if isinstance(pairs, pd.DataFrame):
+            ids_a = pairs["id_a"].to_numpy()
+            ids_b = pairs["id_b"].to_numpy()
+        else:
+            # stream the raw pairs as Arrow (8+8 B/row) — no pandas
+            # round trip, no object columns
+            pa_parts, pb_parts = [], []
+            for tb in pairs.select_columns(["id_a", "id_b"]).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20
+            ):
+                pa_parts.append(tb["id_a"].to_numpy())
+                pb_parts.append(tb["id_b"].to_numpy())
+            ids_a = np.concatenate(pa_parts)
+            ids_b = np.concatenate(pb_parts)
+        # dedup on a mixed 64-bit pair key with np.unique
         pkey = mix64(ids_a.view(_u64), 101) ^ mix64(ids_b.view(_u64), 202)
         _, first = np.unique(pkey, return_index=True)
         ids_a, ids_b = ids_a[first], ids_b[first]
@@ -630,16 +653,17 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     )
 
     survivors = survivors.repartition(int(min(32, max(2, n_surv // 2048 + 1))))
-    return (
-        survivors.map_batches(
-            _PairTextVerifier,
-            fn_constructor_kwargs=dict(frag_dir=frag_dir, id_col=id_col,
-                                       text_col=text_col),
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
-        .sort(["id_a", "id_b"])
-    )
+    verified = survivors.map_batches(
+        _PairTextVerifier,
+        fn_constructor_kwargs=dict(frag_dir=frag_dir, id_col=id_col,
+                                   text_col=text_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()
+    if verified.count() <= OUT_SORT_DRIVER_LIMIT:  # skip a shuffle's fixed cost
+        out = verified.to_pandas().sort_values(["id_a", "id_b"])
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+    return verified.sort(["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------

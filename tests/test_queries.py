@@ -215,7 +215,9 @@ class TestRowsOnlyPipelines:
         from job_crawler_ray.pipelines.registry import dedup_minhash
 
         a = dedup_minhash(sf_small).to_pandas().reset_index(drop=True)
+        monkeypatch.setattr(T, "COLLIDE_DRIVER_LIMIT", 0)
         monkeypatch.setattr(T, "PAIR_DRIVER_LIMIT", 0)
+        monkeypatch.setattr(T, "OUT_SORT_DRIVER_LIMIT", 0)
         b = dedup_minhash(sf_small).to_pandas().reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
 
