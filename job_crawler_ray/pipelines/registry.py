@@ -329,6 +329,7 @@ def build_queries() -> dict:
         {
             "w1_tumbling_daily": W.w1_tumbling_daily,
             "w2_sessionize": W.w2_sessionize,
+            "w3_sliding_7d": W.w3_sliding_7d,
             "j4_asof_join": W.j4_asof_join,
             "r1_range_join": W.r1_range_join,
             "m2_full_framework": F.m2_full_framework,

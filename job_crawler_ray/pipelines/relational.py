@@ -501,6 +501,32 @@ def m10_templates(sf_dir: str):
     return ds.map_batches(fx, batch_format="pyarrow")
 
 
+def s1_stratified_split(sf_dir: str) -> pa.Table:
+    """Deterministic train/val carve of a training corpus: split =
+    'val' iff doc_id % 10 == 0 (pure function of the row — stable under
+    any re-partitioning, no RNG state), reported as per-(lang, source,
+    split) counts. Partial counts per batch, tiny final groupby — the
+    shuffle moves strata rows, not documents."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"], blocks=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["split"] = np.where(df["doc_id"] % 10 == 0, "val", "train")
+        g = df.groupby(["lang", "source", "split"], sort=True).size()
+        out = g.reset_index(name="cnt")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    rolled = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source", "split"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    rolled["cnt"] = rolled["cnt"].astype("int64")
+    rolled = rolled.sort_values(["lang", "source", "split"]).reset_index(drop=True)
+    return pa.Table.from_pandas(rolled, preserve_index=False)
+
+
 def u1_multi_source_union(sf_dir: str):
     """Multi-source fan-in (reference: per-source try/except extend,
     main.py:507-515, second source anticipated by its tests): two

@@ -209,6 +209,12 @@ def oracle_queries() -> dict[str, str]:
                    c_name || ' | segment: ' || c_mktsegment AS cv_header
             FROM customer
         """,
+        "s1_stratified_split": """
+            SELECT lang, source,
+                   CASE WHEN doc_id % 10 = 0 THEN 'val' ELSE 'train' END AS split,
+                   count(*) AS cnt
+            FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
         "u1_multi_source_union": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

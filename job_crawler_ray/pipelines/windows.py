@@ -63,6 +63,52 @@ def w1_tumbling_daily(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def w3_sliding_7d(sf_dir: str) -> pa.Table:
+    """7-day SLIDING window: per observed day, the trailing count and
+    value sum over (day-6 … day]. Daily partials aggregate distributed
+    (the only shuffle is over ~distinct-days rows); the trailing-range
+    combine runs on the tiny daily table via one cumsum + two
+    searchsorted passes — day gaps handled exactly like SQL's
+    RANGE INTERVAL frame (calendar days, not row offsets)."""
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def daily_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = df["ts"].dt.floor("D")
+        g = df.groupby(day)["value"].agg(["size", "sum"])
+        return pa.table(
+            {
+                "day": pa.array(g.index),
+                "cnt": pa.array(g["size"].to_numpy(dtype=np.int64)),
+                "value_sum": pa.array(g["sum"].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    daily = (
+        ds.map_batches(daily_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cnt", alias_name="cnt"),
+                   Sum("value_sum", alias_name="value_sum"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    days = daily["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    cnt_cum = np.concatenate(([0], np.cumsum(daily["cnt"].to_numpy())))
+    val_cum = np.concatenate(([0.0], np.cumsum(daily["value_sum"].to_numpy())))
+    hi = np.searchsorted(days, days, side="right")
+    lo = np.searchsorted(days, days - 6, side="left")
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(daily["day"].to_numpy()).strftime("%Y-%m-%d"),
+            "cnt_7d": (cnt_cum[hi] - cnt_cum[lo]).astype(np.int64),
+            "value_sum_7d": np.round(val_cum[hi] - val_cum[lo], 6),
+        }
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def w2_sessionize(sf_dir: str) -> pa.Table:
     """Sessions per user (gap > 30 min ⇒ new session): count + longest
     session length in events."""
@@ -176,6 +222,20 @@ def r1_range_join(sf_dir: str) -> pa.Table:
 
 
 WINDOW_SQL = {
+    "w3_sliding_7d": """
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day, count(*) AS cnt,
+                   sum(value) AS value_sum
+            FROM events GROUP BY 1
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(sum(cnt) OVER w AS BIGINT) AS cnt_7d,
+               round(sum(value_sum) OVER w, 6) AS value_sum_7d
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        ORDER BY day
+    """,
     "w1_tumbling_daily": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                event_type, count(*) AS cnt,
