@@ -9,10 +9,11 @@ line::
     {"metric": "pages_fetched_extracted_per_sec", "value": ...,
      "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
-``--scaling``: runs the headline pipeline in TWO fresh processes
-(num_cpus=8 then 32) on identical input and reports both throughputs
-plus scaling efficiency — the sandbox evidencing of the north rule's
-N→4N-node criterion (no real multi-node cluster here).
+``--scaling``: runs the headline pipeline in fresh processes at two
+parallelism levels (default num_cpus=4 then 16, best-of-2 each) on
+identical input and reports both throughputs plus scaling efficiency —
+the sandbox evidencing of the north rule's N→4N-node criterion (no
+real multi-node cluster here).
 """
 
 from __future__ import annotations
