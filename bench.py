@@ -65,9 +65,15 @@ def _pages_corpus_path() -> str:
     path = f"{SCRATCH}/pages_{tag}_x{REPLICATE}_b{BALLAST}"
     if not os.path.isdir(path) or not os.listdir(path):
         from job_crawler_ray.corpus import pages_dataset
+        from job_crawler_ray.util import strip_meta
 
         shutil.rmtree(path, ignore_errors=True)
-        pages_dataset(SF_DIR, replicate=REPLICATE, ballast_chars=BALLAST).write_parquet(path)
+        # strip pandas schema metadata before writing: parquet carrying
+        # it is re-read by every headline run and spams Ray's schema
+        # dedup ("Failed to hash the schemas") on each read task
+        pages_dataset(
+            SF_DIR, replicate=REPLICATE, ballast_chars=BALLAST
+        ).map_batches(strip_meta, batch_format="pyarrow").write_parquet(path)
     return path
 
 

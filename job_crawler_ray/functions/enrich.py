@@ -24,6 +24,7 @@ from job_crawler_ray.functions.extract import (
     extract_benefit_classes_batch,
     extract_features_batch,
 )
+from job_crawler_ray.functions.frameworks import framework_prompts_append
 
 
 def _enrich_inner(batch: pa.Table, text_col: str) -> pa.Table:
@@ -36,6 +37,10 @@ def _enrich_inner(batch: pa.Table, text_col: str) -> pa.Table:
 
     out = extract_features_batch(batch)
     out = analysis_framework_batch(out)
+    # full M2 surface per crawled page (reference main.py:530-548 runs
+    # the whole suite per record): requirements prompt above + the 3
+    # constant prompt/criteria columns
+    out = framework_prompts_append(out)
     out = extract_benefit_classes_batch(out)
     # text-analysis kernels drop their input column; run them on a
     # projection and append the results

@@ -208,6 +208,28 @@ def full_framework_batch(
     )
 
 
+def framework_prompts_append(batch: pa.Table) -> pa.Table:
+    """Append the M2 CONSTANT prompt surface (compatibility scoring,
+    application strategy, scoring-criteria JSON) to any batch.
+
+    Together with ``analysis_framework_batch``'s per-row interpolated
+    requirements prompt this completes the reference's whole-suite-per-
+    record M2 emission inside the crawl loop (main.py:530-548) — the
+    crawl's enrich stage composes both. The three columns are constant
+    per row (parquet dictionary-encodes them away; the batch cost is
+    one shared Python string per column)."""
+    n = batch.num_rows
+    out = batch.append_column(
+        "compatibility_prompt", pa.array([COMPAT_PROMPT] * n, type=pa.string())
+    )
+    out = out.append_column(
+        "strategy_prompt", pa.array([STRATEGY_PROMPT] * n, type=pa.string())
+    )
+    return out.append_column(
+        "scoring_criteria", pa.array([SCORING_CRITERIA_JSON] * n, type=pa.string())
+    )
+
+
 # --- M10: skill buckets + scoring weights ------------------------------------
 
 
@@ -406,7 +428,7 @@ def framework_oracle_sql() -> dict[str, str]:
     bucket_cols = ",\n                   ".join(
         "coalesce(array_to_string(list_filter("
         + "[" + ", ".join(f"'{_q(w)}'" for w in vocab) + "]"
-        + ", k -> contains(lower(text), k)), ','), '') AS "
+        + ", k -> contains(lower(coalesce(text, '')), k)), ','), '') AS "
         + f"{bucket}_csv"
         for bucket, vocab in SKILL_BUCKETS.items()
     )
@@ -435,12 +457,13 @@ def framework_oracle_sql() -> dict[str, str]:
     return {
         "m2_full_framework": f"""
             SELECT doc_id,
-                   substr(text, 1, {TITLE_CHARS}) AS job_title,
-                   source AS company,
-                   length(substr(text, 1, 800)) AS desc800_len,
-                   '{_q(REQ_PROMPT_PREFIX)}' || substr(text, 1, {TITLE_CHARS})
-                     || '{_q(REQ_PROMPT_COMPANY)}' || source
-                     || '{_q(REQ_PROMPT_DESC)}' || substr(text, 1, 800)
+                   substr(coalesce(text, ''), 1, {TITLE_CHARS}) AS job_title,
+                   coalesce(source, '') AS company,
+                   length(substr(coalesce(text, ''), 1, 800)) AS desc800_len,
+                   '{_q(REQ_PROMPT_PREFIX)}'
+                     || substr(coalesce(text, ''), 1, {TITLE_CHARS})
+                     || '{_q(REQ_PROMPT_COMPANY)}' || coalesce(source, '')
+                     || '{_q(REQ_PROMPT_DESC)}' || substr(coalesce(text, ''), 1, 800)
                      AS requirements_prompt,
                    '{_q(COMPAT_PROMPT)}' AS compatibility_prompt,
                    '{_q(STRATEGY_PROMPT)}' AS strategy_prompt,
@@ -474,7 +497,7 @@ def framework_oracle_sql() -> dict[str, str]:
                      AS required_technical_csv,
                    {_prog_case_sql(lambda p: "'" + _q(",".join(p["soft"])) + "'")}
                      AS required_soft_csv
-            FROM (SELECT doc_id, lower(text) AS lt,
+            FROM (SELECT doc_id, lower(coalesce(text, '')) AS lt,
                          {_FAMILY_SQL} AS family, {_TIER_SQL} AS tier
                   FROM documents)
         """,
@@ -485,7 +508,7 @@ def framework_oracle_sql() -> dict[str, str]:
                    {_prog_case_sql(lambda p: missing_csv(p["soft"]))}
                      AS missing_soft_csv,
                    {_prog_case_sql(gap_expr)} AS gap_percentage
-            FROM (SELECT doc_id, lower(text) AS lt,
+            FROM (SELECT doc_id, lower(coalesce(text, '')) AS lt,
                          {_FAMILY_SQL} AS family, {_TIER_SQL} AS tier
                   FROM documents)
         """,

@@ -158,6 +158,34 @@ def _xxh64_fixed_len(mat: np.ndarray, seed: int = 0) -> np.ndarray:
     return h
 
 
+def _flat_bytes_offsets(col) -> tuple[np.ndarray, np.ndarray]:
+    """UTF-8/binary bytes of every row of a pyarrow string/binary array
+    as ONE flat uint8 buffer plus int64 row offsets (len n+1), nulls →
+    empty. Reads the Arrow data/offset buffers directly — no per-row
+    Python objects (same pattern as textops._lower_bytes_offsets)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        fill = b"" if pa.types.is_binary(col.type) or pa.types.is_large_binary(
+            col.type
+        ) else ""
+        col = pc.fill_null(col, fill)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+    large = pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type)
+    offs = np.frombuffer(
+        col.buffers()[1], dtype=np.int64 if large else np.int32
+    )[col.offset : col.offset + len(col) + 1].astype(np.int64)
+    buf = col.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8) if buf is not None else np.zeros(0, np.uint8)
+    )
+    return data, offs
+
+
 def xxh64_array(values, seed: int = 0) -> np.ndarray:
     """Exact XXH64 of every element of a string/bytes sequence.
 
@@ -165,11 +193,29 @@ def xxh64_array(values, seed: int = 0) -> np.ndarray:
     Returns uint64 ndarray. Rows are grouped by encoded byte length so
     each group runs fully vectorized with uniform control flow (URL
     corpora have few distinct lengths, so group count is small).
+    pyarrow input is ingested straight from the Arrow buffers — the
+    whole-corpus url-key path never materializes per-row Python strings.
     """
     import pyarrow as pa
 
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_pylist()
+        data, offs = _flat_bytes_offsets(values)
+        n = len(offs) - 1
+        out = np.zeros(n, dtype=_u64)
+        if n == 0:
+            return out
+        lens = offs[1:] - offs[:-1]
+        starts = offs[:-1]
+        for length in np.unique(lens):
+            idx = np.nonzero(lens == length)[0]
+            if length == 0:
+                out[idx] = _u64(xxh64(b"", seed))
+                continue
+            # gather the equal-length rows into a (k, L) matrix in one
+            # fancy-index (few hundred KB for a URL batch)
+            mat = data[starts[idx][:, None] + np.arange(length)]
+            out[idx] = _xxh64_fixed_len(mat, seed)
+        return out
     enc = [
         v if isinstance(v, (bytes, bytearray)) else ("" if v is None else str(v)).encode()
         for v in values
@@ -216,12 +262,23 @@ def content_keys(texts) -> np.ndarray:
 
     import pyarrow as pa
 
+    blake = hashlib.blake2b
     if isinstance(texts, (pa.Array, pa.ChunkedArray)):
-        texts = texts.to_pylist()
+        # Arrow-buffer ingest: zero-copy memoryview slices of the flat
+        # UTF-8 buffer feed the C digest — no per-row Python strings,
+        # no .encode() copies. The remaining per-row cost is the digest
+        # itself, which dominates for document-length payloads.
+        data, offs = _flat_bytes_offsets(texts)
+        n = len(offs) - 1
+        mv = memoryview(data)
+        out = np.empty(n, dtype=np.uint64)
+        for i in range(n):
+            out[i] = int.from_bytes(
+                blake(mv[offs[i] : offs[i + 1]], digest_size=8).digest(), "little"
+            )
+        return out.view(np.int64)
     out = np.empty(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
         b = t.encode() if isinstance(t, str) else (t or b"")
-        out[i] = int.from_bytes(
-            hashlib.blake2b(b, digest_size=8).digest(), "little"
-        )
+        out[i] = int.from_bytes(blake(b, digest_size=8).digest(), "little")
     return out.view(np.int64)

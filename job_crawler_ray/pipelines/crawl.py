@@ -142,6 +142,7 @@ def run_crawl(
     replicate: int = 1,
     resume: bool = False,
     reseed_epochs: dict[int, object] | None = None,
+    return_seen_keys: bool = False,
 ):
     """Run the crawl to frontier exhaustion (or cfg.max_epochs).
 
@@ -484,8 +485,12 @@ def run_crawl(
         "out_dir": cfg.out_dir,
         "manifests": manifests,
         "seen_total": seen.size(),
-        "seen_keys": seen.all_keys_sorted(),
     }
+    if return_seen_keys:
+        # parity tests only: concatenates EVERY seen key on the driver
+        # (8 B/key ⇒ 80 GB at a 10^10-URL frontier) — never part of the
+        # production return contract
+        result["seen_keys"] = seen.all_keys_sorted()
     seen.shutdown()
     return result
 

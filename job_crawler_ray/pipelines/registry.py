@@ -91,7 +91,7 @@ _IVF_INDEX_CACHE: dict[str, tuple] = {}
 
 def ann_ivf(sf_dir: str) -> pa.Table:
     """IVF-cell ANN (the clustering scale path): index built once per
-    corpus (deterministic Lloyd rounds), queries probe 4 of 16 cells."""
+    corpus (deterministic Lloyd rounds), queries probe 6 of 16 cells."""
     idx = _IVF_INDEX_CACHE.get(sf_dir)
     if idx is None:
         ds = rd.read_parquet(
@@ -186,9 +186,12 @@ def doc_fingerprints(sf_dir: str):
 def multimodal_decode(sf_dir: str):
     ds = _docs(sf_dir)
     ds = ds.map_batches(T.synth_binary_payloads, batch_format="pyarrow")
-    # actor pool, small batches — the layout for heavy binary payloads
+    # actor pool, small batches — the layout for heavy binary payloads.
+    # Autoscaling pool shape: a FIXED pool larger than free CPUs hangs
+    # forever on a loaded cluster (the round-2 driver run lost both
+    # multimodal entries to exactly that).
     ds = ds.map_batches(
-        T.BinaryDecoder, batch_format="pyarrow", batch_size=256, concurrency=2
+        T.BinaryDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
     )
     return ds.sort("doc_id")
 
@@ -343,18 +346,21 @@ def build_queries() -> dict:
             "t_token_count_bpe": t_token_count_bpe,
             "t_quality_score": t_quality_score,
             "t_lang_id": t_lang_id,
-            # rows-only (non-SQL-expressible)
-            "crawl_pipeline": crawl_pipeline,
-            "dedup_minhash": dedup_minhash,
-            "dedup_minhash_apply": dedup_minhash_apply,
-            "dedup_simhash": dedup_simhash,
-            "dedup_simhash_pairs": dedup_simhash_pairs,
+            # rows-only (non-SQL-expressible). Cheap entries first so a
+            # driver-side time budget truncates the expensive sketch
+            # pipelines last (round 2 lost the multimodal rows to the
+            # tail position).
+            "multimodal_decode": multimodal_decode,
+            "multimodal_pipeline": multimodal_pipeline,
             "doc_fingerprints": doc_fingerprints,
             "ann_lsh": ann_lsh,
             "ann_ivf": ann_ivf,
+            "crawl_pipeline": crawl_pipeline,
+            "dedup_simhash": dedup_simhash,
+            "dedup_simhash_pairs": dedup_simhash_pairs,
             "embedding_neardup_approx": embedding_neardup_approx,
-            "multimodal_decode": multimodal_decode,
-            "multimodal_pipeline": multimodal_pipeline,
+            "dedup_minhash": dedup_minhash,
+            "dedup_minhash_apply": dedup_minhash_apply,
         }
     )
     return q

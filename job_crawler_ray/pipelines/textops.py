@@ -309,7 +309,17 @@ class _PairTextVerifier:
             frag_ids, frag_txt = self._load(int(b))
             sel = buckets == b
             pos = np.searchsorted(frag_ids, ids[sel])
-            out[sel] = frag_txt[pos]
+            # fail loudly on a missing id (clobbered store / foreign
+            # pairs) instead of silently resolving to a neighbor's text
+            pos_c = np.minimum(pos, max(frag_ids.size - 1, 0))
+            if frag_ids.size == 0 or not np.array_equal(
+                frag_ids[pos_c], ids[sel]
+            ):
+                raise KeyError(
+                    f"text fragment bucket {int(b)} is missing ids "
+                    f"referenced by candidate pairs (store {self.frag_dir})"
+                )
+            out[sel] = frag_txt[pos_c]
         return out
 
     def _shingles_of(self, ids: np.ndarray) -> dict[int, np.ndarray]:
@@ -635,12 +645,13 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     # partition-pruned pattern as the crawl's corpus store, with no
     # all-to-all operator (Ray 2.49 hash joins can deadlock under
     # constrained CPU counts)
-    import os
     import shutil
     import tempfile
 
-    frag_dir = os.path.join(tempfile.gettempdir(), "jcr_minhash_texts")
-    shutil.rmtree(frag_dir, ignore_errors=True)
+    # unique per invocation: a fixed path lets two concurrent runs on
+    # one machine (bench + tests, two drivers) clobber each other's
+    # store mid-verify. On a real cluster this would be shared storage.
+    frag_dir = tempfile.mkdtemp(prefix="jcr_minhash_texts_")
 
     def add_tbucket(t: pa.Table) -> pa.Table:
         tb = (
@@ -659,7 +670,10 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
                                    text_col=text_col),
         batch_format="pyarrow",
         concurrency=(1, 8),
+        max_restarts=0,  # constructor args live in the object store;
+        # restarts can't recover them (ray#53727) — fail fast instead
     ).materialize()
+    shutil.rmtree(frag_dir, ignore_errors=True)
     if verified.count() <= OUT_SORT_DRIVER_LIMIT:  # skip a shuffle's fixed cost
         out = verified.to_pandas().sort_values(["id_a", "id_b"])
         return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
@@ -1037,8 +1051,13 @@ def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",
     import shutil
     import tempfile
 
-    work_dir = work_dir or os.path.join(tempfile.gettempdir(), "jcr_embdup_frags")
-    shutil.rmtree(work_dir, ignore_errors=True)
+    # unique dir per invocation unless the caller pins one (concurrent
+    # runs must not clobber each other's fragment store)
+    own_dir = work_dir is None
+    if own_dir:
+        work_dir = tempfile.mkdtemp(prefix="jcr_embdup_frags_")
+    else:
+        shutil.rmtree(work_dir, ignore_errors=True)
 
     def normalize(batch: pa.Table) -> pa.Table:
         m = _load_matrix(batch, col="embedding")
@@ -1070,8 +1089,12 @@ def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",
         batch_format="pyarrow",
         batch_size=1,
         concurrency=conc,
+        max_restarts=0,
     )
-    return scored.sort(["id_a", "id_b"])
+    out = scored.sort(["id_a", "id_b"]).materialize()
+    if own_dir:  # pairs are O(near-dups): safe to materialize, then clean
+        shutil.rmtree(work_dir, ignore_errors=True)
+    return out
 
 
 def _lsh_planes(dim: int, n_planes: int) -> np.ndarray:

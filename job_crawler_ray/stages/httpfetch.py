@@ -29,6 +29,7 @@ template a real deployment would use.
 
 from __future__ import annotations
 
+import http.client
 import threading
 import urllib.parse
 
@@ -130,7 +131,7 @@ class HttpFetcher:
                 if resp.status == 200:
                     return body
                 return None
-            except (OSError, TimeoutError, Exception):  # noqa: BLE001
+            except (OSError, TimeoutError, http.client.HTTPException):
                 self._connect()
                 if attempt == 1:
                     return None

@@ -54,7 +54,7 @@ def engine_result(ray_session, sf_small, robots, tmp_path_factory):
         num_seen_shards=4,
         robots_rules=robots,
     )
-    res = run_crawl(cfg, sf_dir=sf_small, replicate=2)
+    res = run_crawl(cfg, sf_dir=sf_small, replicate=2, return_seen_keys=True)
     return cfg, res
 
 
@@ -135,7 +135,8 @@ class TestReseedWave:
         )
         wave = pages_dataset(sf_small, replicate=2)
         res = run_crawl(
-            cfg, sf_dir=sf_small, replicate=2, reseed_epochs={2: wave}
+            cfg, sf_dir=sf_small, replicate=2, reseed_epochs={2: wave},
+            return_seen_keys=True,
         )
         assert np.array_equal(res["seen_keys"], oracle_result["seen_keys"])
         got = _order_df(cfg)
@@ -163,7 +164,8 @@ class TestResume:
             f.write(b"partial")
 
         cfg_b = CrawlConfig(work_dir=work, max_epochs=1000, **kw)
-        res = run_crawl(cfg_b, sf_dir=sf_small, replicate=2, resume=True)
+        res = run_crawl(cfg_b, sf_dir=sf_small, replicate=2, resume=True,
+                        return_seen_keys=True)
 
         assert np.array_equal(res["seen_keys"], oracle_result["seen_keys"])
         got = _order_df(cfg_b)
@@ -184,7 +186,7 @@ class TestExecutionShapeInvariance:
             batch_size=257,          # pathological batch size
             robots_rules=robots,
         )
-        res = run_crawl(cfg, sf_dir=sf_small, replicate=2)
+        res = run_crawl(cfg, sf_dir=sf_small, replicate=2, return_seen_keys=True)
         assert np.array_equal(res["seen_keys"], oracle_result["seen_keys"])
         got = _order_df(cfg)
         assert (got["url"].to_numpy() == oracle_result["order"]["url"].to_numpy()).all()
@@ -203,7 +205,7 @@ class TestRetention:
             num_seen_shards=2,
             robots_rules=robots,
         )
-        res = run_crawl(cfg, sf_dir=sf_small, replicate=2)
+        res = run_crawl(cfg, sf_dir=sf_small, replicate=2, return_seen_keys=True)
         n_epochs = res["epochs"]
         assert n_epochs >= 3
         removed = prune_checkpoints(cfg.checkpoint_dir, keep_last=2)
@@ -233,7 +235,7 @@ class TestDriverScaleParity:
             num_seen_shards=4,
             robots_rules=robots,
         )
-        res = run_crawl(cfg, sf_dir=sf_mid, replicate=1)
+        res = run_crawl(cfg, sf_dir=sf_mid, replicate=1, return_seen_keys=True)
         orc = crawl_oracle(
             pages_table(sf_mid, replicate=1),
             budget_per_host=300,
