@@ -258,6 +258,19 @@ COLLIDE_DRIVER_LIMIT = 20_000_000
 OUT_SORT_DRIVER_LIMIT = 5_000_000
 TEXT_FRAGS = 16  # hash buckets of the verify-stage text-fragment store
 
+# whole-cascade driver fast path: corpora whose (id, signature) stream
+# fits the driver (8 + 64×8 B/row ⇒ ~1 GB at the limit) run banding,
+# pair generation, dedup and the estimate cut in ONE in-process numpy
+# pass — at small scale the distributed cascade's four extra Ray
+# executions (explode, hot-scan, collide-filter, estimate fetch) are
+# pure fixed cost. Above the limit the distributed path is identical
+# in semantics (tests pin equality).
+SIG_STREAM_DRIVER_LIMIT = 2_000_000
+# candidate docs whose texts verify on the driver (couple KB/doc ⇒
+# few hundred MB at the limit); above it the bucket-fragment-store
+# actor verify runs instead
+VERIFY_TEXT_DRIVER_LIMIT = 200_000
+
 
 class _PairTextVerifier:
     """Actor-pool verify stage: resolves each pair's two texts from the
@@ -370,6 +383,205 @@ class _PairTextVerifier:
         )
 
 
+_EMPTY_PAIRS = pa.table(
+    {
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    }
+)
+
+
+def _driver_band_pairs(ids: np.ndarray, sig_mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LSH banding + in-bucket pair generation for a corpus whose
+    signature matrix is in memory: per-band argsort, group-run pair
+    expansion (same arange construction as the distributed
+    ``gen_pairs``). Returns RAW candidate pairs (id_a ≤ id_b,
+    cross-band duplicates included)."""
+    n = len(ids)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    rpb = NUM_PERM // LSH_BANDS
+    bands = sig_mat.reshape(n, LSH_BANDS, rpb)
+    folded = np.zeros((n, LSH_BANDS), dtype=_u64)
+    for r in range(rpb):
+        folded ^= mix64(bands[:, :, r], 9000 + r)
+    parts_a: list[np.ndarray] = []
+    parts_b: list[np.ndarray] = []
+    arange_n = np.arange(n)
+    for b in range(LSH_BANDS):  # per-band temporaries, not one global sort
+        col = folded[:, b]
+        order = np.argsort(col, kind="stable")
+        sc = col[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = sc[1:] != sc[:-1]
+        starts = np.nonzero(new)[0]
+        grp = np.cumsum(new) - 1
+        pos = arange_n - starts[grp]
+        total = int(pos.sum())
+        if not total:
+            continue
+        rights = np.repeat(arange_n, pos)
+        within = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(pos)[:-1])), pos
+        )
+        lefts = np.repeat(starts[grp], pos) + within
+        ia = ids[order][lefts]
+        ib = ids[order][rights]
+        parts_a.append(np.minimum(ia, ib))
+        parts_b.append(np.maximum(ia, ib))
+    if not parts_a:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(parts_a), np.concatenate(parts_b)
+
+
+def _dedup_pair_arrays(ids_a: np.ndarray, ids_b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cross-band pair dedup on a mixed 64-bit pair key."""
+    pkey = mix64(ids_a.view(_u64), 101) ^ mix64(ids_b.view(_u64), 202)
+    _, first = np.unique(pkey, return_index=True)
+    return ids_a[first], ids_b[first]
+
+
+def _sig_estimate(smat: np.ndarray, ra: np.ndarray, rb: np.ndarray) -> np.ndarray:
+    """Per-pair fraction of matching permutations, CHUNKED: one
+    O(pairs × NUM_PERM) fancy-gather per side allocates hundreds of MB
+    of fresh pages and measured 17 s for 300k pairs on this VM
+    (first-touch fault storm — the allocator munmaps big buffers, so
+    every run refaults); bounded scratch gathers reuse the same few MB
+    and run in milliseconds."""
+    npairs = len(ra)
+    est = np.empty(npairs, dtype=np.float64)
+    ch = 16384
+    buf_a = np.empty((ch, NUM_PERM), dtype=smat.dtype)
+    buf_b = np.empty((ch, NUM_PERM), dtype=smat.dtype)
+    for s in range(0, npairs, ch):
+        e = min(s + ch, npairs)
+        k = e - s
+        np.take(smat, ra[s:e], axis=0, out=buf_a[:k])
+        np.take(smat, rb[s:e], axis=0, out=buf_b[:k])
+        est[s:e] = (buf_a[:k] == buf_b[:k]).mean(axis=1)
+    return est
+
+
+def _jaccard_of_pairs(
+    txt_ids: np.ndarray, texts, ids_a: np.ndarray, ids_b: np.ndarray
+) -> np.ndarray:
+    """Exact shingle-set Jaccard per pair, texts in memory: one batch
+    shingle pass over the unique docs, then per-pair C merges on small
+    sorted sets (the ``_PairTextVerifier.__call__`` kernel)."""
+    order = np.argsort(txt_ids)
+    txt_ids = txt_ids[order]
+    texts = texts.take(pa.array(order)) if isinstance(
+        texts, (pa.Array, pa.ChunkedArray)
+    ) else np.asarray(texts, dtype=object)[order]
+    h, offs = _batch_shingle_hashes(
+        texts if isinstance(texts, (pa.Array, pa.ChunkedArray))
+        else pa.array(list(texts), type=pa.string())
+    )
+    pos_a = np.searchsorted(txt_ids, ids_a)
+    pos_b = np.searchsorted(txt_ids, ids_b)
+    jac = np.empty(len(ids_a), dtype=np.float64)
+    for p in range(len(ids_a)):
+        i, j = pos_a[p], pos_b[p]
+        a = h[offs[i]:offs[i + 1]]
+        bb = h[offs[j]:offs[j + 1]]
+        if a.size == 0 and bb.size == 0:
+            jac[p] = 1.0
+            continue
+        inter = np.intersect1d(a, bb, assume_unique=True).size
+        union = a.size + bb.size - inter
+        jac[p] = inter / union if union else 0.0
+    return jac
+
+
+def _minhash_pairs_small(ds, sigs, id_col: str, text_col: str):
+    """Driver fast path of :func:`minhash_neardup_pairs` for corpora
+    under ``SIG_STREAM_DRIVER_LIMIT`` rows: stream (id, minhash) from
+    the materialized signature dataset, run banding + pair generation +
+    cross-band dedup + the signature-estimate cut in ONE in-process
+    numpy pass, then fetch ONLY the candidate texts back from the
+    cluster (a single extra execution) and verify exact Jaccard
+    in-process. Semantically identical to the distributed cascade."""
+    import pyarrow.compute as pc
+
+    id_parts: list[np.ndarray] = []
+    mat_parts: list[np.ndarray] = []
+    for tb in sigs.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        id_parts.append(tb[id_col].to_numpy())
+        mat_parts.append(
+            np.asarray(tb["minhash"].combine_chunks().flatten())
+            .view(_u64)
+            .reshape(tb.num_rows, NUM_PERM)
+        )
+    if not id_parts:
+        return rd.from_arrow(_EMPTY_PAIRS)
+    ids = np.concatenate(id_parts)
+    mat = np.vstack(mat_parts)
+    ids_a, ids_b = _driver_band_pairs(ids, mat)
+    if ids_a.size == 0:
+        return rd.from_arrow(_EMPTY_PAIRS)
+    ids_a, ids_b = _dedup_pair_arrays(ids_a, ids_b)
+    order = np.argsort(ids)
+    sid, smat = ids[order], mat[order]
+    ra = np.searchsorted(sid, ids_a)
+    rb = np.searchsorted(sid, ids_b)
+    est = _sig_estimate(smat, ra, rb)
+    keep = est >= JACCARD_THRESHOLD - MINHASH_EST_MARGIN
+    ids_a, ids_b = ids_a[keep], ids_b[keep]
+    if ids_a.size == 0:
+        return rd.from_arrow(_EMPTY_PAIRS)
+    cand_ids = np.unique(np.concatenate([ids_a, ids_b]))
+    cid_ref = ray.put(cand_ids)
+
+    def texts_of_candidates(b: pa.Table) -> pa.Table:
+        cids = ray.get(cid_ref)
+        rids = b[id_col].to_numpy()
+        idx = np.searchsorted(cids, rids)
+        m = np.zeros(len(rids), dtype=bool)
+        in_r = idx < cids.size
+        m[in_r] = cids[idx[in_r]] == rids[in_r]
+        return b.filter(pa.array(m)).select([id_col, text_col])
+
+    cand_texts = ds.map_batches(texts_of_candidates, batch_format="pyarrow")
+    if cand_ids.size > VERIFY_TEXT_DRIVER_LIMIT:
+        # many candidates (collision-heavy corpus): texts stay off the
+        # driver — bucket-fragment-store actor verify
+        survivors = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(ids_a, type=pa.int64()),
+                    "id_b": pa.array(ids_b, type=pa.int64()),
+                }
+            )
+        )
+        return _fragment_store_verify(
+            survivors, cand_texts, len(ids_a), id_col, text_col
+        )
+    tparts = [
+        tb for tb in cand_texts.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 16
+        ) if tb.num_rows
+    ]
+    if not tparts:
+        return rd.from_arrow(_EMPTY_PAIRS)
+    tt = pa.concat_tables(tparts)
+    txt = pc.fill_null(tt[text_col].combine_chunks(), "")
+    jac = _jaccard_of_pairs(tt[id_col].to_numpy(), txt, ids_a, ids_b)
+    keep = jac >= JACCARD_THRESHOLD
+    ids_a, ids_b, jac = ids_a[keep], ids_b[keep], jac[keep]
+    out_order = np.lexsort((ids_b, ids_a))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(ids_a[out_order], type=pa.int64()),
+                "id_b": pa.array(ids_b[out_order], type=pa.int64()),
+                "jaccard": pa.array(np.round(jac[out_order], 6)),
+            }
+        )
+    )
+
+
 def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     """MinHash→LSH→verify: candidate pairs with exact shingle-Jaccard ≥
     threshold. Returns Dataset[(id_a, id_b, jaccard)] with id_a < id_b.
@@ -399,6 +611,14 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     sigs = ds.map_batches(
         lambda b: minhash_signatures_batch(b, text_col), batch_format="pyarrow"
     ).materialize()
+
+    # whole-cascade driver fast path (see SIG_STREAM_DRIVER_LIMIT): at
+    # small scale every post-signature stage is Ray-execution fixed
+    # cost, so banding → pairing → dedup → estimate run in-process on
+    # the streamed (id, signature) columns; only the candidate-text
+    # fetch (O(collisions)) goes back to the cluster
+    if sigs.count() <= SIG_STREAM_DRIVER_LIMIT:
+        return _minhash_pairs_small(ds, sigs, id_col, text_col)
 
     rows_per_band = NUM_PERM // LSH_BANDS
 
@@ -592,7 +812,7 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
         sig_ids, sig_mat = sig_ids[order], sig_mat[order]
         ra = np.searchsorted(sig_ids, ids_a)
         rb = np.searchsorted(sig_ids, ids_b)
-        est = (sig_mat[ra] == sig_mat[rb]).mean(axis=1)
+        est = _sig_estimate(sig_mat, ra, rb)
         keep = est >= JACCARD_THRESHOLD - MINHASH_EST_MARGIN
         ids_a, ids_b = ids_a[keep], ids_b[keep]
         if len(ids_a) == 0:
@@ -638,13 +858,20 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
             lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
         )
 
-    # --- stage 5: exact verify (texts via the bucket-fragment store) --------
-    # the candidate texts are spilled once to TEXT_FRAGS hash-bucketed
-    # parquet fragments (streaming write); each verify task loads just
-    # the fragments ITS batch references (per-actor LRU) — the same
-    # partition-pruned pattern as the crawl's corpus store, with no
-    # all-to-all operator (Ray 2.49 hash joins can deadlock under
-    # constrained CPU counts)
+    return _fragment_store_verify(survivors, cand_texts, n_surv, id_col, text_col)
+
+
+def _fragment_store_verify(survivors, cand_texts, n_surv: int, id_col: str,
+                           text_col: str):
+    """Stage 5: exact verify with texts via the bucket-fragment store.
+
+    The candidate texts are spilled once to TEXT_FRAGS hash-bucketed
+    parquet fragments (streaming write); each verify task loads just
+    the fragments ITS batch references (per-actor LRU) — the same
+    partition-pruned pattern as the crawl's corpus store, with no
+    all-to-all operator (Ray 2.49 hash joins can deadlock under
+    constrained CPU counts).
+    """
     import shutil
     import tempfile
 
