@@ -65,7 +65,7 @@ from job_crawler_ray.stages.fetch import (
     write_corpus_store,
 )
 from job_crawler_ray.stages.politeness import (
-    make_budget_release,
+    make_bounded_budget_release,
     robots_filter_batch,
 )
 from job_crawler_ray.stages.seen import SeenSet
@@ -277,13 +277,18 @@ def run_crawl(
 
         frontier = _seen_filter(frontier, seen, cfg.batch_size)
 
-        # per-host token-bucket release (budget = tokens per epoch);
-        # normalize the map_groups output back to Arrow blocks — pandas
-        # blocks flowing into the downstream sort trip Ray's schema
-        # dedup ("Failed to hash the schemas") and batch-type unions
+        # per-host token-bucket release (budget = tokens per epoch),
+        # bounded-memory: a per-block partial rank caps each host's
+        # shuffle group at budget × blocks rows (the Zipf-head host's
+        # group is otherwise the whole frontier share). Normalize the
+        # map_groups output back to Arrow blocks — pandas blocks
+        # flowing into the downstream sort trip Ray's schema dedup
+        # ("Failed to hash the schemas") and batch-type unions
+        partial_fn, release_fn = make_bounded_budget_release(cfg.budget_per_host)
         flagged = (
-            frontier.groupby("host")
-            .map_groups(make_budget_release(cfg.budget_per_host), batch_format="pandas")
+            frontier.map_batches(partial_fn, batch_format="pandas")
+            .groupby("rel_grp")
+            .map_groups(release_fn, batch_format="pandas")
             .map_batches(strip_meta, batch_format="pyarrow")
         )
         flagged = flagged.materialize()  # consumed twice (released + remaining)

@@ -83,3 +83,65 @@ def make_budget_release(budget: int):
         return g.assign(host_rank=rank, released=rank < budget)
 
     return budget_release
+
+
+def make_bounded_budget_release(budget: int):
+    """Bounded-memory budget release: ``(partial_fn, release_fn)``.
+
+    :func:`make_budget_release` alone materializes each host's ENTIRE
+    pending frontier in one pandas group — unbounded for the Zipf-head
+    host. This two-level variant bounds every group while keeping ONE
+    shuffle execution and an identical released set:
+
+    - ``partial_fn`` (map_batches, per block): rank the block's rows
+      per host in priority order. Rows with block-rank < budget are
+      CANDIDATES (grouped under key = host — any globally released row
+      is provably a candidate, and every row preceding a released row
+      is too, so candidate-set rank == global rank for released rows).
+      Rows at block-rank ≥ budget can never be released (≥ budget
+      higher-priority rows exist in their own block); they get key =
+      host + chr(0) + (block_rank // budget) so the groupby spreads
+      them over budget-row slices instead of one unbounded group.
+    - ``release_fn`` (map_groups over ``rel_grp``): candidate groups
+      (≤ budget × blocks rows) sort + rank exactly like
+      :func:`make_budget_release`; overflow groups just get
+      ``released=False`` (their ``host_rank`` is -1 — the contract
+      says it is only meaningful for released rows, and the crawl
+      drops it from the remaining frontier).
+
+    Deterministic under the same assumption as the one-level release:
+    no exact (warc_ts, canonical_url) ties within a host.
+    """
+    budget = int(budget)
+
+    def partial_release(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["host"] + PRIORITY_SORT, ascending=[True] + _ASCENDING,
+            kind="mergesort",
+        )
+        brank = g.groupby("host", sort=False).cumcount().to_numpy()
+        over = brank >= budget
+        key = g["host"].copy()
+        if over.any():
+            key[over] = (
+                g["host"][over] + "\x00" + pd.Series(
+                    brank[over] // budget, index=g.index[over]
+                ).astype(str)
+            )
+        return g.assign(rel_grp=key, _cand=~over)
+
+    def release_fn(group: pd.DataFrame) -> pd.DataFrame:
+        if bool(group["_cand"].iat[0]):
+            g = group.sort_values(
+                PRIORITY_SORT, ascending=_ASCENDING, kind="mergesort"
+            )
+            rank = np.arange(len(g), dtype=np.int64)
+            out = g.assign(host_rank=rank, released=rank < budget)
+        else:
+            out = group.assign(
+                host_rank=np.full(len(group), -1, dtype=np.int64),
+                released=False,
+            )
+        return out.drop(columns=["rel_grp", "_cand"])
+
+    return partial_release, release_fn

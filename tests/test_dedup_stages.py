@@ -113,6 +113,49 @@ class TestPoliteness:
         out = make_budget_release(1)(g)
         assert out[out["released"]].iloc[0]["canonical_url"] == "a"
 
+    def test_bounded_release_matches_unbounded(self):
+        """Two-level bounded release == one-level release on the
+        released set, for every block split of a skewed frontier."""
+        import numpy as np
+
+        from job_crawler_ray.stages.politeness import make_bounded_budget_release
+
+        rng = np.random.default_rng(7)
+        n = 300
+        frontier = pd.DataFrame(
+            {
+                "host": np.where(rng.random(n) < 0.7, "hot.x",
+                                 np.where(rng.random(n) < 0.5, "b.x", "c.x")),
+                "warc_ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.permutation(n), unit="h"),
+                "canonical_url": [f"https://x/{i}" for i in range(n)],
+            }
+        )
+        for budget in (1, 7, 50):
+            want = (
+                frontier.groupby("host", group_keys=False)[frontier.columns.tolist()]
+                .apply(make_budget_release(budget))
+            )
+            want_rel = want[want["released"]].sort_values(
+                ["host", "host_rank"]).reset_index(drop=True)
+            for nblocks in (1, 3, 8):
+                partial_fn, release_fn = make_bounded_budget_release(budget)
+                blocks = [
+                    partial_fn(frontier.iloc[i::nblocks]) for i in range(nblocks)
+                ]
+                cat = pd.concat(blocks)
+                # every shuffle group is bounded by budget × blocks
+                assert cat.groupby("rel_grp").size().max() <= budget * nblocks
+                got = pd.concat(
+                    [release_fn(g) for _, g in cat.groupby("rel_grp")]
+                )
+                got_rel = got[got["released"]].sort_values(
+                    ["host", "host_rank"]).reset_index(drop=True)
+                pd.testing.assert_frame_equal(
+                    got_rel[["host", "warc_ts", "canonical_url", "host_rank"]],
+                    want_rel[["host", "warc_ts", "canonical_url", "host_rank"]],
+                )
+
     def test_robots_filter(self):
         batch = pa.table(
             {
