@@ -392,24 +392,18 @@ _EMPTY_PAIRS = pa.table(
 )
 
 
-def _driver_band_pairs(ids: np.ndarray, sig_mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """LSH banding + in-bucket pair generation for a corpus whose
-    signature matrix is in memory: per-band argsort, group-run pair
-    expansion (same arange construction as the distributed
-    ``gen_pairs``). Returns RAW candidate pairs (id_a ≤ id_b,
-    cross-band duplicates included)."""
+def _pairs_from_folded(ids: np.ndarray, folded: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """In-bucket pair generation from an (n, n_bands) folded band-hash
+    matrix in memory: per-band argsort, group-run pair expansion (same
+    arange construction as the distributed ``gen_pairs``). Returns RAW
+    candidate pairs (id_a ≤ id_b, cross-band duplicates included)."""
     n = len(ids)
     if n == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    rpb = NUM_PERM // LSH_BANDS
-    bands = sig_mat.reshape(n, LSH_BANDS, rpb)
-    folded = np.zeros((n, LSH_BANDS), dtype=_u64)
-    for r in range(rpb):
-        folded ^= mix64(bands[:, :, r], 9000 + r)
     parts_a: list[np.ndarray] = []
     parts_b: list[np.ndarray] = []
     arange_n = np.arange(n)
-    for b in range(LSH_BANDS):  # per-band temporaries, not one global sort
+    for b in range(folded.shape[1]):  # per-band temporaries, not one global sort
         col = folded[:, b]
         order = np.argsort(col, kind="stable")
         sc = col[order]
@@ -434,6 +428,20 @@ def _driver_band_pairs(ids: np.ndarray, sig_mat: np.ndarray) -> tuple[np.ndarray
     if not parts_a:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     return np.concatenate(parts_a), np.concatenate(parts_b)
+
+
+def _driver_band_pairs(ids: np.ndarray, sig_mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Minhash LSH banding over an in-memory signature matrix: fold
+    each band's rows to one hash, then :func:`_pairs_from_folded`."""
+    n = len(ids)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    rpb = NUM_PERM // LSH_BANDS
+    bands = sig_mat.reshape(n, LSH_BANDS, rpb)
+    folded = np.zeros((n, LSH_BANDS), dtype=_u64)
+    for r in range(rpb):
+        folded ^= mix64(bands[:, :, r], 9000 + r)
+    return _pairs_from_folded(ids, folded)
 
 
 def _dedup_pair_arrays(ids_a: np.ndarray, ids_b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -971,12 +979,167 @@ def doc_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 SIMHASH_BANDS = 4          # 4 × 16-bit bands
 SIMHASH_MAX_HAMMING = 3    # pigeonhole: ≤3 flipped bits ⇒ ≥1 band identical
+# (id, simhash) rows streamed to the driver below this (16 B/row ⇒
+# ~320 MB at the limit): banding, pairing and the XOR-popcount verify
+# all run in one in-process pass — simhash needs no text fetch at all.
+# Above it the distributed cascade below runs with the same caps and
+# fallbacks as the minhash cascade.
+SIMHASH_STREAM_DRIVER_LIMIT = 20_000_000
+SIM_FRAGS = 64  # id-hash buckets of the signature fragment store
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized popcount of a uint64 array (bytewise table lookup)."""
     table = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
     return table[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
+
+def _fold_simhash_bands(sh_u64: np.ndarray) -> np.ndarray:
+    """(n, SIMHASH_BANDS) int64 matrix of the 16-bit band values, each
+    tagged with its band index so values cannot collide across bands."""
+    n = len(sh_u64)
+    folded = np.empty((n, SIMHASH_BANDS), dtype=np.int64)
+    for j in range(SIMHASH_BANDS):
+        folded[:, j] = ((sh_u64 >> _u64(16 * j)) & _u64(0xFFFF)).astype(
+            np.int64
+        ) + (j << 17)
+    return folded
+
+
+_EMPTY_SIM_PAIRS = pa.table(
+    {
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "hamming": pa.array([], pa.int64()),
+    }
+)
+
+
+def _verify_sim_pairs(
+    sid: np.ndarray, ssh: np.ndarray, ids_a: np.ndarray, ids_b: np.ndarray,
+    max_hamming: int,
+) -> pa.Table:
+    """XOR-popcount verify of pairs against a sorted (id, simhash)
+    lookup, chunked (bounded scratch, same rationale as
+    :func:`_sig_estimate`); returns the kept pairs sorted."""
+    npairs = len(ids_a)
+    d = np.empty(npairs, dtype=np.int64)
+    ch = 1 << 20
+    for s in range(0, npairs, ch):
+        e = min(s + ch, npairs)
+        sa = ssh[np.searchsorted(sid, ids_a[s:e])]
+        sb = ssh[np.searchsorted(sid, ids_b[s:e])]
+        d[s:e] = _popcount64(sa ^ sb)
+    keep = d <= max_hamming
+    ids_a, ids_b, d = ids_a[keep], ids_b[keep], d[keep]
+    order = np.lexsort((ids_b, ids_a))
+    return pa.table(
+        {
+            "id_a": pa.array(ids_a[order], type=pa.int64()),
+            "id_b": pa.array(ids_b[order], type=pa.int64()),
+            "hamming": pa.array(d[order], type=pa.int64()),
+        }
+    )
+
+
+def _simhash_pairs_small(sims, id_col: str, max_hamming: int):
+    """Driver fast path of :func:`simhash_neardup_pairs`: stream the
+    16 B/row (id, simhash) columns, band + pair + verify in-process.
+    No second cluster execution — the verify needs only signatures."""
+    id_parts: list[np.ndarray] = []
+    sh_parts: list[np.ndarray] = []
+    for tb in sims.select_columns([id_col, "simhash"]).iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20
+    ):
+        id_parts.append(tb[id_col].to_numpy())
+        sh_parts.append(tb["simhash"].to_numpy())
+    if not id_parts:
+        return rd.from_arrow(_EMPTY_SIM_PAIRS)
+    ids = np.concatenate(id_parts)
+    sh = np.concatenate(sh_parts)
+    ids_a, ids_b = _pairs_from_folded(ids, _fold_simhash_bands(sh.view(_u64)))
+    if ids_a.size == 0:
+        return rd.from_arrow(_EMPTY_SIM_PAIRS)
+    ids_a, ids_b = _dedup_pair_arrays(ids_a, ids_b)
+    order = np.argsort(ids)
+    return rd.from_arrow(
+        _verify_sim_pairs(ids[order], sh[order].view(_u64), ids_a, ids_b,
+                          max_hamming)
+    )
+
+
+class _SimPairVerifier:
+    """Actor-pool verify stage for the above-all-caps path: resolves
+    each pair's two simhashes from an id-hash-bucketed signature
+    fragment store (16 B/doc; per-actor LRU over fragments) and
+    XOR-popcounts the batch. Same partition-pruned shape as
+    :class:`_PairTextVerifier`, no texts involved."""
+
+    def __init__(self, frag_dir: str, id_col: str, max_hamming: int):
+        self.frag_dir = frag_dir
+        self.id_col = id_col
+        self.max_hamming = max_hamming
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _load(self, bucket: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self.cache.get(bucket)
+        if hit is None:
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            if len(self.cache) >= SIM_FRAGS:
+                self.cache.pop(next(iter(self.cache)))
+            files = glob.glob(
+                os.path.join(self.frag_dir, f"sbucket={bucket}", "*.parquet")
+            )
+            tables = [
+                pq.read_table(f, columns=[self.id_col, "simhash"]) for f in files
+            ]
+            t = pa.concat_tables(tables) if tables else pa.table(
+                {self.id_col: pa.array([], pa.int64()),
+                 "simhash": pa.array([], pa.int64())}
+            )
+            ids = t[self.id_col].to_numpy()
+            order = np.argsort(ids)
+            hit = self.cache[bucket] = (
+                ids[order], t["simhash"].to_numpy()[order].view(_u64)
+            )
+        return hit
+
+    def _sims_of(self, ids: np.ndarray) -> np.ndarray:
+        buckets = (mix64(ids.view(_u64), 404) % _u64(SIM_FRAGS)).astype(np.int64)
+        out = np.empty(len(ids), dtype=_u64)
+        for b in np.unique(buckets):
+            frag_ids, frag_sh = self._load(int(b))
+            sel = buckets == b
+            pos = np.searchsorted(frag_ids, ids[sel])
+            pos_c = np.minimum(pos, max(frag_ids.size - 1, 0))
+            if frag_ids.size == 0 or not np.array_equal(
+                frag_ids[pos_c], ids[sel]
+            ):
+                raise KeyError(
+                    f"simhash fragment bucket {int(b)} is missing ids "
+                    f"referenced by candidate pairs (store {self.frag_dir})"
+                )
+            out[sel] = frag_sh[pos_c]
+        return out
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY_SIM_PAIRS
+        ids_a = b["id_a"].to_numpy()
+        ids_b = b["id_b"].to_numpy()
+        d = _popcount64(self._sims_of(ids_a) ^ self._sims_of(ids_b))
+        keep = d <= self.max_hamming
+        return pa.table(
+            {
+                "id_a": pa.array(ids_a[keep], type=pa.int64()),
+                "id_b": pa.array(ids_b[keep], type=pa.int64()),
+                "hamming": pa.array(d[keep], type=pa.int64()),
+            }
+        )
 
 
 def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -986,60 +1149,85 @@ def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     Banding is EXACT for the default radius: a 64-bit simhash split
     into 4 × 16-bit bands must keep ≥1 band identical when ≤3 bits
     differ (pigeonhole), so candidate generation by band equality has
-    recall 1.0; verification is an XOR-popcount. Work ∝ band
-    collisions, the same shape as the minhash cascade — candidates are
-    O(collisions) and only 16 B/doc (id + simhash) ever reach the
-    driver."""
+    recall 1.0; verification is an XOR-popcount.
+
+    Scale shape mirrors the minhash cascade, with documented caps and
+    distributed fallbacks at every tier:
+
+    - corpus ≤ ``SIMHASH_STREAM_DRIVER_LIMIT``: the 16 B/row (id,
+      simhash) stream runs banding + pairing + verify in one
+      in-process pass (:func:`_simhash_pairs_small`);
+    - above it: distributed explode → hot-bucket scan (driver count
+      under ``HOT_HASH_DRIVER_LIMIT`` band rows, groupby + join
+      above) → in-bucket pair generation (driver under
+      ``COLLIDE_DRIVER_LIMIT`` colliding rows, coarse-partition
+      groupby above) → verify with CANDIDATE signatures only (driver
+      under ``PAIR_DRIVER_LIMIT`` pairs, id-bucketed signature
+      fragment store + :class:`_SimPairVerifier` actor pool above);
+    - output sorts on the driver under ``OUT_SORT_DRIVER_LIMIT``,
+      else via ``Dataset.sort``. No O(corpus) driver path remains.
+    """
+    import pyarrow.compute as pc
+
     sims = ds.map_batches(
         lambda b: simhash_batch(b, text_col), batch_format="pyarrow"
     ).materialize()
 
+    if sims.count() <= SIMHASH_STREAM_DRIVER_LIMIT:
+        return _simhash_pairs_small(sims, id_col, max_hamming)
+
     def explode(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy()
-        sh = b["simhash"].to_numpy().view(_u64)
-        bands = np.empty((len(ids), SIMHASH_BANDS), dtype=np.int64)
-        for j in range(SIMHASH_BANDS):
-            bands[:, j] = ((sh >> _u64(16 * j)) & _u64(0xFFFF)).astype(np.int64)
+        folded = _fold_simhash_bands(b["simhash"].to_numpy().view(_u64))
         band_id = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), len(ids))
-        # disambiguate band values across bands with the band index
-        band_hash = (bands + (np.arange(SIMHASH_BANDS) << 17)).reshape(-1)
         return pa.table(
             {
                 id_col: pa.array(np.repeat(ids, SIMHASH_BANDS)),
                 "band_id": pa.array(band_id),
-                "band_hash": pa.array(band_hash),
+                "band_hash": pa.array(folded.reshape(-1)),
             }
         )
 
     exploded = sims.map_batches(explode, batch_format="pyarrow").materialize()
-    # hot buckets: 2^19 possible band values → bincount on the driver
-    hash_parts = [
-        b["band_hash"].to_numpy()
-        for b in exploded.select_columns(["band_hash"]).iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20
-        )
-    ]
-    allh = np.concatenate(hash_parts) if hash_parts else np.zeros(0, np.int64)
-    uniq, cnt = np.unique(allh, return_counts=True)
-    hot = np.sort(uniq[cnt > 1])
-    if hot.size == 0:
-        return rd.from_arrow(
-            pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64()),
-                      "hamming": pa.array([], pa.int64())})
-        )
-    ref = ray.put(hot)
+    n_band_rows = exploded.count()  # metadata only
+    if n_band_rows <= HOT_HASH_DRIVER_LIMIT:
+        # hot buckets via an 8-byte driver stream
+        hash_parts = [
+            b["band_hash"].to_numpy()
+            for b in exploded.select_columns(["band_hash"]).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20
+            )
+        ]
+        allh = np.concatenate(hash_parts) if hash_parts else np.zeros(0, np.int64)
+        uniq, cnt = np.unique(allh, return_counts=True)
+        hot = np.sort(uniq[cnt > 1])
+        if hot.size == 0:
+            return rd.from_arrow(_EMPTY_SIM_PAIRS)
+        ref = ray.put(hot)
 
-    def only_hot(b: pa.Table) -> pa.Table:
-        hh = ray.get(ref)
-        keys = b["band_hash"].to_numpy()
-        idx = np.searchsorted(hh, keys)
-        m = np.zeros(len(keys), dtype=bool)
-        in_r = idx < hh.size
-        m[in_r] = hh[idx[in_r]] == keys[in_r]
-        return b.filter(pa.array(m))
+        def only_hot(b: pa.Table) -> pa.Table:
+            hh = ray.get(ref)
+            keys = b["band_hash"].to_numpy()
+            idx = np.searchsorted(hh, keys)
+            m = np.zeros(len(keys), dtype=bool)
+            in_r = idx < hh.size
+            m[in_r] = hh[idx[in_r]] == keys[in_r]
+            return b.filter(pa.array(m))
 
-    colliding = exploded.map_batches(only_hot, batch_format="pyarrow")
+        colliding = exploded.map_batches(only_hot, batch_format="pyarrow")
+    else:
+        # distributed fallback: count buckets with a groupby, join the
+        # hot keys back — no driver materialization at any size
+        from ray.data.aggregate import Count as _Count
+
+        counts = exploded.groupby("band_hash").aggregate(_Count(alias_name="_c"))
+        hot_ds = counts.map_batches(
+            lambda t: t.filter(pc.greater(t["_c"], 1)).select(["band_hash"]),
+            batch_format="pyarrow",
+        )
+        colliding = exploded.join(
+            hot_ds, "inner", num_partitions=PAIR_GEN_PARTS, on=("band_hash",)
+        )
 
     def add_part(b: pa.Table) -> pa.Table:
         part = (b["band_hash"].to_numpy() & (PAIR_GEN_PARTS - 1)).astype(np.int64)
@@ -1066,6 +1254,45 @@ def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         out = out[out["id_a"] != out["id_b"]]
         return out.astype({"id_a": "int64", "id_b": "int64"})
 
+    colliding = colliding.materialize()
+    n_coll = colliding.count()  # metadata only
+    if n_coll == 0:
+        return rd.from_arrow(_EMPTY_SIM_PAIRS)
+    if n_coll <= COLLIDE_DRIVER_LIMIT:
+        pdf = gen_pairs(colliding.to_pandas())
+        ids_a = pdf["id_a"].to_numpy()
+        ids_b = pdf["id_b"].to_numpy()
+        lo, hi = np.minimum(ids_a, ids_b), np.maximum(ids_a, ids_b)
+        ids_a, ids_b = _dedup_pair_arrays(lo, hi)
+        # candidate signatures only (O(collisions)): filter + stream
+        cand_ids = np.unique(np.concatenate([ids_a, ids_b]))
+        cid_ref = ray.put(cand_ids)
+
+        def sims_of_candidates(b: pa.Table) -> pa.Table:
+            cids = ray.get(cid_ref)
+            rids = b[id_col].to_numpy()
+            idx = np.searchsorted(cids, rids)
+            m = np.zeros(len(rids), dtype=bool)
+            in_r = idx < cids.size
+            m[in_r] = cids[idx[in_r]] == rids[in_r]
+            return b.filter(pa.array(m)).select([id_col, "simhash"])
+
+        sid_parts, sval_parts = [], []
+        for tb in sims.map_batches(
+            sims_of_candidates, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            sid_parts.append(tb[id_col].to_numpy())
+            sval_parts.append(tb["simhash"].to_numpy())
+        cid = np.concatenate(sid_parts)
+        csh = np.concatenate(sval_parts)
+        order = np.argsort(cid)
+        return rd.from_arrow(
+            _verify_sim_pairs(cid[order], csh[order].view(_u64), ids_a, ids_b,
+                              max_hamming)
+        )
+
+    # above all driver caps: distributed pair dedup + fragment-store
+    # signature verify (texts/sims never converge on the driver)
     pairs = (
         colliding.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
@@ -1073,46 +1300,68 @@ def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         .map_batches(strip_meta, batch_format="pyarrow")
         .materialize()
     )
-    # candidate sims (16 B/doc, O(collisions)) → broadcast; verify =
-    # XOR popcount, fully vectorized inside map_batches
-    sid_parts, sval_parts = [], []
-    for tb in sims.select_columns([id_col, "simhash"]).iter_batches(
-        batch_format="pyarrow", batch_size=1 << 20
-    ):
-        sid_parts.append(tb[id_col].to_numpy())
-        sval_parts.append(tb["simhash"].to_numpy())
-    all_ids = np.concatenate(sid_parts)
-    all_sims = np.concatenate(sval_parts)
-    order = np.argsort(all_ids)
-    sim_ref = ray.put((all_ids[order], all_sims[order]))
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(_EMPTY_SIM_PAIRS)
 
-    def verify(b: pa.Table) -> pa.Table:
-        ids_s, sims_s = ray.get(sim_ref)
-        a = b["id_a"].to_numpy()
-        bb = b["id_b"].to_numpy()
-        # canonical orientation + cross-band dedup within the batch
-        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
-        key = mix64(lo.view(_u64), 101) ^ mix64(hi.view(_u64), 202)
-        _, first = np.unique(key, return_index=True)
-        lo, hi = lo[first], hi[first]
-        sa = sims_s[np.searchsorted(ids_s, lo)].view(_u64)
-        sb = sims_s[np.searchsorted(ids_s, hi)].view(_u64)
-        d = _popcount64(sa ^ sb)
-        keep = d <= max_hamming
+    def normalize_pairs(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
         return pa.table(
             {
-                "id_a": pa.array(lo[keep], type=pa.int64()),
-                "id_b": pa.array(hi[keep], type=pa.int64()),
-                "hamming": pa.array(d[keep], type=pa.int64()),
+                "id_a": pa.array(np.minimum(a, b), type=pa.int64()),
+                "id_b": pa.array(np.maximum(a, b), type=pa.int64()),
             }
         )
 
-    verified = pairs.map_batches(verify, batch_format="pyarrow")
-    # batch-local dedup can miss cross-batch duplicates → tiny global
-    # distinct on the (already near-dup-only) output
-    out = verified.to_pandas().drop_duplicates(["id_a", "id_b"])
-    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy().view(_u64)
+        b = t["id_b"].to_numpy().view(_u64)
+        pp = ((mix64(a, 101) ^ mix64(b, 202)) & _u64(PAIR_GEN_PARTS - 1)).astype(
+            np.int64
+        )
+        return t.append_column("pair_part", pa.array(pp))
+
+    survivors = (
+        pairs.map_batches(normalize_pairs, batch_format="pyarrow")
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("pair_part")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
+            batch_format="pandas",
+        )
+        .map_batches(strip_meta, batch_format="pyarrow")
+    )
+
+    import shutil
+    import tempfile
+
+    frag_dir = tempfile.mkdtemp(prefix="jcr_simhash_sigs_")
+
+    def add_sbucket(t: pa.Table) -> pa.Table:
+        sb = (
+            mix64(t[id_col].to_numpy().view(_u64), 404) % _u64(SIM_FRAGS)
+        ).astype(np.int64)
+        return t.append_column("sbucket", pa.array(sb))
+
+    sims.select_columns([id_col, "simhash"]).map_batches(
+        add_sbucket, batch_format="pyarrow"
+    ).write_parquet(frag_dir, partition_cols=["sbucket"])
+
+    survivors = survivors.repartition(int(min(64, max(2, n_pairs // 4096 + 1))))
+    verified = survivors.map_batches(
+        _SimPairVerifier,
+        fn_constructor_kwargs=dict(frag_dir=frag_dir, id_col=id_col,
+                                   max_hamming=max_hamming),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        max_restarts=0,
+    ).materialize()
+    shutil.rmtree(frag_dir, ignore_errors=True)
+    if verified.count() <= OUT_SORT_DRIVER_LIMIT:
+        out = verified.to_pandas().sort_values(["id_a", "id_b"])
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+    return verified.sort(["id_a", "id_b"])
 
 
 def neardup_keep_representatives(ds, pairs, id_col: str = "doc_id"):
