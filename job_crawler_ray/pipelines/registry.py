@@ -174,7 +174,7 @@ def dedup_minhash_apply(sf_dir: str):
     keep min-id representative per cluster; returns surviving doc ids."""
     ds = _neardup_corpus(sf_dir)
     pairs = T.minhash_neardup_pairs(ds)
-    kept = T.neardup_keep_representatives(_neardup_corpus(sf_dir), pairs)
+    kept = T.neardup_keep_representatives(ds, pairs)
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
 

@@ -1364,52 +1364,285 @@ def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     return verified.sort(["id_a", "id_b"])
 
 
+def _cc_labels_vectorized(ia: np.ndarray, ib: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Connected-component min-labels over edge index arrays, fully
+    vectorized (hash-to-min rounds + pointer jumping — no per-edge
+    Python loop). Labels decrease monotonically; the fixpoint is the
+    per-component minimum, reached in O(log n) rounds."""
+    lbl = np.arange(n_nodes, dtype=np.int64)
+    while True:
+        prev = lbl
+        nxt = lbl.copy()
+        np.minimum.at(nxt, ia, lbl[ib])
+        np.minimum.at(nxt, ib, lbl[ia])
+        while True:  # full path compression this round
+            jumped = nxt[nxt]
+            if np.array_equal(jumped, nxt):
+                break
+            nxt = jumped
+        lbl = nxt
+        if np.array_equal(lbl, prev):
+            return lbl
+
+
+# loser ids broadcast to the survivor filter below this; above it the
+# losers go to an id-bucketed fragment store read by an actor pool
+LOSER_BROADCAST_LIMIT = 50_000_000
+CC_PARTS = 64  # hash partitions of the distributed star-contraction
+
+
+class _IdSetFilter:
+    """Actor-pool corpus filter against an id-bucketed parquet store of
+    ids to DROP (per-actor LRU over buckets) — the above-broadcast-cap
+    survivor filter."""
+
+    def __init__(self, frag_dir: str, id_col: str):
+        self.frag_dir = frag_dir
+        self.id_col = id_col
+        self.cache: dict[int, np.ndarray] = {}
+
+    def _load(self, bucket: int) -> np.ndarray:
+        hit = self.cache.get(bucket)
+        if hit is None:
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            if len(self.cache) >= SIM_FRAGS:
+                self.cache.pop(next(iter(self.cache)))
+            files = glob.glob(
+                os.path.join(self.frag_dir, f"dbucket={bucket}", "*.parquet")
+            )
+            parts = [pq.read_table(f, columns=["drop_id"]) for f in files]
+            ids = (
+                pa.concat_tables(parts)["drop_id"].to_numpy()
+                if parts
+                else np.zeros(0, np.int64)
+            )
+            hit = self.cache[bucket] = np.sort(ids)
+        return hit
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ids = b[self.id_col].to_numpy()
+        buckets = (mix64(ids.view(_u64), 505) % _u64(SIM_FRAGS)).astype(np.int64)
+        m = np.zeros(len(ids), dtype=bool)
+        for bk in np.unique(buckets):
+            drop = self._load(int(bk))
+            sel = buckets == bk
+            idx = np.searchsorted(drop, ids[sel])
+            in_r = idx < drop.size
+            hits = np.zeros(int(sel.sum()), dtype=bool)
+            hits[in_r] = drop[idx[in_r]] == ids[sel][in_r]
+            m[sel] = hits
+        return b.filter(pa.array(~m))
+
+
+def _star_contract_losers(pairs, id_col: str):
+    """Distributed connected components by alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): each round re-attaches every
+    node's neighbors to the neighborhood minimum via one
+    hash-partitioned groupby with a fully vectorized per-partition
+    kernel (no per-node Python). Converges in O(log²) rounds to a
+    forest of stars (loser → component-min root); the driver holds only
+    per-round counts/checksums. Returns a Dataset[(drop_id,)] of
+    losers."""
+
+    def to_directed(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
+        v = np.concatenate([a, b])
+        u = np.concatenate([b, a])
+        part = (mix64(v.view(_u64), 606) & _u64(CC_PARTS - 1)).astype(np.int64)
+        return pa.table(
+            {"v": pa.array(v), "u": pa.array(u), "part": pa.array(part)}
+        )
+
+    def star_kernel(large: bool):
+        def kernel(df: pd.DataFrame) -> pd.DataFrame:
+            v = df["v"].to_numpy()
+            u = df["u"].to_numpy()
+            order = np.lexsort((u, v))
+            v, u = v[order], u[order]
+            new = np.empty(len(v), dtype=bool)
+            new[0] = True
+            new[1:] = v[1:] != v[:-1]
+            starts = np.nonzero(new)[0]
+            grp = np.cumsum(new) - 1
+            m = np.minimum(np.minimum.reduceat(u, starts), v[starts])[grp]
+            sel = (u > v) if large else (u <= v)
+            out_a = u[sel]
+            out_b = m[sel]
+            if not large:
+                # keep v attached to its own minimum too
+                out_a = np.concatenate([out_a, v[starts]])
+                out_b = np.concatenate([out_b, m[starts]])
+            keep = out_a != out_b
+            return pd.DataFrame(
+                {
+                    "id_a": np.minimum(out_a[keep], out_b[keep]),
+                    "id_b": np.maximum(out_a[keep], out_b[keep]),
+                }
+            ).drop_duplicates()
+
+        return kernel
+
+    edges = pairs.select_columns(["id_a", "id_b"])
+    prev_sig = None
+    for _round in range(64):  # O(log²) expected; hard stop is a bug guard
+        for large in (True, False):
+            edges = (
+                edges.map_batches(to_directed, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(star_kernel(large), batch_format="pandas")
+                .map_batches(strip_meta, batch_format="pyarrow")
+            )
+        # cross-partition dedup, then convergence check by count + two
+        # order-invariant checksums (8 B each to the driver)
+        def pair_dedup_part(t: pa.Table) -> pa.Table:
+            a = t["id_a"].to_numpy().view(_u64)
+            b = t["id_b"].to_numpy().view(_u64)
+            pp = ((mix64(a, 101) ^ mix64(b, 202)) & _u64(CC_PARTS - 1)).astype(
+                np.int64
+            )
+            return t.append_column("pair_part", pa.array(pp))
+
+        edges = (
+            edges.map_batches(pair_dedup_part, batch_format="pyarrow")
+            .groupby("pair_part")
+            .map_groups(
+                lambda g: g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
+                batch_format="pandas",
+            )
+            .map_batches(strip_meta, batch_format="pyarrow")
+            .materialize()
+        )
+
+        def checksum(t: pa.Table) -> pa.Table:
+            a = t["id_a"].to_numpy().view(_u64)
+            b = t["id_b"].to_numpy().view(_u64)
+            k = mix64(a, 11) ^ mix64(b, 22)
+            with np.errstate(over="ignore"):
+                s = k.sum(dtype=_u64)
+            x = np.bitwise_xor.reduce(k) if len(k) else _u64(0)
+            return pa.table(
+                {"s": pa.array([s.view(np.int64)]), "x": pa.array([np.int64(x.view(np.int64))])}
+            )
+
+        parts = [
+            tb for tb in edges.map_batches(
+                checksum, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+        ]
+        if parts:
+            allp = pa.concat_tables(parts)
+            with np.errstate(over="ignore"):
+                sig = (
+                    edges.count(),
+                    int(allp["s"].to_numpy().view(_u64).sum(dtype=_u64)),
+                    int(np.bitwise_xor.reduce(allp["x"].to_numpy().view(_u64))),
+                )
+        else:
+            sig = (0, 0, 0)
+        if sig[0] == 0 or sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError("star contraction did not converge in 64 rounds")
+
+    # star state: every edge is (root=min, loser); losers = id_b side
+    return edges.map_batches(
+        lambda t: pa.table({"drop_id": t["id_b"]}), batch_format="pyarrow"
+    )
+
+
 def neardup_keep_representatives(ds, pairs, id_col: str = "doc_id"):
     """Near-dup APPLICATION: collapse each connected component of the
     pair graph to one representative (min id) and filter the corpus to
     survivors — the step that actually removes duplicates from a
     training set.
 
-    The pair list is O(true duplicates) — union-find runs on the driver
-    over ids only (16 B/pair), then survivors are kept by a broadcast
-    sorted-array filter; the corpus itself streams. (At extreme dup
-    rates this becomes iterative distributed label propagation — the
-    per-batch kernel is the same min-label lookup.)"""
-    pr = pairs.select_columns(["id_a", "id_b"]).to_pandas()
-    ids_a = pr["id_a"].to_numpy()
-    ids_b = pr["id_b"].to_numpy()
-    nodes = np.unique(np.concatenate([ids_a, ids_b]))
-    parent = np.arange(len(nodes))
+    Tiered like every cascade stage, each path deterministic (min-id
+    roots) and pinned equal by tests:
 
-    def find(i):
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:
-            parent[i], i = root, parent[i]
-        return root
+    - pairs ≤ ``PAIR_DRIVER_LIMIT``: connected components on the driver
+      with the VECTORIZED hash-to-min kernel
+      (:func:`_cc_labels_vectorized` — no per-pair Python loop);
+    - above it: distributed alternating star contraction
+      (:func:`_star_contract_losers`), driver holds per-round counts
+      and checksums only;
+    - survivor filter: broadcast sorted loser array under
+      ``LOSER_BROADCAST_LIMIT``, id-bucketed loser fragment store +
+      :class:`_IdSetFilter` actor pool above it. The corpus streams in
+      both paths."""
+    n_pairs = pairs.count()
+    losers_arr = None
+    losers_ds = None
+    if n_pairs <= PAIR_DRIVER_LIMIT:
+        a_parts, b_parts = [], []
+        for tb in pairs.select_columns(["id_a", "id_b"]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        ):
+            a_parts.append(tb["id_a"].to_numpy())
+            b_parts.append(tb["id_b"].to_numpy())
+        if not a_parts:
+            return ds
+        ids_a = np.concatenate(a_parts)
+        ids_b = np.concatenate(b_parts)
+        nodes = np.unique(np.concatenate([ids_a, ids_b]))
+        lbl = _cc_labels_vectorized(
+            np.searchsorted(nodes, ids_a), np.searchsorted(nodes, ids_b),
+            len(nodes),
+        )
+        losers_arr = nodes[lbl != np.arange(len(nodes))]  # already sorted
+    else:
+        losers_ds = _star_contract_losers(pairs, id_col)
 
-    ia = np.searchsorted(nodes, ids_a)
-    ib = np.searchsorted(nodes, ids_b)
-    for x, y in zip(ia, ib):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            parent[max(rx, ry)] = min(rx, ry)  # min-id wins ⇒ deterministic
-    roots = np.fromiter((find(i) for i in range(len(nodes))), dtype=np.int64,
-                        count=len(nodes))
-    losers = np.sort(nodes[roots != np.arange(len(nodes))])
-    ref = ray.put(losers)
+    if losers_arr is not None and losers_arr.size <= LOSER_BROADCAST_LIMIT:
+        ref = ray.put(losers_arr)
 
-    def keep(b: pa.Table) -> pa.Table:
-        drop = ray.get(ref)
-        ids = b[id_col].to_numpy()
-        idx = np.searchsorted(drop, ids)
-        m = np.zeros(len(ids), dtype=bool)
-        in_r = idx < drop.size
-        m[in_r] = drop[idx[in_r]] == ids[in_r]
-        return b.filter(pa.array(~m))
+        def keep(b: pa.Table) -> pa.Table:
+            drop = ray.get(ref)
+            ids = b[id_col].to_numpy()
+            idx = np.searchsorted(drop, ids)
+            m = np.zeros(len(ids), dtype=bool)
+            in_r = idx < drop.size
+            m[in_r] = drop[idx[in_r]] == ids[in_r]
+            return b.filter(pa.array(~m))
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    # fragment-store filter (no driver set, no broadcast)
+    import shutil
+    import tempfile
+
+    if losers_ds is None:
+        losers_ds = rd.from_arrow(
+            pa.table({"drop_id": pa.array(losers_arr, type=pa.int64())})
+        )
+    frag_dir = tempfile.mkdtemp(prefix="jcr_neardup_losers_")
+
+    def add_dbucket(t: pa.Table) -> pa.Table:
+        db = (
+            mix64(t["drop_id"].to_numpy().view(_u64), 505) % _u64(SIM_FRAGS)
+        ).astype(np.int64)
+        return t.append_column("dbucket", pa.array(db))
+
+    losers_ds.map_batches(add_dbucket, batch_format="pyarrow").write_parquet(
+        frag_dir, partition_cols=["dbucket"]
+    )
+    out = ds.map_batches(
+        _IdSetFilter,
+        fn_constructor_kwargs=dict(frag_dir=frag_dir, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        max_restarts=0,
+    ).materialize()
+    shutil.rmtree(frag_dir, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -121,6 +121,83 @@ class TestRowsOnlyPipelines:
         planted_bases = {i for i in base_ids if i % 5 == 0}
         assert len(planted_bases - kept) <= len(planted_bases) * 0.2
 
+    def test_connected_components_paths_agree(self, ray_session):
+        """Vectorized driver CC, distributed star contraction, and the
+        fragment-store survivor filter all match a plain union-find on
+        chains (contraction worst case), cliques, and random graphs."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from job_crawler_ray.pipelines import textops as T
+
+        def brute_losers(a, b):
+            parent = {}
+
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for x, y in zip(a.tolist(), b.tolist()):
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+            return {x for x in parent if find(x) != x}
+
+        rng = np.random.default_rng(5)
+        c = np.arange(40, dtype=np.int64)
+        ci, cj = np.triu_indices(15, 1)
+        ra = rng.integers(0, 300, 500)
+        rb = rng.integers(0, 300, 500)
+        m = ra != rb
+        cases = [
+            (c[:-1], c[1:]),                                   # chain
+            (ci.astype(np.int64) + 100, cj.astype(np.int64) + 100),  # clique
+            (np.minimum(ra, rb)[m] + 1000, np.maximum(ra, rb)[m] + 1000),
+        ]
+        for a, b in cases:
+            a, b = a.astype(np.int64), b.astype(np.int64)
+            want = brute_losers(a, b)
+            nodes = np.unique(np.concatenate([a, b]))
+            lbl = T._cc_labels_vectorized(
+                np.searchsorted(nodes, a), np.searchsorted(nodes, b), len(nodes)
+            )
+            assert set(nodes[lbl != np.arange(len(nodes))].tolist()) == want
+            pairs = rd.from_arrow(
+                pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+            )
+            got = set(
+                T._star_contract_losers(pairs, "doc_id")
+                .to_pandas()["drop_id"].tolist()
+            )
+            assert got == want
+
+        # keep_representatives: forced distributed + fragment paths
+        corpus = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+                    "text": pa.array([f"t{i}" for i in range(50)]),
+                }
+            )
+        )
+        a = np.array([1, 2, 3, 10, 11], dtype=np.int64)
+        b = np.array([2, 3, 4, 11, 12], dtype=np.int64)
+        pairs = rd.from_arrow(pa.table({"id_a": pa.array(a), "id_b": pa.array(b)}))
+        want_kept = set(range(50)) - brute_losers(a, b)
+        saved = (T.PAIR_DRIVER_LIMIT, T.LOSER_BROADCAST_LIMIT)
+        try:
+            for pl, ll in ((saved[0], saved[1]), (0, saved[1]), (saved[0], 0)):
+                T.PAIR_DRIVER_LIMIT, T.LOSER_BROADCAST_LIMIT = pl, ll
+                kept = set(
+                    T.neardup_keep_representatives(corpus, pairs)
+                    .to_pandas()["doc_id"].tolist()
+                )
+                assert kept == want_kept
+        finally:
+            T.PAIR_DRIVER_LIMIT, T.LOSER_BROADCAST_LIMIT = saved
+
     def test_simhash_neardups_have_close_hashes(self, sf_small, ray_session):
         from job_crawler_ray.pipelines.registry import dedup_simhash
 
