@@ -1865,39 +1865,93 @@ def ann_lsh_topk(index_ds, query_vec: np.ndarray, k: int = 10, n_planes: int = 6
     return pa.Table.from_pandas(parts, preserve_index=False)
 
 
-def embedding_neardup_pairs_approx(ds, threshold: float, n_cells: int = 16,
+IVF_CELL_TARGET_ROWS = 4 * EMB_FRAG_ROWS  # ≈ a few fragment-pair tasks per cell
+
+
+def embedding_neardup_pairs_approx(ds, threshold: float,
+                                   n_cells: int | None = None,
                                    id_col: str = "vec_id"):
     """APPROXIMATE near-dup: exact all-pairs WITHIN each IVF cell only —
-    the sub-quadratic scale path (work ∝ Σ cell²  ≪ corpus² when
-    n_cells grows with the corpus). Cross-cell pairs are missed by
-    design; every emitted pair is exact (cosines computed, not
-    estimated), so precision is 1.0 and the output is a subset of
-    :func:`embedding_neardup_pairs` (pinned by test)."""
-    index, _cent = ann_ivf_index(ds, n_cells=n_cells, id_col=id_col)
+    the sub-quadratic scale path. ``n_cells`` defaults to
+    ``corpus / IVF_CELL_TARGET_ROWS`` (min 16), so in-cell work is
+    Σ cell² ≈ n × target — LINEAR in the corpus at a fixed cell
+    target, not O((n/16)²). Cross-cell pairs are missed by design;
+    every emitted pair is exact (cosines computed, not estimated), so
+    precision is 1.0 and the output is a subset of
+    :func:`embedding_neardup_pairs` (pinned by test).
 
-    def cell_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].to_numpy()
-        m = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    Execution: normalized embeddings spill to a parquet store
+    partitioned by cell (cells larger than ``EMB_FRAG_ROWS`` split
+    into multiple fragments); every in-cell fragment pair is one
+    matmul task on the :class:`_FragPairScorer` actor pool — no
+    whole-cell pandas materialization anywhere."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    n = ds.count()
+    if n_cells is None:
+        n_cells = max(16, math.ceil(n / IVF_CELL_TARGET_ROWS))
+    index, _cent = ann_ivf_index(ds, n_cells=n_cells, id_col=id_col)
+    work_dir = tempfile.mkdtemp(prefix="jcr_ivfdup_frags_")
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        m = _load_matrix(batch, col="embedding")
         m = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
-        sims = m @ m.T
-        li, ri = np.nonzero(sims >= threshold)
-        keep = li < ri
-        li, ri = li[keep], ri[keep]
-        a, b = ids[li], ids[ri]
-        return pd.DataFrame(
+        dim = m.shape[1] if m.size else 0
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), type=pa.float64()), dim or 1
+        )
+        return pa.table(
             {
-                "id_a": np.minimum(a, b),
-                "id_b": np.maximum(a, b),
-                "cosine": np.round(sims[li, ri], 6),
+                id_col: batch[id_col],
+                "emb_norm": emb,
+                "ivf_cell": batch["ivf_cell"],
             }
         )
 
-    return (
-        index.groupby("ivf_cell")
-        .map_groups(cell_pairs, batch_format="pandas")
-        .map_batches(strip_meta, batch_format="pyarrow")
-        .sort(["id_a", "id_b"])
+    nfrag = max(n_cells, math.ceil(n / EMB_FRAG_ROWS))
+    index.map_batches(normalize, batch_format="pyarrow").repartition(
+        nfrag
+    ).write_parquet(work_dir, partition_cols=["ivf_cell"])
+
+    files: list[str] = []
+    items: list[dict] = []
+    for cell_dir in sorted(os.listdir(work_dir)):
+        cdir = os.path.join(work_dir, cell_dir)
+        if not os.path.isdir(cdir):
+            continue
+        fs = sorted(
+            os.path.join(cell_dir, f)
+            for f in os.listdir(cdir)
+            if f.endswith(".parquet")
+        )
+        base = len(files)
+        files.extend(fs)
+        for i in range(len(fs)):
+            for j in range(i, len(fs)):
+                items.append({"i": base + i, "j": base + j})
+    if not items:
+        shutil.rmtree(work_dir, ignore_errors=True)
+        return rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+        )
+    scored = rd.from_items(items).map_batches(
+        _FragPairScorer,
+        fn_constructor_kwargs=dict(
+            frag_dir=work_dir, files=files, threshold=threshold, id_col=id_col
+        ),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=(1, int(min(16, max(1, len(items))))),
+        max_restarts=0,
     )
+    out = scored.sort(["id_a", "id_b"]).materialize()
+    shutil.rmtree(work_dir, ignore_errors=True)
+    return out
 
 
 # --- IVF ANN: coarse-quantizer cells, probe a few at query time -------------
