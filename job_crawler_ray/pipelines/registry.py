@@ -108,6 +108,15 @@ def ann_ivf(sf_dir: str) -> pa.Table:
     return T.ann_ivf_topk(index_ds, cent, q, k=10, n_probe=6)
 
 
+def d4_ngram_jaccard(sf_dir: str):
+    """Exact word-bigram Jaccard similarity join over documents —
+    the SQL-checkable member of the dedup family (dedup_minhash is its
+    sketch estimator at scale)."""
+    return T.ngram_jaccard_pairs(
+        _docs(sf_dir), n=2, threshold=T.NGRAM_JACCARD_THRESHOLD
+    )
+
+
 def t_token_count(sf_dir: str):
     ds = _docs(sf_dir)
     return ds.map_batches(T.token_count_batch, batch_format="pyarrow")
@@ -265,7 +274,33 @@ def extra_oracle_sql() -> dict[str, str]:
         f"WHEN h_{lg} = g THEN '{lg}'" for lg in langs[:-1]
     ) + f" ELSE '{langs[-1]}' END"
     bpe_pat = T.BPE_TOKEN_PATTERN.replace("'", "''")
+    thr = T.NGRAM_JACCARD_THRESHOLD
     return {
+        "d4_ngram_jaccard": rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1])) AS grams
+              FROM w
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                         (len(a.grams) + len(b.grams)
+                          - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(a.grams) + len(b.grams)
+                  - len(list_intersect(a.grams, b.grams)) > 0
+              AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+                  (len(a.grams) + len(b.grams)
+                   - len(list_intersect(a.grams, b.grams))) >= {thr}
+            ORDER BY id_a, id_b
+        """,
         "ann_cosine_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(
@@ -342,6 +377,7 @@ def build_queries() -> dict:
             "m9_skill_gap": F.m9_skill_gap,
             "ann_cosine_topk": ann_cosine_topk,
             "embedding_neardup": embedding_neardup,
+            "d4_ngram_jaccard": d4_ngram_jaccard,
             "t_token_count": t_token_count,
             "t_token_count_bpe": t_token_count_bpe,
             "t_quality_score": t_quality_score,

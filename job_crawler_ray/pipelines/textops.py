@@ -278,10 +278,13 @@ class _PairTextVerifier:
     EXACT shingle-set Jaccard for the whole batch in one vectorized
     sort pass (no per-pair Python set ops)."""
 
-    def __init__(self, frag_dir: str, id_col: str, text_col: str):
+    def __init__(self, frag_dir: str, id_col: str, text_col: str,
+                 gram: str = "char", threshold: float = JACCARD_THRESHOLD):
         self.frag_dir = frag_dir
         self.id_col = id_col
         self.text_col = text_col
+        self.gram = gram  # "char" (k-byte shingles) or "word<n>"
+        self.threshold = threshold
         self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.sh_cache: dict[int, np.ndarray] = {}
 
@@ -346,7 +349,11 @@ class _PairTextVerifier:
                 self.sh_cache.clear()
             marr = np.asarray(missing, dtype=np.int64)
             texts = self._texts_of(marr)
-            h, offs = _batch_shingle_hashes(pa.array(texts, type=pa.string()))
+            col = pa.array(texts, type=pa.string())
+            if self.gram == "char":
+                h, offs = _batch_shingle_hashes(col)
+            else:
+                h, offs = _batch_wordgram_hashes(col, int(self.gram[4:]))
             for j, i in enumerate(missing):
                 self.sh_cache[i] = h[offs[j]:offs[j + 1]]
         for i in ids:
@@ -373,7 +380,7 @@ class _PairTextVerifier:
             inter = np.intersect1d(a, bb, assume_unique=True).size
             union = a.size + bb.size - inter
             jac[p] = inter / union if union else 0.0
-        keep = jac >= JACCARD_THRESHOLD
+        keep = jac >= self.threshold
         return pa.table(
             {
                 "id_a": pa.array(ids_a[keep], type=pa.int64()),
@@ -870,7 +877,8 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def _fragment_store_verify(survivors, cand_texts, n_surv: int, id_col: str,
-                           text_col: str):
+                           text_col: str, gram: str = "char",
+                           threshold: float = JACCARD_THRESHOLD):
     """Stage 5: exact verify with texts via the bucket-fragment store.
 
     The candidate texts are spilled once to TEXT_FRAGS hash-bucketed
@@ -902,7 +910,8 @@ def _fragment_store_verify(survivors, cand_texts, n_surv: int, id_col: str,
     verified = survivors.map_batches(
         _PairTextVerifier,
         fn_constructor_kwargs=dict(frag_dir=frag_dir, id_col=id_col,
-                                   text_col=text_col),
+                                   text_col=text_col, gram=gram,
+                                   threshold=threshold),
         batch_format="pyarrow",
         concurrency=(1, 8),
         max_restarts=0,  # constructor args live in the object store;
@@ -1362,6 +1371,271 @@ def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         out = verified.to_pandas().sort_values(["id_a", "id_b"])
         return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
     return verified.sort(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# word n-gram Jaccard similarity join (exact recall)
+# ---------------------------------------------------------------------------
+
+# exploded (doc_id, gram_hash) rows streamed to the driver below this
+# (16 B/row); above it the distributed shared-gram path runs
+NGRAM_STREAM_DRIVER_LIMIT = 50_000_000
+NGRAM_JACCARD_THRESHOLD = 0.3
+
+
+def _batch_wordgram_hashes(col, n: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted DISTINCT word-n-gram hashes for a whole batch:
+    ``(hashes, offsets)`` with doc i's grams at
+    ``hashes[offsets[i]:offsets[i+1]]``.
+
+    Tokenization matches the DuckDB twin exactly: lower-case, split on
+    ``\\s+``, drop empty tokens. A gram's hash mixes its n word hashes
+    order-sensitively; words contain no whitespace, so hash equality ≡
+    gram-string equality (modulo 2^-64 collisions). Fully vectorized:
+    one regex split (Arrow C++), one grouped-by-length xxh64 pass over
+    the flat word array, n shifted mix passes, per-doc segment unique.
+    """
+    import pyarrow.compute as pc
+
+    from job_crawler_ray.hashing import xxh64_array
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        col = pa.array(list(col), type=pa.string())
+    ndocs = len(col)
+    words = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(col, "")), r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    counts = (
+        np.asarray(words.offsets)[1:] - np.asarray(words.offsets)[:-1]
+    ).astype(np.int64)
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+    nonempty_w = pc.binary_length(flat).to_numpy().astype(np.int64) > 0
+    wh = xxh64_array(flat.filter(pa.array(nonempty_w)), seed=9090)
+    doc_of = doc_of[nonempty_w]
+    nw = len(wh)
+    empty_out = (np.zeros(0, _u64), np.zeros(ndocs + 1, np.int64))
+    if nw < n:
+        return empty_out
+    # gram at word position i spans words i..i+n-1 of the SAME doc
+    valid = doc_of[: nw - n + 1] == doc_of[n - 1 :]
+    g = np.zeros(nw - n + 1, dtype=_u64)
+    for j in range(n):
+        g = mix64(g ^ mix64(wh[j : nw - n + 1 + j], 500 + j), 600 + j)
+    g = g[valid]
+    gdoc = doc_of[: nw - n + 1][valid]
+    if g.size == 0:
+        return empty_out
+    # per-doc distinct (doc_of is non-decreasing ⇒ contiguous segments)
+    gcounts = np.bincount(gdoc, minlength=ndocs)
+    seg = np.concatenate(([0], np.cumsum(gcounts)))
+    parts: list[np.ndarray] = []
+    out_counts = np.zeros(ndocs, dtype=np.int64)
+    for i in range(ndocs):
+        s, e = seg[i], seg[i + 1]
+        if e > s:
+            u = np.unique(g[s:e])
+            parts.append(u)
+            out_counts[i] = u.size
+    hashes = np.concatenate(parts) if parts else np.zeros(0, _u64)
+    offsets = np.concatenate(([0], np.cumsum(out_counts))).astype(np.int64)
+    return hashes, offsets
+
+
+def ngram_jaccard_pairs(ds, n: int = 2,
+                        threshold: float = NGRAM_JACCARD_THRESHOLD,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """EXACT word-n-gram Jaccard similarity join: all pairs with
+    J(grams(a), grams(b)) ≥ threshold, J computed exactly (recall 1.0:
+    any qualifying pair shares ≥ 1 gram, and every shared gram makes
+    the pair a candidate). The SQL-oracle-checkable member of the dedup
+    family — dedup_minhash is its estimator at scale.
+
+    Tiers: corpora whose exploded (doc_id, gram_hash) rows fit under
+    ``NGRAM_STREAM_DRIVER_LIMIT`` run candidate generation + exact
+    verify in one in-process pass; above it the shared-gram candidates
+    flow through the cascade machinery (hot-gram scan under
+    ``HOT_HASH_DRIVER_LIMIT``, else groupby+join; part-grouped pair
+    generation; fragment-store verify in word-gram mode). Stop-word-
+    heavy grams make exact recall inherently collision-quadratic at
+    web scale — prefix filtering (PPJoin) is the documented next step;
+    until then the distributed path bounds memory, not candidate count.
+    """
+    import pyarrow.compute as pc
+
+    def explode(b: pa.Table) -> pa.Table:
+        h, offs = _batch_wordgram_hashes(b[text_col], n)
+        counts = offs[1:] - offs[:-1]
+        ids = np.repeat(b[id_col].to_numpy(), counts)
+        return pa.table(
+            {id_col: pa.array(ids), "gram": pa.array(h.view(np.int64))}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    n_rows = exploded.count()
+    if n_rows == 0:
+        return rd.from_arrow(_EMPTY_PAIRS)
+
+    if n_rows <= NGRAM_STREAM_DRIVER_LIMIT:
+        id_parts, g_parts = [], []
+        for tb in exploded.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            id_parts.append(tb[id_col].to_numpy())
+            g_parts.append(tb["gram"].to_numpy())
+        ids_flat = np.concatenate(id_parts)
+        gh_flat = np.concatenate(g_parts)
+        # candidate pairs: group runs of equal gram (exact recall)
+        order = np.argsort(gh_flat, kind="stable")
+        gs, ds_ids = gh_flat[order], ids_flat[order]
+        nrow = len(gs)
+        new = np.empty(nrow, dtype=bool)
+        new[0] = True
+        new[1:] = gs[1:] != gs[:-1]
+        starts = np.nonzero(new)[0]
+        grp = np.cumsum(new) - 1
+        pos = np.arange(nrow) - starts[grp]
+        total = int(pos.sum())
+        if total == 0:
+            return rd.from_arrow(_EMPTY_PAIRS)
+        rights = np.repeat(np.arange(nrow), pos)
+        within = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(pos)[:-1])), pos
+        )
+        lefts = np.repeat(starts[grp], pos) + within
+        ia, ib = ds_ids[lefts], ds_ids[rights]
+        keepm = ia != ib
+        ids_a = np.minimum(ia[keepm], ib[keepm])
+        ids_b = np.maximum(ia[keepm], ib[keepm])
+        if ids_a.size == 0:
+            return rd.from_arrow(_EMPTY_PAIRS)
+        ids_a, ids_b = _dedup_pair_arrays(ids_a, ids_b)
+        # exact Jaccard from the SAME exploded rows (already distinct
+        # per doc): per-doc sorted segments + per-pair C merges
+        o2 = np.lexsort((gh_flat, ids_flat))
+        sid, sgr = ids_flat[o2], gh_flat[o2]
+        udocs, ustarts = np.unique(sid, return_index=True)
+        uoffs = np.append(ustarts, len(sid))
+        pa_i = np.searchsorted(udocs, ids_a)
+        pb_i = np.searchsorted(udocs, ids_b)
+        jac = np.empty(len(ids_a), dtype=np.float64)
+        for p in range(len(ids_a)):
+            i, j = pa_i[p], pb_i[p]
+            a = sgr[uoffs[i]:uoffs[i + 1]]
+            bb = sgr[uoffs[j]:uoffs[j + 1]]
+            inter = np.intersect1d(a, bb, assume_unique=True).size
+            union = a.size + bb.size - inter
+            jac[p] = inter / union if union else 0.0
+        keep = jac >= threshold
+        ids_a, ids_b, jac = ids_a[keep], ids_b[keep], jac[keep]
+        out_order = np.lexsort((ids_b, ids_a))
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(ids_a[out_order], type=pa.int64()),
+                    "id_b": pa.array(ids_b[out_order], type=pa.int64()),
+                    "jaccard": pa.array(np.round(jac[out_order], 6)),
+                }
+            )
+        )
+
+    # distributed shared-gram path (same tiers as the minhash cascade)
+    if n_rows <= HOT_HASH_DRIVER_LIMIT:
+        parts = [
+            b["gram"].to_numpy()
+            for b in exploded.select_columns(["gram"]).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20
+            )
+        ]
+        allh = np.concatenate(parts)
+        uniq, cnt = np.unique(allh, return_counts=True)
+        hot = np.sort(uniq[cnt > 1])
+        if hot.size == 0:
+            return rd.from_arrow(_EMPTY_PAIRS)
+        ref = ray.put(hot)
+
+        def only_hot(b: pa.Table) -> pa.Table:
+            hh = ray.get(ref)
+            keys = b["gram"].to_numpy()
+            idx = np.searchsorted(hh, keys)
+            m = np.zeros(len(keys), dtype=bool)
+            in_r = idx < hh.size
+            m[in_r] = hh[idx[in_r]] == keys[in_r]
+            return b.filter(pa.array(m))
+
+        colliding = exploded.map_batches(only_hot, batch_format="pyarrow")
+    else:
+        from ray.data.aggregate import Count as _Count
+
+        counts = exploded.groupby("gram").aggregate(_Count(alias_name="_c"))
+        hot_ds = counts.map_batches(
+            lambda t: t.filter(pc.greater(t["_c"], 1)).select(["gram"]),
+            batch_format="pyarrow",
+        )
+        colliding = exploded.join(
+            hot_ds, "inner", num_partitions=PAIR_GEN_PARTS, on=("gram",)
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = (b["gram"].to_numpy() & (PAIR_GEN_PARTS - 1)).astype(np.int64)
+        return b.append_column("part", pa.array(part))
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df[id_col].to_numpy(), df["gram"].to_numpy()))
+        ids_sorted = df[id_col].to_numpy()[order]
+        gh = df["gram"].to_numpy()[order]
+        new_grp = np.empty(len(order), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = gh[1:] != gh[:-1]
+        grp_id = np.cumsum(new_grp) - 1
+        starts = np.nonzero(new_grp)[0]
+        pos = np.arange(len(order)) - starts[grp_id]
+        rights = np.repeat(np.arange(len(order)), pos)
+        within = np.arange(pos.sum()) - np.repeat(
+            np.concatenate(([0], np.cumsum(pos)[:-1])), pos
+        )
+        lefts = np.repeat(starts[grp_id], pos) + within
+        out = pd.DataFrame(
+            {
+                "id_a": np.minimum(ids_sorted[lefts], ids_sorted[rights]),
+                "id_b": np.maximum(ids_sorted[lefts], ids_sorted[rights]),
+            }
+        ).drop_duplicates()
+        out = out[out["id_a"] != out["id_b"]]
+        return out.astype({"id_a": "int64", "id_b": "int64"})
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy().view(_u64)
+        b = t["id_b"].to_numpy().view(_u64)
+        pp = ((mix64(a, 101) ^ mix64(b, 202)) & _u64(PAIR_GEN_PARTS - 1)).astype(
+            np.int64
+        )
+        return t.append_column("pair_part", pa.array(pp))
+
+    survivors = (
+        colliding.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gen_pairs, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("pair_part")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
+            batch_format="pandas",
+        )
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .materialize()
+    )
+    n_surv = survivors.count()
+    if n_surv == 0:
+        return rd.from_arrow(_EMPTY_PAIRS)
+    cand_texts = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    )
+    return _fragment_store_verify(
+        survivors, cand_texts, n_surv, id_col, text_col,
+        gram=f"word{n}", threshold=threshold,
+    )
 
 
 def _cc_labels_vectorized(ia: np.ndarray, ib: np.ndarray, n_nodes: int) -> np.ndarray:
