@@ -235,7 +235,9 @@ def pages_dataset(
         import ray
 
         num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    ds = rd.read_parquet(
+    from job_crawler_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     ds = ds.repartition(num_blocks)

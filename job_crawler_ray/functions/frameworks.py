@@ -353,9 +353,9 @@ def skill_gap_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def _docs_read(sf_dir: str, blocks: int = 16):
-    import ray.data as rd
+    from job_crawler_ray.util import read_parquet_clean
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     return ds.repartition(blocks)
@@ -370,9 +370,9 @@ def m10_skill_buckets(sf_dir: str):
 
 
 def m10_app_templates(sf_dir: str):
-    import ray.data as rd
+    from job_crawler_ray.util import read_parquet_clean
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
     ).repartition(8)
     return ds.map_batches(app_templates_batch, batch_format="pyarrow")

@@ -53,7 +53,7 @@ import pyarrow as pa
 
 import ray
 
-from job_crawler_ray.util import strip_meta
+from job_crawler_ray.util import read_parquet_clean, strip_meta
 
 from job_crawler_ray.corpus import pages_dataset
 from job_crawler_ray.functions.enrich import enrich_pages_batch
@@ -197,7 +197,7 @@ def run_crawl(
         _t0 = _time.time()
         if not os.path.isdir(cfg.store_dir):
             store_src = (
-                rd.read_parquet(pages_path, columns=["url", "html"])
+                read_parquet_clean(pages_path, columns=["url", "html"])
                 if pages_path
                 else (pages_ds or pages_dataset(sf_dir, replicate=replicate))
             )
@@ -212,7 +212,7 @@ def run_crawl(
         f0 = os.path.join(cfg.frontier_dir, "ep-00000")
         if not os.path.isdir(f0):
             frontier_src = (
-                rd.read_parquet(pages_path, columns=["url", "warc_ts"])
+                read_parquet_clean(pages_path, columns=["url", "warc_ts"])
                 if pages_path
                 else (pages_ds or pages_dataset(sf_dir, replicate=replicate))
             )

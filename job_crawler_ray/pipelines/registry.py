@@ -26,6 +26,7 @@ from job_crawler_ray.functions import frameworks as F
 from job_crawler_ray.pipelines import relational as R
 from job_crawler_ray.pipelines import textops as T
 from job_crawler_ray.pipelines.sql import oracle_queries
+from job_crawler_ray.util import read_parquet_clean
 from job_crawler_ray.pipelines import windows as W
 
 NEARDUP_THRESHOLD = 0.4  # cosine tail of the synthetic embeddings
@@ -34,10 +35,10 @@ NEARDUP_THRESHOLD = 0.4  # cosine tail of the synthetic embeddings
 def _docs(sf_dir: str, blocks: int = 16):
     """documents read, fanned out of its single row-group (1 block =
     1 task = no parallelism) into `blocks` blocks."""
-    from job_crawler_ray.util import strip_meta
+    from job_crawler_ray.util import read_parquet_clean
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(strip_meta, batch_format="pyarrow").repartition(blocks)
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.repartition(blocks)
 
 
 # --- embedding / text queries ----------------------------------------------
@@ -47,7 +48,7 @@ def ann_cosine_topk(sf_dir: str) -> pa.Table:
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     qrow = emb.filter(pa.compute.equal(emb["vec_id"], 0))
     q = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ds = ds.map_batches(
         lambda t: t.filter(pa.compute.not_equal(t["vec_id"], 0)),
         batch_format="pyarrow",
@@ -56,7 +57,7 @@ def ann_cosine_topk(sf_dir: str) -> pa.Table:
 
 
 def embedding_neardup(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return T.embedding_neardup_pairs(ds, threshold=NEARDUP_THRESHOLD)
 
 
@@ -68,7 +69,7 @@ def _ann_index_for(sf_dir: str):
     query in the session (signatures persisted, not recomputed)."""
     idx = _ANN_INDEX_CACHE.get(sf_dir)
     if idx is None:
-        ds = rd.read_parquet(
+        ds = read_parquet_clean(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         ds = ds.map_batches(
@@ -94,7 +95,7 @@ def ann_ivf(sf_dir: str) -> pa.Table:
     corpus (deterministic Lloyd rounds), queries probe 6 of 16 cells."""
     idx = _IVF_INDEX_CACHE.get(sf_dir)
     if idx is None:
-        ds = rd.read_parquet(
+        ds = read_parquet_clean(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         ).map_batches(
             lambda t: t.filter(pa.compute.not_equal(t["vec_id"], 0)),
@@ -172,7 +173,7 @@ def dedup_simhash_pairs(sf_dir: str):
 def embedding_neardup_approx(sf_dir: str):
     """Sub-quadratic near-dup (IVF in-cell pairs) — the approximate
     scale path; exact twin is `embedding_neardup`."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return T.embedding_neardup_pairs_approx(ds, threshold=NEARDUP_THRESHOLD)
@@ -225,6 +226,19 @@ def multimodal_pipeline(sf_dir: str):
         concurrency=(1, 2),
     )
     return ds.sort("doc_id")
+
+
+def multimodal_frame_sample(sf_dir: str):
+    """Video frame sampling: synth payloads → every-4th-frame
+    explosion (one row per kept frame) → per-frame byte features —
+    the flat_map member of the multimodal chain."""
+    ds = _docs(sf_dir)
+    ds = ds.map_batches(T.synth_video_payloads, batch_format="pyarrow")
+    ds = ds.map_batches(
+        T.FrameSampler, fn_constructor_kwargs=dict(every_k=4),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 2),
+    )
+    return ds.sort(["doc_id", "frame_idx"])
 
 
 def crawl_pipeline(sf_dir: str):
@@ -388,6 +402,7 @@ def build_queries() -> dict:
             # tail position).
             "multimodal_decode": multimodal_decode,
             "multimodal_pipeline": multimodal_pipeline,
+            "multimodal_frame_sample": multimodal_frame_sample,
             "doc_fingerprints": doc_fingerprints,
             "ann_lsh": ann_lsh,
             "ann_ivf": ann_ivf,

@@ -63,7 +63,9 @@ def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
     unhashable metadata that spams Ray's schema dedup on reduces)."""
     from job_crawler_ray.util import strip_meta
 
-    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from job_crawler_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
     ds = ds.map_batches(strip_meta, batch_format="pyarrow")
     return ds.repartition(blocks) if blocks else ds
 

@@ -2538,6 +2538,89 @@ class BinaryFeatureExtractor:
         return out.append_column("distinct_bytes", pa.array(distinct))
 
 
+class FrameSampler:
+    """Actor-pool frame-sampling stage for opaque VIDEO payloads: keep
+    every k-th frame, one output row per kept frame (row explosion —
+    the multimodal flat_map shape).
+
+    Payload format is the codec-free sandbox stand-in
+    (``FAKEVID1`` + uint32 n_frames + uint32 frame_bytes + frames);
+    swap ``_frames`` for an ffmpeg/PyAV keyframe iterator in
+    production. The Ray-side shape is the real one: binary in, small
+    batches, per-actor state, frame rows out with (doc_id, frame_idx,
+    frame) so downstream decode/feature stages chain per frame;
+    undecodable payloads degrade to zero rows plus a flag row, never
+    an exception."""
+
+    MAGIC = b"FAKEVID1"
+
+    def __init__(self, every_k: int = 4):
+        self.every_k = int(every_k)
+
+    def _frames(self, p: bytes):
+        n = int.from_bytes(p[8:12], "little")
+        fb = int.from_bytes(p[12:16], "little")
+        body = p[16:]
+        for i in range(0, n, self.every_k):
+            yield i, body[i * fb : (i + 1) * fb]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        idx_out: list[int] = []
+        frames: list[bytes] = []
+        ok_out: list[bool] = []
+        ids = batch["doc_id"].to_pylist()
+        for doc_id, p in zip(ids, batch["payload"].to_pylist()):
+            if p is None or not p.startswith(self.MAGIC):
+                ids_out.append(doc_id)
+                idx_out.append(-1)
+                frames.append(b"")
+                ok_out.append(False)
+                continue
+            for i, fr in self._frames(p):
+                ids_out.append(doc_id)
+                idx_out.append(i)
+                frames.append(fr)
+                ok_out.append(True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+                "frame_idx": pa.array(idx_out, type=pa.int64()),
+                "frame": pa.array(frames, type=pa.binary()),
+                "frame_ok": pa.array(ok_out, type=pa.bool_()),
+            }
+        )
+
+
+def synth_video_payloads(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic fake video payloads (magic + n_frames +
+    frame_bytes + frames derived from mix64(doc_id, frame)) so the
+    frame-sampling plumbing is exercised end to end."""
+    ids = batch["doc_id"].to_numpy()
+    frame_bytes = 64
+    payloads = []
+    for i in ids:
+        n = int(mix64(np.array([i], dtype=_u64), 503)[0] % _u64(24)) + 8
+        body = b"".join(
+            bytes(
+                mix64(
+                    np.arange(frame_bytes // 8, dtype=_u64)
+                    + _u64(int(i) * 1000 + f),
+                    504,
+                ).tobytes()
+            )
+            for f in range(n)
+        )
+        payloads.append(
+            FrameSampler.MAGIC
+            + n.to_bytes(4, "little")
+            + frame_bytes.to_bytes(4, "little")
+            + body
+        )
+    keep = batch.select([c for c in batch.column_names if c != text_col])
+    return keep.append_column("payload", pa.array(payloads, type=pa.binary()))
+
+
 def synth_binary_payloads(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic fake image payloads (magic + dims + body) so the
     multimodal pipeline plumbing is exercised end to end."""

@@ -40,7 +40,9 @@ RANGE_JOIN_HOURS = 1
 
 
 def _events(sf_dir: str, columns=None):
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    from job_crawler_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=columns)
     return ds.map_batches(strip_meta, batch_format="pyarrow").repartition(8)
 
 

@@ -18,3 +18,34 @@ def strip_meta(t: pa.Table) -> pa.Table:
     and directly after parquet reads.
     """
     return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` with a metadata-stripped explicit
+    schema.
+
+    Pandas-written parquet (the driver testdata, any ``to_parquet``
+    output) carries ``b'pandas'`` schema metadata; blocks produced by
+    the READ operator then trip Ray's schema-dedup hashing ("Failed to
+    hash the schemas") on every downstream reduce task — a post-read
+    ``strip_meta`` map can't reach those. Passing the cleaned schema to
+    the datasource kills the noise at the source and keeps the read
+    column-pruned."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import glob
+    import os
+
+    probe = path
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                 recursive=True))
+        if not files:
+            return rd.read_parquet(path, columns=columns, **kwargs)
+        probe = files[0]
+    sch = pq.read_schema(probe)
+    names = columns if columns is not None else sch.names
+    clean = pa.schema([sch.field(c).remove_metadata() for c in names])
+    return rd.read_parquet(path, columns=columns, schema=clean, **kwargs)

@@ -271,6 +271,23 @@ class TestRowsOnlyPipelines:
         assert (df["width"] >= 16).all() and (df["height"] >= 16).all()
         assert (df["body_bytes"] > 0).all()
 
+    def test_multimodal_frame_sample(self, sf_small, ray_session):
+        """Every-4th-frame row explosion: kept frames are multiples of
+        4, fixed frame size, per-doc counts match ceil(n_frames/4)."""
+        from job_crawler_ray.pipelines.registry import multimodal_frame_sample
+
+        df = multimodal_frame_sample(sf_small).to_pandas()
+        ok = df[df["frame_ok"]]
+        assert len(ok) > 0 and ok["frame_ok"].all()
+        assert (ok["frame_idx"] % 4 == 0).all()
+        assert ok["frame"].map(len).eq(64).all()
+        per_doc = ok.groupby("doc_id").size()
+        # synth n_frames ∈ [8, 32) ⇒ every-4th keeps 2..8 frames
+        assert per_doc.between(2, 8).all()
+        # deterministic across runs
+        df2 = multimodal_frame_sample(sf_small).to_pandas()
+        pd.testing.assert_frame_equal(df, df2)
+
     def test_embedding_neardup_multifragment(self, sf_small, ray_session, monkeypatch):
         """The blocked fragment-pair path must produce the identical
         exact pair set regardless of fragment count."""
