@@ -286,7 +286,7 @@ def run_crawl(
         # ("Failed to hash the schemas") and batch-type unions
         partial_fn, release_fn = make_bounded_budget_release(cfg.budget_per_host)
         flagged = (
-            frontier.map_batches(partial_fn, batch_format="pandas")
+            frontier.map_batches(partial_fn, batch_format="pyarrow")
             .groupby("rel_grp")
             .map_groups(release_fn, batch_format="pandas")
             .map_batches(strip_meta, batch_format="pyarrow")

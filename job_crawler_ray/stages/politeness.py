@@ -114,7 +114,14 @@ def make_bounded_budget_release(budget: int):
     """
     budget = int(budget)
 
-    def partial_release(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_release(t: pa.Table) -> pa.Table:
+        # Arrow in, STRIPPED Arrow out: this stage feeds the rel_grp
+        # shuffle, and pandas-converted blocks entering a shuffle carry
+        # unhashable pandas schema metadata (Ray logs "Failed to hash
+        # the schemas" on every reduce task)
+        from job_crawler_ray.util import strip_meta
+
+        df = t.to_pandas()
         g = df.sort_values(
             ["host"] + PRIORITY_SORT, ascending=[True] + _ASCENDING,
             kind="mergesort",
@@ -128,7 +135,8 @@ def make_bounded_budget_release(budget: int):
                     brank[over] // budget, index=g.index[over]
                 ).astype(str)
             )
-        return g.assign(rel_grp=key, _cand=~over)
+        out = g.assign(rel_grp=key, _cand=~over)
+        return strip_meta(pa.Table.from_pandas(out, preserve_index=False))
 
     def release_fn(group: pd.DataFrame) -> pd.DataFrame:
         if bool(group["_cand"].iat[0]):

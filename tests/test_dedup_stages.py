@@ -141,7 +141,12 @@ class TestPoliteness:
             for nblocks in (1, 3, 8):
                 partial_fn, release_fn = make_bounded_budget_release(budget)
                 blocks = [
-                    partial_fn(frontier.iloc[i::nblocks]) for i in range(nblocks)
+                    partial_fn(
+                        pa.Table.from_pandas(
+                            frontier.iloc[i::nblocks], preserve_index=False
+                        )
+                    ).to_pandas()
+                    for i in range(nblocks)
                 ]
                 cat = pd.concat(blocks)
                 # every shuffle group is bounded by budget × blocks
