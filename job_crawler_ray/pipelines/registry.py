@@ -147,11 +147,15 @@ def _neardup_corpus(sf_dir: str):
     base = _docs(sf_dir)
 
     def mutate(t: pa.Table) -> pa.Table:
+        from job_crawler_ray.util import strip_meta
+
         df = t.to_pandas()
         df = df[df["doc_id"] % 5 == 0].copy()
         df["doc_id"] = df["doc_id"] + 100000
         df["text"] = df["text"].fillna("") + " extra token"
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # stripped: pandas-metadata blocks entering downstream sorts
+        # trip Ray's schema-dedup hashing on reduce tasks
+        return strip_meta(pa.Table.from_pandas(df, preserve_index=False))
 
     return base.union(base.map_batches(mutate, batch_format="pyarrow"))
 

@@ -2140,6 +2140,10 @@ def ann_lsh_topk(index_ds, query_vec: np.ndarray, k: int = 10, n_planes: int = 6
 
 
 IVF_CELL_TARGET_ROWS = 4 * EMB_FRAG_ROWS  # ≈ a few fragment-pair tasks per cell
+# corpora whose (id, cell, embedding) stream fits the driver run the
+# per-cell matmuls in-process (dim 64 f64 ⇒ ~520 B/row, ~100 MB at
+# the limit); above it the cell-partitioned fragment store runs
+EMB_NEARDUP_DRIVER_LIMIT = 200_000
 
 
 def embedding_neardup_pairs_approx(ds, threshold: float,
@@ -2168,6 +2172,52 @@ def embedding_neardup_pairs_approx(ds, threshold: float,
     if n_cells is None:
         n_cells = max(16, math.ceil(n / IVF_CELL_TARGET_ROWS))
     index, _cent = ann_ivf_index(ds, n_cells=n_cells, id_col=id_col)
+
+    # driver fast path: small corpora stream (id, cell, embedding) and
+    # run the per-cell all-pairs matmuls in-process — the fragment
+    # store + actor pool below is pure fixed cost at this size
+    if n <= EMB_NEARDUP_DRIVER_LIMIT:
+        id_parts, cell_parts, m_parts = [], [], []
+        for tb in index.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+            id_parts.append(tb[id_col].to_numpy())
+            cell_parts.append(tb["ivf_cell"].to_numpy())
+            m_parts.append(_load_matrix(tb, col="embedding"))
+        if not id_parts:
+            return rd.from_arrow(
+                pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+            )
+        ids = np.concatenate(id_parts)
+        cells = np.concatenate(cell_parts)
+        m = np.vstack(m_parts)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+        out_a, out_b, out_c = [], [], []
+        for c in np.unique(cells):
+            sel = np.nonzero(cells == c)[0]
+            cm = m[sel]
+            sims = cm @ cm.T
+            li, ri = np.nonzero(sims >= threshold)
+            keep = li < ri
+            li, ri = li[keep], ri[keep]
+            a, b = ids[sel][li], ids[sel][ri]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_c.append(np.round(sims[li, ri], 6))
+        ids_a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        ids_b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        cos = np.concatenate(out_c) if out_c else np.zeros(0, np.float64)
+        order = np.lexsort((ids_b, ids_a))
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(ids_a[order], type=pa.int64()),
+                    "id_b": pa.array(ids_b[order], type=pa.int64()),
+                    "cosine": pa.array(cos[order], type=pa.float64()),
+                }
+            )
+        )
+
     work_dir = tempfile.mkdtemp(prefix="jcr_ivfdup_frags_")
 
     def normalize(batch: pa.Table) -> pa.Table:
