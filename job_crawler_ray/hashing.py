@@ -198,6 +198,11 @@ def xxh64_array(values, seed: int = 0) -> np.ndarray:
     """
     import pyarrow as pa
 
+    if isinstance(values, (pa.Array, pa.ChunkedArray)) and not (
+        pa.types.is_string(values.type) or pa.types.is_large_string(values.type)
+        or pa.types.is_binary(values.type) or pa.types.is_large_binary(values.type)
+    ):
+        values = values.to_pylist()  # non-string arrays: generic path
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         data, offs = _flat_bytes_offsets(values)
         n = len(offs) - 1

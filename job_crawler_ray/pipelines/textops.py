@@ -1374,6 +1374,84 @@ def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (mergeable across batches/nodes)
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 2^12 = 4096 registers ⇒ ~1.6 % typical relative error
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length of uint64 (binary-search shifts —
+    no float log2, which rounds wrong above 2^53)."""
+    bl = np.zeros(w.shape, dtype=np.int64)
+    cur = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = cur >= (_u64(1) << _u64(shift))
+        bl[m] += shift
+        cur[m] >>= _u64(shift)
+    return bl + (cur > 0)
+
+
+def hll_partial_batch(batch: pa.Table, col: str) -> pa.Table:
+    """One HLL register vector per batch (Flajolet et al. '07, 64-bit
+    hash variant): xxh64 the column, route by the top ``HLL_P`` bits,
+    register = max rank of the remaining bits. Partials are tiny
+    (4 KB) and merge by elementwise max — the classic mergeable-sketch
+    shape for distributed distinct counts."""
+    from job_crawler_ray.hashing import xxh64_array
+
+    import pyarrow.compute as pc
+
+    m = 1 << HLL_P
+    regs = np.zeros(m, dtype=np.uint8)
+    if batch.num_rows:
+        arr = batch[col]
+        if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+            # numeric columns: one splitmix pass over the raw 64-bit view
+            vals = pc.fill_null(arr, 0).to_numpy().astype(np.int64).view(_u64)
+            h = mix64(vals, 4242)
+        else:
+            h = xxh64_array(arr, seed=4242)
+        idx = (h >> _u64(64 - HLL_P)).astype(np.int64)
+        w = h << _u64(HLL_P)
+        rank = np.where(
+            w == 0, 64 - HLL_P + 1, 64 - _bit_length_u64(w) + 1
+        ).astype(np.uint8)
+        np.maximum.at(regs, idx, rank)
+    return pa.table(
+        {"regs": pa.FixedSizeListArray.from_arrays(pa.array(regs), m)}
+    )
+
+
+def hll_merge_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range correction."""
+    m = regs.size
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds, col: str) -> float:
+    """Approximate COUNT(DISTINCT col): per-batch register partials
+    (map_batches), elementwise-max merge on the driver (4 KB per
+    batch). At cluster scale the merge is a tree over tiny vectors —
+    never a shuffle of the values themselves."""
+    merged = np.zeros(1 << HLL_P, dtype=np.uint8)
+    for tb in ds.map_batches(
+        lambda b: hll_partial_batch(b, col), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=64):
+        arr = (
+            np.asarray(tb["regs"].combine_chunks().flatten())
+            .reshape(tb.num_rows, -1)
+        )
+        merged = np.maximum(merged, arr.max(axis=0))
+    return hll_merge_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
 # word n-gram Jaccard similarity join (exact recall)
 # ---------------------------------------------------------------------------
 
@@ -2144,6 +2222,82 @@ IVF_CELL_TARGET_ROWS = 4 * EMB_FRAG_ROWS  # ≈ a few fragment-pair tasks per ce
 # per-cell matmuls in-process (dim 64 f64 ⇒ ~520 B/row, ~100 MB at
 # the limit); above it the cell-partitioned fragment store runs
 EMB_NEARDUP_DRIVER_LIMIT = 200_000
+
+
+def ann_lsh_store_build(ds, store_dir: str, n_planes: int = 6,
+                        id_col: str = "vec_id"):
+    """Persist the LSH index as a parquet store PARTITIONED BY
+    SIGNATURE: queries then READ only the partitions within multiprobe
+    Hamming distance of the query signature — pruning I/O, not just
+    compute (the in-memory :func:`ann_lsh_index` scans every block and
+    merely skips the masked rows' math). The partitioned layout is the
+    100 TB shape: 2^n_planes directories, each internally chunked by
+    the writer, resumable and shareable across query sessions."""
+    import shutil
+
+    def sig_batch(b: pa.Table) -> pa.Table:
+        m = _load_matrix(b)
+        pl = _lsh_planes(m.shape[1] if m.size else 1, n_planes)
+        sigs = (((m @ pl.T) > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+        norms = np.linalg.norm(m, axis=1).clip(min=1e-12)
+        out = b.append_column("lsh_sig", pa.array(sigs))
+        return out.append_column("vec_norm", pa.array(norms))
+
+    shutil.rmtree(store_dir, ignore_errors=True)
+    ds.map_batches(sig_batch, batch_format="pyarrow").write_parquet(
+        store_dir, partition_cols=["lsh_sig"]
+    )
+    return store_dir
+
+
+def ann_lsh_store_topk(store_dir: str, query_vec: np.ndarray, k: int = 10,
+                       n_planes: int = 6, id_col: str = "vec_id",
+                       multiprobe: int = 2):
+    """Top-k over a signature-partitioned LSH store: compute the probe
+    signature set, ``read_parquet`` ONLY those partition directories
+    (storage never ships the other ~2/3 of the corpus), then one
+    matmul + partial top-k per batch and a k-row driver merge."""
+    import os
+
+    dim = len(query_vec)
+    planes = _lsh_planes(dim, n_planes)
+    q = query_vec / np.linalg.norm(query_vec)
+    q_sig = int(((planes @ q) > 0) @ (1 << np.arange(n_planes)))
+    near = {q_sig}
+    for _ in range(multiprobe):
+        near |= {s ^ (1 << b) for s in list(near) for b in range(n_planes)}
+    import glob
+
+    paths = [
+        f
+        for s in sorted(near)
+        for f in sorted(
+            glob.glob(os.path.join(store_dir, f"lsh_sig={s}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    ref = ray.put(q)
+    cand = rd.read_parquet(paths)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(ref)
+        m = _load_matrix(batch)
+        sims = (m @ qv) / batch["vec_norm"].to_numpy()
+        ids = batch[id_col].to_numpy()
+        if len(ids) > k:
+            part = np.argpartition(-sims, k)[: k + 1]
+            ids, sims = ids[part], sims[part]
+        return pa.table(
+            {id_col: pa.array(ids), "score": pa.array(np.round(sims, 6))}
+        )
+
+    parts = cand.map_batches(score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["score", id_col], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pa.Table.from_pandas(parts, preserve_index=False)
 
 
 def embedding_neardup_pairs_approx(ds, threshold: float,

@@ -218,6 +218,39 @@ class TestRowsOnlyPipelines:
         approx = set(ann_lsh(sf_mid).to_pandas()["vec_id"])
         assert len(exact & approx) >= 5  # ≥50% recall at tiny scale
 
+    def test_hll_distinct_error_bound(self, sf_mid, ray_session):
+        """HLL estimate within 5% of the exact distinct count (4096
+        registers ⇒ ~1.6% typical), and invariant to partitioning."""
+        import duckdb
+
+        from job_crawler_ray.pipelines.registry import a9_hll_distinct
+        from job_crawler_ray.pipelines import textops as T
+        from job_crawler_ray.util import read_parquet_clean
+
+        exact = duckdb.sql(
+            f"SELECT count(DISTINCT o_custkey) FROM "
+            f"read_parquet('{sf_mid}/orders.parquet')"
+        ).fetchone()[0]
+        est = a9_hll_distinct(sf_mid)["approx_distinct_custkeys"][0].as_py()
+        assert abs(est - exact) / exact < 0.05
+        # merge-invariance: 1 block vs 32 blocks, identical registers
+        ds1 = read_parquet_clean(
+            f"{sf_mid}/orders.parquet", columns=["o_custkey"]
+        )
+        e1 = T.hll_distinct(ds1, "o_custkey")
+        e32 = T.hll_distinct(ds1.repartition(32), "o_custkey")
+        assert e1 == e32
+
+    def test_ann_lsh_store_matches_in_memory(self, sf_mid, ray_session):
+        """The signature-partitioned store (I/O-pruned) returns the
+        IDENTICAL top-k as the in-memory masked scan — same planes,
+        same probe set, same scoring."""
+        from job_crawler_ray.pipelines.registry import ann_lsh, ann_lsh_store
+
+        mem = ann_lsh(sf_mid).to_pandas().reset_index(drop=True)
+        store = ann_lsh_store(sf_mid).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(mem, store)
+
     def test_ann_ivf_recall_vs_bruteforce(self, sf_mid, ray_session):
         from job_crawler_ray.pipelines.registry import ann_cosine_topk, ann_ivf
 
