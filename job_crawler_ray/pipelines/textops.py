@@ -1522,24 +1522,155 @@ def _batch_wordgram_hashes(col, n: int = 2) -> tuple[np.ndarray, np.ndarray]:
     return hashes, offsets
 
 
+def _ppjoin_prefix_mask(ids_flat: np.ndarray, gh_flat: np.ndarray,
+                        df_of: np.ndarray, threshold: float) -> np.ndarray:
+    """PPJoin prefix filter (Xiao et al., WWW'08): under a GLOBAL total
+    order of grams — here (document frequency, gram) ascending, so the
+    rarest grams come first — a pair with J ≥ t must share a gram that
+    lies in BOTH docs' prefixes of size |A| - ⌈t·|A|⌉ + 1. Returns the
+    mask of rows in their doc's prefix; generating candidates from
+    prefix rows only keeps recall 1.0 while hot stop-word grams (huge
+    df) land in nobody's prefix — the candidate count stops being
+    collision-quadratic."""
+    if len(ids_flat) == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((gh_flat, df_of, ids_flat))
+    sid = ids_flat[order]
+    nrow = len(sid)
+    new = np.empty(nrow, dtype=bool)
+    new[0] = True
+    new[1:] = sid[1:] != sid[:-1]
+    starts = np.nonzero(new)[0]
+    grp = np.cumsum(new) - 1
+    pos = np.arange(nrow) - starts[grp]
+    cnt = np.diff(np.append(starts, nrow))[grp]
+    k = cnt - np.ceil(threshold * cnt).astype(np.int64) + 1
+    mask = np.empty(nrow, dtype=bool)
+    mask[order] = pos < k
+    return mask
+
+
+def _gram_pairs_from_rows(ids_flat: np.ndarray, gh_flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate (a, b) pairs from flat (doc, gram) rows: group runs of
+    equal gram, in-group pair expansion, self-pairs dropped, deduped."""
+    order = np.argsort(gh_flat, kind="stable")
+    gs, ds_ids = gh_flat[order], ids_flat[order]
+    nrow = len(gs)
+    if nrow == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    new = np.empty(nrow, dtype=bool)
+    new[0] = True
+    new[1:] = gs[1:] != gs[:-1]
+    starts = np.nonzero(new)[0]
+    grp = np.cumsum(new) - 1
+    pos = np.arange(nrow) - starts[grp]
+    total = int(pos.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    rights = np.repeat(np.arange(nrow), pos)
+    within = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(pos)[:-1])), pos
+    )
+    lefts = np.repeat(starts[grp], pos) + within
+    ia, ib = ds_ids[lefts], ds_ids[rights]
+    keepm = ia != ib
+    if not keepm.any():
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return _dedup_pair_arrays(
+        np.minimum(ia[keepm], ib[keepm]), np.maximum(ia[keepm], ib[keepm])
+    )
+
+
+class _PrefixExploder:
+    """Actor-pool prefix-explosion stage for the above-all-caps n-gram
+    join tier: per batch of texts, computes word-gram hashes, resolves
+    each gram's document frequency from a gram-bucketed df fragment
+    store (per-actor LRU; lookup miss ⇒ df = 1), and emits only the
+    rows in each doc's PPJoin prefix whose gram is shared (df > 1)."""
+
+    def __init__(self, frag_dir: str, id_col: str, text_col: str, n: int,
+                 threshold: float):
+        self.frag_dir = frag_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+        self.threshold = threshold
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _load(self, bucket: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self.cache.get(bucket)
+        if hit is None:
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            if len(self.cache) >= SIM_FRAGS:
+                self.cache.pop(next(iter(self.cache)))
+            files = glob.glob(
+                os.path.join(self.frag_dir, f"gbucket={bucket}", "*.parquet")
+            )
+            parts = [pq.read_table(f, columns=["gram", "_c"]) for f in files]
+            if parts:
+                t = pa.concat_tables(parts)
+                g = t["gram"].to_numpy()
+                c = t["_c"].to_numpy().astype(np.int64)
+                order = np.argsort(g)
+                hit = (g[order], c[order])
+            else:
+                hit = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            self.cache[bucket] = hit
+        return hit
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        h, offs = _batch_wordgram_hashes(b[self.text_col], self.n)
+        counts_ = offs[1:] - offs[:-1]
+        rids = np.repeat(b[self.id_col].to_numpy(), counts_)
+        hi = h.view(np.int64)
+        df_of = np.ones(len(hi), dtype=np.int64)
+        hit_any = np.zeros(len(hi), dtype=bool)
+        buckets = (mix64(h, 707) % _u64(SIM_FRAGS)).astype(np.int64)
+        for bk in np.unique(buckets):
+            fg, fc = self._load(int(bk))
+            sel = buckets == bk
+            if fg.size == 0:
+                continue
+            idx = np.searchsorted(fg, hi[sel])
+            in_r = idx < fg.size
+            hits = np.zeros(int(sel.sum()), dtype=bool)
+            hits[in_r] = fg[idx[in_r]] == hi[sel][in_r]
+            dfs = np.ones(int(sel.sum()), dtype=np.int64)
+            dfs[hits] = fc[idx[hits]]
+            df_of[sel] = dfs
+            hit_any[sel] = hits
+        pm = _ppjoin_prefix_mask(rids, hi, df_of, self.threshold)
+        keep = pm & hit_any
+        return pa.table(
+            {self.id_col: pa.array(rids[keep]), "gram": pa.array(hi[keep])}
+        )
+
+
 def ngram_jaccard_pairs(ds, n: int = 2,
                         threshold: float = NGRAM_JACCARD_THRESHOLD,
                         id_col: str = "doc_id", text_col: str = "text"):
     """EXACT word-n-gram Jaccard similarity join: all pairs with
-    J(grams(a), grams(b)) ≥ threshold, J computed exactly (recall 1.0:
-    any qualifying pair shares ≥ 1 gram, and every shared gram makes
-    the pair a candidate). The SQL-oracle-checkable member of the dedup
-    family — dedup_minhash is its estimator at scale.
+    J(grams(a), grams(b)) ≥ threshold, J computed exactly. Recall 1.0:
+    candidates come from grams shared between two docs' PPJoin
+    PREFIXES (:func:`_ppjoin_prefix_mask`) — provably sufficient for
+    J ≥ t, and it bounds the stop-word candidate blowup that makes
+    naive shared-gram generation collision-quadratic. The
+    SQL-oracle-checkable member of the dedup family — dedup_minhash is
+    its estimator at scale.
 
     Tiers: corpora whose exploded (doc_id, gram_hash) rows fit under
-    ``NGRAM_STREAM_DRIVER_LIMIT`` run candidate generation + exact
-    verify in one in-process pass; above it the shared-gram candidates
-    flow through the cascade machinery (hot-gram scan under
-    ``HOT_HASH_DRIVER_LIMIT``, else groupby+join; part-grouped pair
-    generation; fragment-store verify in word-gram mode). Stop-word-
-    heavy grams make exact recall inherently collision-quadratic at
-    web scale — prefix filtering (PPJoin) is the documented next step;
-    until then the distributed path bounds memory, not candidate count.
+    ``NGRAM_STREAM_DRIVER_LIMIT`` run df-count + prefix filter +
+    candidate generation + exact verify in one in-process pass; above
+    it document frequencies come from the exploded dataset (driver
+    count under ``HOT_HASH_DRIVER_LIMIT``, groupby above), a second
+    prefix-explosion pass over the texts emits ONLY prefix rows, and
+    those flow through the cascade machinery (part-grouped pair
+    generation past ``COLLIDE_DRIVER_LIMIT``, fragment-store verify in
+    word-gram mode).
     """
     import pyarrow.compute as pc
 
@@ -1563,31 +1694,12 @@ def ngram_jaccard_pairs(ds, n: int = 2,
             g_parts.append(tb["gram"].to_numpy())
         ids_flat = np.concatenate(id_parts)
         gh_flat = np.concatenate(g_parts)
-        # candidate pairs: group runs of equal gram (exact recall)
-        order = np.argsort(gh_flat, kind="stable")
-        gs, ds_ids = gh_flat[order], ids_flat[order]
-        nrow = len(gs)
-        new = np.empty(nrow, dtype=bool)
-        new[0] = True
-        new[1:] = gs[1:] != gs[:-1]
-        starts = np.nonzero(new)[0]
-        grp = np.cumsum(new) - 1
-        pos = np.arange(nrow) - starts[grp]
-        total = int(pos.sum())
-        if total == 0:
-            return rd.from_arrow(_EMPTY_PAIRS)
-        rights = np.repeat(np.arange(nrow), pos)
-        within = np.arange(total) - np.repeat(
-            np.concatenate(([0], np.cumsum(pos)[:-1])), pos
-        )
-        lefts = np.repeat(starts[grp], pos) + within
-        ia, ib = ds_ids[lefts], ds_ids[rights]
-        keepm = ia != ib
-        ids_a = np.minimum(ia[keepm], ib[keepm])
-        ids_b = np.maximum(ia[keepm], ib[keepm])
+        uniq_g, df = np.unique(gh_flat, return_counts=True)
+        df_of = df[np.searchsorted(uniq_g, gh_flat)]
+        pm = _ppjoin_prefix_mask(ids_flat, gh_flat, df_of, threshold)
+        ids_a, ids_b = _gram_pairs_from_rows(ids_flat[pm], gh_flat[pm])
         if ids_a.size == 0:
             return rd.from_arrow(_EMPTY_PAIRS)
-        ids_a, ids_b = _dedup_pair_arrays(ids_a, ids_b)
         # exact Jaccard from the SAME exploded rows (already distinct
         # per doc): per-doc sorted segments + per-pair C merges
         o2 = np.lexsort((gh_flat, ids_flat))
@@ -1617,7 +1729,13 @@ def ngram_jaccard_pairs(ds, n: int = 2,
             )
         )
 
-    # distributed shared-gram path (same tiers as the minhash cascade)
+    # distributed tier: document frequencies first, then a PREFIX
+    # explosion pass over the texts that emits ONLY each doc's PPJoin
+    # prefix rows — pairing runs over a candidate set that stop-word
+    # grams can no longer blow up. Grams absent from the df table have
+    # df = 1 (they sort rarest and occupy prefix slots, per the true
+    # global order the theorem needs — they just never collide).
+    df_dir_cleanup = None
     if n_rows <= HOT_HASH_DRIVER_LIMIT:
         parts = [
             b["gram"].to_numpy()
@@ -1627,31 +1745,63 @@ def ngram_jaccard_pairs(ds, n: int = 2,
         ]
         allh = np.concatenate(parts)
         uniq, cnt = np.unique(allh, return_counts=True)
-        hot = np.sort(uniq[cnt > 1])
-        if hot.size == 0:
-            return rd.from_arrow(_EMPTY_PAIRS)
-        ref = ray.put(hot)
+        shared = cnt > 1  # df=1 inferred on lookup miss; broadcast stays small
+        df_ref = ray.put((uniq[shared], cnt[shared]))
 
-        def only_hot(b: pa.Table) -> pa.Table:
-            hh = ray.get(ref)
-            keys = b["gram"].to_numpy()
-            idx = np.searchsorted(hh, keys)
-            m = np.zeros(len(keys), dtype=bool)
-            in_r = idx < hh.size
-            m[in_r] = hh[idx[in_r]] == keys[in_r]
-            return b.filter(pa.array(m))
+        def prefix_explode(b: pa.Table) -> pa.Table:
+            h, offs = _batch_wordgram_hashes(b[text_col], n)
+            counts_ = offs[1:] - offs[:-1]
+            rids = np.repeat(b[id_col].to_numpy(), counts_)
+            hi = h.view(np.int64)
+            ug, uc = ray.get(df_ref)
+            df_of = np.ones(len(hi), dtype=np.int64)
+            idx = np.searchsorted(ug, hi)
+            in_r = idx < ug.size
+            hit = np.zeros(len(hi), dtype=bool)
+            hit[in_r] = ug[idx[in_r]] == hi[in_r]
+            df_of[hit] = uc[idx[hit]]
+            pm = _ppjoin_prefix_mask(rids, hi, df_of, threshold)
+            # prefix rows whose gram is unshared can never pair either
+            keep = pm & hit
+            return pa.table(
+                {id_col: pa.array(rids[keep]), "gram": pa.array(hi[keep])}
+            )
 
-        colliding = exploded.map_batches(only_hot, batch_format="pyarrow")
+        prefix_rows = ds.map_batches(prefix_explode, batch_format="pyarrow")
     else:
+        # df via distributed groupby → gram-bucketed df fragment store;
+        # prefix-explosion actors resolve df per bucket (LRU)
+        import shutil as _shutil
+        import tempfile as _tempfile
+
         from ray.data.aggregate import Count as _Count
 
         counts = exploded.groupby("gram").aggregate(_Count(alias_name="_c"))
         hot_ds = counts.map_batches(
-            lambda t: t.filter(pc.greater(t["_c"], 1)).select(["gram"]),
+            lambda t: t.filter(pc.greater(t["_c"], 1)),
             batch_format="pyarrow",
         )
-        colliding = exploded.join(
-            hot_ds, "inner", num_partitions=PAIR_GEN_PARTS, on=("gram",)
+        df_dir = _tempfile.mkdtemp(prefix="jcr_ngram_df_")
+
+        def add_gbucket(t: pa.Table) -> pa.Table:
+            gb = (
+                mix64(t["gram"].to_numpy().view(_u64), 707) % _u64(SIM_FRAGS)
+            ).astype(np.int64)
+            return t.append_column("gbucket", pa.array(gb))
+
+        hot_ds.map_batches(add_gbucket, batch_format="pyarrow").write_parquet(
+            df_dir, partition_cols=["gbucket"]
+        )
+        df_dir_cleanup = df_dir
+        prefix_rows = ds.map_batches(
+            _PrefixExploder,
+            fn_constructor_kwargs=dict(
+                frag_dir=df_dir, id_col=id_col, text_col=text_col, n=n,
+                threshold=threshold,
+            ),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            max_restarts=0,
         )
 
     def add_part(b: pa.Table) -> pa.Table:
@@ -1690,23 +1840,54 @@ def ngram_jaccard_pairs(ds, n: int = 2,
         )
         return t.append_column("pair_part", pa.array(pp))
 
-    survivors = (
-        colliding.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(gen_pairs, batch_format="pandas")
-        .map_batches(strip_meta, batch_format="pyarrow")
-        .map_batches(add_pair_part, batch_format="pyarrow")
-        .groupby("pair_part")
-        .map_groups(
-            lambda g: g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
-            batch_format="pandas",
-        )
-        .map_batches(strip_meta, batch_format="pyarrow")
-        .materialize()
-    )
-    n_surv = survivors.count()
-    if n_surv == 0:
+    prefix_rows = prefix_rows.materialize()
+    if df_dir_cleanup:
+        import shutil as _sh
+
+        _sh.rmtree(df_dir_cleanup, ignore_errors=True)
+    n_pref = prefix_rows.count()
+    if n_pref == 0:
         return rd.from_arrow(_EMPTY_PAIRS)
+    if n_pref <= COLLIDE_DRIVER_LIMIT:
+        # prefix rows are O(candidate mass): one driver pairing pass
+        pid_parts, pg_parts = [], []
+        for tb in prefix_rows.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        ):
+            pid_parts.append(tb[id_col].to_numpy())
+            pg_parts.append(tb["gram"].to_numpy())
+        ids_a, ids_b = _gram_pairs_from_rows(
+            np.concatenate(pid_parts), np.concatenate(pg_parts)
+        )
+        if ids_a.size == 0:
+            return rd.from_arrow(_EMPTY_PAIRS)
+        survivors = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(ids_a, type=pa.int64()),
+                    "id_b": pa.array(ids_b, type=pa.int64()),
+                }
+            )
+        )
+        n_surv = len(ids_a)
+    else:
+        survivors = (
+            prefix_rows.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(gen_pairs, batch_format="pandas")
+            .map_batches(strip_meta, batch_format="pyarrow")
+            .map_batches(add_pair_part, batch_format="pyarrow")
+            .groupby("pair_part")
+            .map_groups(
+                lambda g: g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
+                batch_format="pandas",
+            )
+            .map_batches(strip_meta, batch_format="pyarrow")
+            .materialize()
+        )
+        n_surv = survivors.count()
+        if n_surv == 0:
+            return rd.from_arrow(_EMPTY_PAIRS)
     cand_texts = ds.map_batches(
         lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
     )

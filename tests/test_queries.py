@@ -218,6 +218,50 @@ class TestRowsOnlyPipelines:
         approx = set(ann_lsh(sf_mid).to_pandas()["vec_id"])
         assert len(exact & approx) >= 5  # ≥50% recall at tiny scale
 
+    def test_ppjoin_prefix_recall(self, ray_session):
+        """PPJoin prefix candidates keep recall 1.0: every pair with
+        exact Jaccard ≥ t is generated from prefix rows, on a corpus
+        engineered with heavy stop-word overlap."""
+        import itertools
+
+        import pyarrow as pa
+
+        from job_crawler_ray.pipelines import textops as T
+
+        rng = np.random.default_rng(11)
+        common = "the of and in a to is on for at"  # shared by all docs
+        docs = []
+        for i in range(60):
+            rare = " ".join(f"w{i}x{j}" for j in range(rng.integers(3, 9)))
+            docs.append(f"{common} {rare}" if i % 3 else f"{rare} {common}")
+        # planted near-dups: doc i and doc i+100 share almost all grams
+        for i in range(0, 20, 4):
+            docs.append(docs[i] + " tail")
+        col = pa.array(docs, type=pa.string())
+        h, offs = T._batch_wordgram_hashes(col, 2)
+        sets = [set(h[offs[i]:offs[i + 1]].tolist()) for i in range(len(docs))]
+        ids_flat = np.repeat(
+            np.arange(len(docs), dtype=np.int64), np.diff(offs)
+        )
+        gh = h.view(np.int64)
+        uniq, df = np.unique(gh, return_counts=True)
+        df_of = df[np.searchsorted(uniq, gh)]
+        naive_a, naive_b = T._gram_pairs_from_rows(ids_flat, gh)
+        naive = set(zip(naive_a.tolist(), naive_b.tolist()))
+        for t in (0.3, 0.7):
+            want = set()
+            for i, j in itertools.combinations(range(len(docs)), 2):
+                u = sets[i] | sets[j]
+                if u and len(sets[i] & sets[j]) / len(u) >= t:
+                    want.add((i, j))
+            pm = T._ppjoin_prefix_mask(ids_flat, gh, df_of, t)
+            a, b = T._gram_pairs_from_rows(ids_flat[pm], gh[pm])
+            cand = set(zip(a.tolist(), b.tolist()))
+            assert want <= cand, f"t={t} missed: {want - cand}"
+        # at a high threshold the prefix shrinks below the shared
+        # stop-word block, so the all-pairs blowup is actually pruned
+        assert len(cand) < len(naive)
+
     def test_hll_distinct_error_bound(self, sf_mid, ray_session):
         """HLL estimate within 5% of the exact distinct count (4096
         registers ⇒ ~1.6% typical), and invariant to partitioning."""
