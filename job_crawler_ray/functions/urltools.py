@@ -56,13 +56,7 @@ def _canon_query(q: str) -> str:
     return "&".join(parts)
 
 
-def canonicalize_urls(urls) -> pd.Series:
-    """Vectorized canonical form of a URL column (str Series / Arrow array)."""
-    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
-        urls = urls.to_pandas()
-    if not isinstance(urls, pd.Series):
-        urls = pd.Series(urls, dtype="object")
-    f = _split_frame(urls)
+def _canon_from_frame(f: pd.DataFrame) -> pd.Series:
     netloc = f["netloc"].str.lower()
     netloc = netloc.str.replace(r"^www\.", "", regex=True)
     is_https = f["scheme"].eq("https")
@@ -81,13 +75,7 @@ def canonicalize_urls(urls) -> pd.Series:
     return out
 
 
-def hosts_of(urls) -> pd.Series:
-    """Vectorized registrable-host extraction (lowercased, no port/www)."""
-    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
-        urls = urls.to_pandas()
-    if not isinstance(urls, pd.Series):
-        urls = pd.Series(urls, dtype="object")
-    f = _split_frame(urls)
+def _host_from_frame(f: pd.DataFrame) -> pd.Series:
     host = f["netloc"].str.lower()
     host = host.str.replace(r"^www\.", "", regex=True)
     host = host.str.partition(":")[0]
@@ -95,18 +83,41 @@ def hosts_of(urls) -> pd.Series:
     return host
 
 
+def _as_series(urls) -> pd.Series:
+    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        urls = urls.to_pandas()
+    if not isinstance(urls, pd.Series):
+        urls = pd.Series(urls, dtype="object")
+    return urls
+
+
+def canonicalize_urls(urls) -> pd.Series:
+    """Vectorized canonical form of a URL column (str Series / Arrow array)."""
+    return _canon_from_frame(_split_frame(_as_series(urls)))
+
+
+def hosts_of(urls) -> pd.Series:
+    """Vectorized registrable-host extraction (lowercased, no port/www)."""
+    return _host_from_frame(_split_frame(_as_series(urls)))
+
+
 def url_keys(urls) -> np.ndarray:
     """uint64 xxh64 keys of the canonical URL forms."""
-    return xxh64_array(canonicalize_urls(urls).to_numpy())
+    return xxh64_array(pa.array(canonicalize_urls(urls), type=pa.string()))
 
 
 def add_url_key_columns(batch: pa.Table, url_col: str = "url") -> pa.Table:
-    """map_batches projection: append canonical_url, host, url_key columns."""
+    """map_batches projection: append canonical_url, host, url_key
+    columns. One split pass feeds both canonical and host derivations;
+    keys hash straight off the Arrow buffers of the canonical array
+    (the numpy-object path would re-encode every row)."""
     urls = batch[url_col].to_pandas()
-    canon = canonicalize_urls(urls)
-    host = hosts_of(urls)
-    keys = as_signed(xxh64_array(canon.to_numpy()))
-    batch = batch.append_column("canonical_url", pa.array(canon, type=pa.string()))
+    f = _split_frame(urls)
+    canon = _canon_from_frame(f)
+    host = _host_from_frame(f)
+    canon_arr = pa.array(canon, type=pa.string())
+    keys = as_signed(xxh64_array(canon_arr))
+    batch = batch.append_column("canonical_url", canon_arr)
     batch = batch.append_column("host", pa.array(host, type=pa.string()))
     batch = batch.append_column("url_key", pa.array(keys, type=pa.int64()))
     return batch

@@ -188,6 +188,7 @@ def run_crawl(
     import shutil as _shutil
 
     setup_timings: dict[str, float] = {}
+    prebuilt_frontier = None
     if start_epoch == 0:
         # one-time corpus store + initial frontier — committed ATOMICALLY
         # (write to a tmp dir, os.rename into place): a crash mid-write
@@ -218,7 +219,10 @@ def run_crawl(
             )
             tmp_f0 = f0 + ".tmp"
             _shutil.rmtree(tmp_f0, ignore_errors=True)
-            build_frontier(frontier_src, cfg).write_parquet(tmp_f0)
+            # live handoff into epoch 0 (same as between epochs): the
+            # parquet copy is the resume checkpoint, not the data path
+            prebuilt_frontier = build_frontier(frontier_src, cfg).materialize()
+            prebuilt_frontier.write_parquet(tmp_f0)
             os.makedirs(os.path.dirname(f0), exist_ok=True)
             os.rename(tmp_f0, f0)
         setup_timings["frontier_build"] = round(_time.time() - _t0, 3)
@@ -241,7 +245,7 @@ def run_crawl(
     # dataset (object store, spills under pressure); the per-epoch
     # parquet under frontier/ is the CHECKPOINT copy, read back only on
     # resume. Saves a write→read round trip per epoch.
-    live_frontier = None
+    live_frontier = prebuilt_frontier
 
     fetch_fn = make_direct_fetch_fn(cfg.store_dir, cfg.num_corpus_buckets)
 

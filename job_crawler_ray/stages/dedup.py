@@ -60,14 +60,32 @@ def exact_dedup_first(
     """
     order = order or DEFAULT_ORDER
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return _keep(df, key, order, keep)
+    def partial_arrow(t: pa.Table) -> pa.Table:
+        # Arrow-native per-batch dedup: one stable C++ multi-column
+        # sort + a first-occurrence mask on the (usually int64) key —
+        # no pandas conversion of the string columns in the hot path.
+        # Arrow's sort is stable, matching the pandas mergesort twin.
+        if t.num_rows == 0:
+            return t
+        import pyarrow.compute as pc
 
-    ds = (
-        ds.map_batches(partial, batch_format="pandas")
-        .map_batches(strip_meta, batch_format="pyarrow")  # arrow blocks
-        .materialize()
-    )
+        sort_keys = [
+            (c, "ascending" if a else "descending")
+            for c, a in zip(order["by"], order["ascending"])
+        ]
+        t2 = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        knp = t2[key].to_numpy(zero_copy_only=False)
+        if knp.dtype.kind not in "iuf":  # string keys: pandas fallback
+            df = _keep(t2.to_pandas(), key, order, keep)
+            return strip_meta(pa.Table.from_pandas(df, preserve_index=False))
+        if keep == "last":
+            _, fi = np.unique(knp[::-1], return_index=True)
+            fi = len(knp) - 1 - fi
+        else:
+            _, fi = np.unique(knp, return_index=True)
+        return t2.take(pa.array(np.sort(fi)))
+
+    ds = ds.map_batches(partial_arrow, batch_format="pyarrow").materialize()
 
     # Find the keys that collide ACROSS batches. Keys are 8-byte ints
     # (or small strings): streaming just the key column to the driver
