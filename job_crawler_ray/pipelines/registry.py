@@ -229,6 +229,19 @@ def dedup_minhash_apply(sf_dir: str):
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
 
+def embedding_neardup_apply(sf_dir: str):
+    """Embedding-cosine near-dup REMOVAL: exact pair graph → connected
+    components → keep min-id representative; returns surviving vec
+    ids. Same collapse machinery as dedup_minhash_apply, driven by the
+    cosine pair list."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = T.embedding_neardup_pairs(ds, threshold=NEARDUP_THRESHOLD)
+    kept = T.neardup_keep_representatives(ds, pairs, id_col="vec_id")
+    return kept.select_columns(["vec_id"]).sort("vec_id")
+
+
 def doc_fingerprints(sf_dir: str):
     ds = _docs(sf_dir)
     return ds.map_batches(T.doc_fingerprint_batch, batch_format="pyarrow").sort("doc_id")
@@ -377,6 +390,28 @@ def extra_oracle_sql() -> dict[str, str]:
                   >= {NEARDUP_THRESHOLD}
             ORDER BY id_a, id_b
         """,
+        "embedding_neardup_apply": f"""
+            WITH RECURSIVE prs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[]))
+                      >= {NEARDUP_THRESHOLD}
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM prs
+                UNION ALL SELECT id_b, id_a FROM prs
+            ), reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u
+            ), losers AS (
+                SELECT u FROM reach GROUP BY u HAVING min(v) < u
+            )
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT u FROM losers)
+            ORDER BY vec_id
+        """,
         "t_token_count": r"""
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(text, '\s+'),
@@ -432,6 +467,7 @@ def build_queries() -> dict:
             "m9_skill_gap": F.m9_skill_gap,
             "ann_cosine_topk": ann_cosine_topk,
             "embedding_neardup": embedding_neardup,
+            "embedding_neardup_apply": embedding_neardup_apply,
             "d4_ngram_jaccard": d4_ngram_jaccard,
             "t_token_count": t_token_count,
             "t_token_count_bpe": t_token_count_bpe,
