@@ -133,6 +133,17 @@ def ann_ivf(sf_dir: str) -> pa.Table:
     return T.ann_ivf_topk(index_ds, cent, q, k=10, n_probe=6)
 
 
+PACK_SEQ_LEN = 128
+
+
+def s2_pack_sequences(sf_dir: str):
+    """Training-data last mile: the corpus token stream (docs in id
+    order) packed into fixed-length sequences of 128 whitespace
+    tokens, trailing partial dropped — list<string> payload so the
+    DuckDB window-function twin value-hashes it."""
+    return T.pack_sequences(_docs(sf_dir), seq_len=PACK_SEQ_LEN)
+
+
 def a9_hll_distinct(sf_dir: str) -> pa.Table:
     """Approximate COUNT(DISTINCT o_custkey) via a mergeable
     HyperLogLog sketch (2^12 registers, per-batch partials, 4 KB
@@ -390,6 +401,27 @@ def extra_oracle_sql() -> dict[str, str]:
                   >= {NEARDUP_THRESHOLD}
             ORDER BY id_a, id_b
         """,
+        "s2_pack_sequences": rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                       '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, t.i, ws[t.i] AS tok
+              FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+            ), numbered AS (
+              SELECT tok, row_number() OVER (ORDER BY doc_id, i) - 1 AS rn
+              FROM tok
+            )
+            SELECT CAST(rn // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+                   list(tok ORDER BY rn) AS tokens
+            FROM numbered
+            GROUP BY rn // {PACK_SEQ_LEN}
+            HAVING count(*) = {PACK_SEQ_LEN}
+            ORDER BY seq_id
+        """,
         "embedding_neardup_apply": f"""
             WITH RECURSIVE prs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -469,6 +501,7 @@ def build_queries() -> dict:
             "embedding_neardup": embedding_neardup,
             "embedding_neardup_apply": embedding_neardup_apply,
             "d4_ngram_jaccard": d4_ngram_jaccard,
+            "s2_pack_sequences": s2_pack_sequences,
             "t_token_count": t_token_count,
             "t_token_count_bpe": t_token_count_bpe,
             "t_quality_score": t_quality_score,

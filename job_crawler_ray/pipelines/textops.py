@@ -1374,6 +1374,277 @@ def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# sequence packing (training-data last mile)
+# ---------------------------------------------------------------------------
+
+# per-doc (id, token_count) rows streamed to the driver below this for
+# the global offset prefix-sum (16 B/doc); above it the offsets come
+# from an ordered streaming pass writing an id-bucketed offset store
+PACK_OFFSETS_DRIVER_LIMIT = 50_000_000
+
+
+def _batch_token_seqs(col) -> tuple[pa.Array, np.ndarray]:
+    """Whitespace tokens of every doc IN ORDER: flat Arrow string array
+    + int64 per-doc offsets (len n+1). Tokenization matches the SQL
+    twin (split on \\s+, drop empties); all Arrow C++ kernels."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = pc.split_pattern_regex(pc.fill_null(col, ""), r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    counts = (
+        np.asarray(words.offsets)[1:] - np.asarray(words.offsets)[:-1]
+    ).astype(np.int64)
+    nonempty = pc.binary_length(flat).to_numpy().astype(np.int64) > 0
+    doc_of = np.repeat(np.arange(len(words), dtype=np.int64), counts)
+    flat = flat.filter(pa.array(nonempty))
+    kept_counts = np.bincount(doc_of[nonempty], minlength=len(words))
+    offs = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int64)
+    return flat, offs
+
+
+def pack_sequences(ds, seq_len: int = 128, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Pack the corpus's token stream into fixed-length training
+    sequences: tokens of all docs concatenated in ``id_col`` order,
+    chunked into sequences of exactly ``seq_len`` tokens (the trailing
+    partial chunk is dropped). Returns Dataset[(seq_id,
+    tokens: list<string>)] — the standard LLM training-data last mile.
+
+    Three distributed passes, no global re-sort of the tokens:
+
+    1. token COUNTS per doc (map_batches) → global start offset per
+       doc by prefix-sum over the id-sorted counts (driver under
+       ``PACK_OFFSETS_DRIVER_LIMIT`` docs — 16 B/doc; above it an
+       ordered streaming pass with O(batch) driver state writes an
+       id-bucketed offset store read by the piece pass);
+    2. PIECE emission (map_batches, any block order): each doc knows
+       its global offset, so each of its tokens knows its sequence
+       ``g // seq_len``; runs of same-sequence tokens become one
+       (seq_id, pos_in_seq, piece) row with the piece a zero-copy
+       slice view of the batch's flat token array;
+    3. assembly: hash-partitioned groupby over ``seq_id`` with a
+       vectorized per-partition kernel (sort pieces, one concat, emit
+       full sequences only).
+    """
+    counts_parts: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def count_batch(b: pa.Table) -> pa.Table:
+        _, offs = _batch_token_seqs(b[text_col])
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": pa.array(offs[1:] - offs[:-1]),
+            }
+        )
+
+    counts_ds = ds.map_batches(count_batch, batch_format="pyarrow")
+    n_docs = ds.count()
+    empty_out = pa.table(
+        {"seq_id": pa.array([], pa.int64()),
+         "tokens": pa.array([], pa.list_(pa.string()))}
+    )
+    offset_store = None
+    if n_docs <= PACK_OFFSETS_DRIVER_LIMIT:
+        for tb in counts_ds.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        ):
+            counts_parts.append(
+                (tb[id_col].to_numpy(), tb["n_tokens"].to_numpy())
+            )
+        if not counts_parts:
+            return rd.from_arrow(empty_out)
+        all_ids = np.concatenate([p[0] for p in counts_parts])
+        all_counts = np.concatenate([p[1] for p in counts_parts])
+        order = np.argsort(all_ids)
+        sorted_ids = all_ids[order]
+        doc_offsets = np.concatenate(([0], np.cumsum(all_counts[order])))[:-1]
+        total_tokens = int(all_counts.sum())
+        off_ref = ray.put((sorted_ids, doc_offsets))
+    else:
+        # ordered streaming prefix-sum: sort counts by id, stream them
+        # through the driver with O(batch) state (a running total), and
+        # spill (id, offset) chunks to an id-bucketed offset store the
+        # piece-pass actors read back (per-actor LRU). Global packing
+        # fundamentally needs one ordered scan of the COUNTS (16 B/doc
+        # of driver BANDWIDTH, not memory) — the tokens themselves
+        # never leave the cluster.
+        import os
+        import tempfile
+
+        import pyarrow.parquet as _pq
+
+        offset_store = tempfile.mkdtemp(prefix="jcr_pack_offsets_")
+        running = 0
+        part = 0
+        for tb in counts_ds.sort(id_col).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        ):
+            ids_b = tb[id_col].to_numpy()
+            cnts = tb["n_tokens"].to_numpy()
+            offs_b = running + np.concatenate(([0], np.cumsum(cnts)))[:-1]
+            running += int(cnts.sum())
+            buckets = (
+                mix64(ids_b.view(_u64), 808) % _u64(SIM_FRAGS)
+            ).astype(np.int64)
+            for bk in np.unique(buckets):
+                sel = buckets == bk
+                d = os.path.join(offset_store, f"obucket={bk}")
+                os.makedirs(d, exist_ok=True)
+                _pq.write_table(
+                    pa.table(
+                        {id_col: pa.array(ids_b[sel]),
+                         "t_off": pa.array(offs_b[sel])}
+                    ),
+                    os.path.join(d, f"part-{part:06d}.parquet"),
+                )
+            part += 1
+        total_tokens = running
+        if part == 0:
+            return rd.from_arrow(empty_out)
+    n_seqs = total_tokens // seq_len
+    if n_seqs == 0:
+        return rd.from_arrow(empty_out)
+
+    def pieces_from(flat: pa.Array, offs: np.ndarray, base: np.ndarray) -> pa.Table:
+        ntok = len(flat)
+        if ntok == 0:
+            return pa.table(
+                {"seq_id": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64()),
+                 "piece": pa.array([], pa.list_(pa.string()))}
+            )
+        lens = offs[1:] - offs[:-1]
+        g = np.arange(ntok) - np.repeat(offs[:-1], lens) + np.repeat(base, lens)
+        seq = g // seq_len
+        doc_of = np.repeat(np.arange(len(base)), lens)
+        new = np.empty(ntok, dtype=bool)
+        new[0] = True
+        new[1:] = (seq[1:] != seq[:-1]) | (doc_of[1:] != doc_of[:-1])
+        starts = np.nonzero(new)[0]
+        piece_offs = np.append(starts, ntok).astype(np.int32)
+        pieces = pa.ListArray.from_arrays(pa.array(piece_offs), flat)
+        keep = seq[starts] < n_seqs  # drop tail-partial-sequence pieces
+        return pa.table(
+            {
+                "seq_id": pa.array(seq[starts], type=pa.int64()),
+                "pos": pa.array(g[starts] % seq_len, type=pa.int64()),
+                "piece": pieces,
+            }
+        ).filter(pa.array(keep))
+
+    if offset_store is None:
+        def emit_pieces(b: pa.Table) -> pa.Table:
+            sid, soff = ray.get(off_ref)
+            flat, offs = _batch_token_seqs(b[text_col])
+            base = soff[np.searchsorted(sid, b[id_col].to_numpy())]
+            return pieces_from(flat, offs, base)
+
+        pieces_ds = ds.map_batches(emit_pieces, batch_format="pyarrow")
+    else:
+        store_dir = offset_store
+
+        class _OffsetPieceEmitter:
+            def __init__(self):
+                self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+            def _load(self, bucket: int) -> tuple[np.ndarray, np.ndarray]:
+                hit = self.cache.get(bucket)
+                if hit is None:
+                    import glob
+                    import os
+
+                    import pyarrow.parquet as pq_
+
+                    if len(self.cache) >= SIM_FRAGS:
+                        self.cache.pop(next(iter(self.cache)))
+                    files = glob.glob(
+                        os.path.join(store_dir, f"obucket={bucket}", "*.parquet")
+                    )
+                    parts = [pq_.read_table(f) for f in files]
+                    if parts:
+                        t = pa.concat_tables(parts)
+                        i = t[id_col].to_numpy()
+                        o = t["t_off"].to_numpy()
+                        order = np.argsort(i)
+                        hit = (i[order], o[order])
+                    else:
+                        hit = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+                    self.cache[bucket] = hit
+                return hit
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ids = b[id_col].to_numpy()
+                base = np.zeros(len(ids), dtype=np.int64)
+                buckets = (
+                    mix64(ids.view(_u64), 808) % _u64(SIM_FRAGS)
+                ).astype(np.int64)
+                for bk in np.unique(buckets):
+                    fi, fo = self._load(int(bk))
+                    sel = buckets == bk
+                    pos = np.searchsorted(fi, ids[sel])
+                    pos_c = np.minimum(pos, max(fi.size - 1, 0))
+                    if fi.size == 0 or not np.array_equal(fi[pos_c], ids[sel]):
+                        raise KeyError(
+                            f"offset bucket {bk} missing doc ids "
+                            f"(store {store_dir})"
+                        )
+                    base[sel] = fo[pos_c]
+                flat, offs = _batch_token_seqs(b[text_col])
+                return pieces_from(flat, offs, base)
+
+        pieces_ds = ds.map_batches(
+            _OffsetPieceEmitter,
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            max_restarts=0,
+        )
+
+    def add_spart(t: pa.Table) -> pa.Table:
+        sp = (t["seq_id"].to_numpy() & (PAIR_GEN_PARTS - 1)).astype(np.int64)
+        return t.append_column("spart", pa.array(sp))
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["seq_id", "pos"], kind="mergesort")
+        piece_arrs = df["piece"].to_numpy()
+        plens = np.fromiter((len(p) for p in piece_arrs), dtype=np.int64,
+                            count=len(piece_arrs))
+        sids = df["seq_id"].to_numpy()
+        new = np.empty(len(sids), dtype=bool)
+        if len(sids) == 0:
+            return pd.DataFrame({"seq_id": [], "tokens": []})
+        new[0] = True
+        new[1:] = sids[1:] != sids[:-1]
+        grp = np.cumsum(new) - 1
+        tot = np.bincount(grp, weights=plens).astype(np.int64)
+        full = tot == seq_len  # partial tails were dropped upstream
+        flat = np.concatenate(piece_arrs) if len(piece_arrs) else np.zeros(0, object)
+        bounds = np.concatenate(([0], np.cumsum(tot)))
+        out_ids, out_tok = [], []
+        for gi in np.nonzero(full)[0]:
+            out_ids.append(sids[np.nonzero(new)[0][gi]])
+            out_tok.append(list(flat[bounds[gi]:bounds[gi + 1]]))
+        return pd.DataFrame({"seq_id": out_ids, "tokens": out_tok})
+
+    out = (
+        pieces_ds.map_batches(add_spart, batch_format="pyarrow")
+        .groupby("spart")
+        .map_groups(assemble, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .sort("seq_id")
+    )
+    if offset_store is not None:
+        import shutil
+
+        out = out.materialize()
+        shutil.rmtree(offset_store, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog distinct-count sketch (mergeable across batches/nodes)
 # ---------------------------------------------------------------------------
 

@@ -218,6 +218,41 @@ class TestRowsOnlyPipelines:
         approx = set(ann_lsh(sf_mid).to_pandas()["vec_id"])
         assert len(exact & approx) >= 5  # ≥50% recall at tiny scale
 
+    def test_pack_sequences_paths_and_invariance(self, sf_small, ray_session):
+        """Broadcast-offset and streaming-offset-store paths produce the
+        identical packing; result invariant to input partitioning; every
+        sequence is exactly seq_len and the flat stream reconstructs."""
+        from job_crawler_ray.pipelines import textops as T
+        from job_crawler_ray.pipelines.registry import _docs
+
+        base = T.pack_sequences(_docs(sf_small), seq_len=64).to_pandas()
+        assert (base["tokens"].map(len) == 64).all()
+        assert (base["seq_id"].to_numpy() == np.arange(len(base))).all()
+        # reconstruction: flatten == concat of per-doc tokens in id order
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas().sort_values("doc_id")
+        want = [
+            t for txt in docs["text"].fillna("") for t in txt.split() if t
+        ]
+        got = [t for seq in base["tokens"] for t in seq]
+        assert got == want[: len(got)]
+        # forced streaming-offset-store path
+        saved = T.PACK_OFFSETS_DRIVER_LIMIT
+        try:
+            T.PACK_OFFSETS_DRIVER_LIMIT = 0
+            stored = T.pack_sequences(_docs(sf_small), seq_len=64).to_pandas()
+        finally:
+            T.PACK_OFFSETS_DRIVER_LIMIT = saved
+        pd.testing.assert_frame_equal(base, stored)
+        # partitioning invariance
+        rep = T.pack_sequences(
+            _docs(sf_small).repartition(7), seq_len=64
+        ).to_pandas()
+        pd.testing.assert_frame_equal(base, rep)
+
     def test_ppjoin_prefix_recall(self, ray_session):
         """PPJoin prefix candidates keep recall 1.0: every pair with
         exact Jaccard ≥ t is generated from prefix rows, on a corpus
