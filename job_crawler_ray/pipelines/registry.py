@@ -144,6 +144,22 @@ def s2_pack_sequences(sf_dir: str):
     return T.pack_sequences(_docs(sf_dir), seq_len=PACK_SEQ_LEN)
 
 
+def a10_quantile_sketch(sf_dir: str) -> pa.Table:
+    """Approximate order-price quantiles via the deterministic
+    mergeable ε-summary (per-batch coresets, driver weighted merge) —
+    rows-only: rank error ≤ 2ε by construction, pinned by test."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    ds = ds.repartition(8)
+    med, p95, p99 = T.quantile_sketch(ds, "o_totalprice", [0.5, 0.95, 0.99])
+    return pa.table(
+        {
+            "p50": pa.array([round(med, 6)]),
+            "p95": pa.array([round(p95, 6)]),
+            "p99": pa.array([round(p99, 6)]),
+        }
+    )
+
+
 def a9_hll_distinct(sf_dir: str) -> pa.Table:
     """Approximate COUNT(DISTINCT o_custkey) via a mergeable
     HyperLogLog sketch (2^12 registers, per-batch partials, 4 KB
@@ -511,6 +527,7 @@ def build_queries() -> dict:
             # pipelines last (round 2 lost the multimodal rows to the
             # tail position).
             "a9_hll_distinct": a9_hll_distinct,
+            "a10_quantile_sketch": a10_quantile_sketch,
             "multimodal_decode": multimodal_decode,
             "multimodal_pipeline": multimodal_pipeline,
             "multimodal_frame_sample": multimodal_frame_sample,

@@ -1723,6 +1723,64 @@ def hll_distinct(ds, col: str) -> float:
 
 
 # ---------------------------------------------------------------------------
+# deterministic mergeable quantile summary
+# ---------------------------------------------------------------------------
+
+QUANTILE_EPS = 0.005  # per-level rank error; ≤ 2ε after the one merge
+
+
+def quantile_partial_batch(batch: pa.Table, col: str,
+                           eps: float = QUANTILE_EPS) -> pa.Table:
+    """ε-approximate quantile summary of one batch: sort, keep every
+    ⌈εn⌉-th element with its weight (a deterministic GK-style coreset —
+    no RNG, so results are reproducible run to run). Summaries merge by
+    weighted re-sorting; one merge level ⇒ rank error ≤ 2ε."""
+    v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    v = v[~np.isnan(v)]
+    n = len(v)
+    if n == 0:
+        return pa.table({"q_val": pa.array([], pa.float64()),
+                         "q_weight": pa.array([], pa.int64())})
+    v.sort()
+    step = max(1, int(np.ceil(eps * n)))
+    idx = np.arange(0, n, step)
+    if idx[-1] != n - 1:
+        idx = np.append(idx, n - 1)
+    # weight of kept element i = number of raw elements it represents
+    w = np.diff(np.append(idx, n))
+    return pa.table(
+        {"q_val": pa.array(v[idx]), "q_weight": pa.array(w.astype(np.int64))}
+    )
+
+
+def quantile_sketch(ds, col: str, qs: list[float],
+                    eps: float = QUANTILE_EPS) -> list[float]:
+    """Approximate quantiles of ``col``: per-batch ε-summaries
+    (map_batches), weighted merge on the driver (summaries are
+    ~1/ε rows per batch — KBs). The distributed-sketch alternative to
+    sorting the whole column."""
+    val_parts, w_parts = [], []
+    for tb in ds.map_batches(
+        lambda b: quantile_partial_batch(b, col, eps), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        val_parts.append(tb["q_val"].to_numpy())
+        w_parts.append(tb["q_weight"].to_numpy())
+    if not val_parts:
+        return [float("nan")] * len(qs)
+    vals = np.concatenate(val_parts)
+    ws = np.concatenate(w_parts)
+    order = np.argsort(vals, kind="stable")
+    vals, ws = vals[order], ws[order]
+    cum = np.cumsum(ws)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        target = q * total
+        out.append(float(vals[np.searchsorted(cum, target, side="left").clip(0, len(vals) - 1)]))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # word n-gram Jaccard similarity join (exact recall)
 # ---------------------------------------------------------------------------
 

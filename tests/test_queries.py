@@ -297,6 +297,29 @@ class TestRowsOnlyPipelines:
         # stop-word block, so the all-pairs blowup is actually pruned
         assert len(cand) < len(naive)
 
+    def test_quantile_sketch_error_bound(self, sf_mid, ray_session):
+        """ε-summary quantiles within 2ε rank error of exact, and
+        deterministic across partitionings at the same block layout."""
+        import duckdb
+
+        from job_crawler_ray.pipelines import textops as T
+        from job_crawler_ray.util import read_parquet_clean
+
+        vals = duckdb.sql(
+            f"SELECT o_totalprice FROM "
+            f"read_parquet('{sf_mid}/orders.parquet')"
+        ).df()["o_totalprice"].to_numpy()
+        vals = np.sort(vals.astype(np.float64))
+        n = len(vals)
+        ds = read_parquet_clean(
+            f"{sf_mid}/orders.parquet", columns=["o_totalprice"]
+        ).repartition(8)
+        got = T.quantile_sketch(ds, "o_totalprice", [0.5, 0.95, 0.99])
+        for q, g in zip([0.5, 0.95, 0.99], got):
+            # rank of the returned value must be within 2ε of q
+            rank = np.searchsorted(vals, g) / n
+            assert abs(rank - q) <= 2 * T.QUANTILE_EPS + 2 / n, (q, g, rank)
+
     def test_hll_distinct_error_bound(self, sf_mid, ray_session):
         """HLL estimate within 5% of the exact distinct count (4096
         registers ⇒ ~1.6% typical), and invariant to partitioning."""
