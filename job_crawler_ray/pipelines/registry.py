@@ -134,6 +134,32 @@ def ann_ivf(sf_dir: str) -> pa.Table:
 
 
 PACK_SEQ_LEN = 128
+PREP_MIN_TOKENS = 30
+PREP_MIN_STOP_RATIO = 0.03
+
+
+def p1_training_data_prep(sf_dir: str):
+    """Flagship training-data prep COMPOSITE: exact-text dedup (min-id
+    representative) → quality filter (≥ {PREP_MIN_TOKENS} tokens,
+    stopword ratio ≥ {PREP_MIN_STOP_RATIO}) → fixed-length sequence
+    packing. Every stage is individually oracle-proven; this entry
+    value-hash-checks the whole composition end to end — the pipeline
+    a 100 TB corpus actually runs before pretraining."""
+    from job_crawler_ray.stages.dedup import dedup_exact_text
+
+    docs = _docs(sf_dir)
+    deduped = dedup_exact_text(docs).drop_columns(["text_key"])
+
+    def qfilter(t: pa.Table) -> pa.Table:
+        tc = T.token_count_batch(t)      # order-preserving projections
+        qs = T.quality_score_batch(t)
+        m = (tc["n_tokens"].to_numpy() >= PREP_MIN_TOKENS) & (
+            qs["stop_ratio"].to_numpy() >= PREP_MIN_STOP_RATIO
+        )
+        return t.filter(pa.array(m))
+
+    filtered = deduped.map_batches(qfilter, batch_format="pyarrow")
+    return T.pack_sequences(filtered, seq_len=PACK_SEQ_LEN)
 
 
 def s2_pack_sequences(sf_dir: str):
@@ -417,6 +443,43 @@ def extra_oracle_sql() -> dict[str, str]:
                   >= {NEARDUP_THRESHOLD}
             ORDER BY id_a, id_b
         """,
+        "p1_training_data_prep": rf"""
+            WITH dedup AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY coalesce(text, '')
+                                          ORDER BY doc_id) AS rnk
+                FROM documents) WHERE rnk = 1
+            ), filtered AS (
+              SELECT doc_id, text FROM dedup
+              WHERE len(list_filter(regexp_split_to_array(
+                        coalesce(text, ''), '\s+'), x -> x <> ''))
+                    >= {PREP_MIN_TOKENS}
+                AND round({_sw_hits_sql(T.STOPWORDS)}
+                      / greatest(len(list_filter(
+                            regexp_split_to_array(lower(coalesce(text, '')),
+                                                  '\s+'),
+                            x -> x <> '')), 1), 6) >= {PREP_MIN_STOP_RATIO}
+            ), w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                       '\s+'),
+                                 x -> x <> '') AS ws
+              FROM filtered
+            ), tok AS (
+              SELECT doc_id, t.i, ws[t.i] AS tok
+              FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+            ), numbered AS (
+              SELECT tok, row_number() OVER (ORDER BY doc_id, i) - 1 AS rn
+              FROM tok
+            )
+            SELECT CAST(rn // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+                   list(tok ORDER BY rn) AS tokens
+            FROM numbered
+            GROUP BY rn // {PACK_SEQ_LEN}
+            HAVING count(*) = {PACK_SEQ_LEN}
+            ORDER BY seq_id
+        """,
         "s2_pack_sequences": rf"""
             WITH w AS (
               SELECT doc_id,
@@ -518,6 +581,7 @@ def build_queries() -> dict:
             "embedding_neardup_apply": embedding_neardup_apply,
             "d4_ngram_jaccard": d4_ngram_jaccard,
             "s2_pack_sequences": s2_pack_sequences,
+            "p1_training_data_prep": p1_training_data_prep,
             "t_token_count": t_token_count,
             "t_token_count_bpe": t_token_count_bpe,
             "t_quality_score": t_quality_score,
