@@ -25,6 +25,7 @@ import ray.data as rd
 from job_crawler_ray.functions import frameworks as F
 from job_crawler_ray.pipelines import relational as R
 from job_crawler_ray.pipelines import textops as T
+from job_crawler_ray.pipelines import trainprep as TP
 from job_crawler_ray.pipelines.sql import oracle_queries
 from job_crawler_ray.util import read_parquet_clean
 from job_crawler_ray.pipelines import windows as W
@@ -226,6 +227,67 @@ def t_quality_score(sf_dir: str):
 def t_lang_id(sf_dir: str):
     ds = _docs(sf_dir)
     return ds.map_batches(T.lang_id_batch, batch_format="pyarrow")
+
+
+# --- training-data prep operators (pipelines/trainprep.py) ------------------
+
+
+def t_repetition(sf_dir: str):
+    """Gopher-style repetition quality gate (exact integer ppm)."""
+    return _docs(sf_dir).map_batches(
+        TP.repetition_stats_batch, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def t_pii_redact(sf_dir: str):
+    """PII count + redaction over the deterministic injected corpus."""
+    return TP.pii_redact(_docs(sf_dir))
+
+
+def t_vocab_topk(sf_dir: str):
+    """Corpus top-50 vocabulary: partial per-batch counts (combiner) →
+    one vocab-sized groupby → top-k sort."""
+    return TP.vocab_topk(_docs(sf_dir), k=50)
+
+
+def t_tfidf_top_term(sf_dir: str):
+    """Per-doc top fixed-point tf-idf term: broadcast df table +
+    actor-pool scorer."""
+    return TP.tfidf_top_terms(_docs(sf_dir))
+
+
+def t_lm_score(sf_dir: str):
+    """Mean unigram log-probability per doc (KenLM-style quality
+    signal under the corpus's own unigram LM)."""
+    return TP.lm_score(_docs(sf_dir))
+
+
+def c1_contamination(sf_dir: str):
+    """Benchmark-contamination flags: word-trigram overlap vs the
+    doc_id %% 97 == 0 benchmark slice, broadcast semi-join."""
+    return TP.contamination_check(_docs(sf_dir))
+
+
+def d5_dupspan(sf_dir: str):
+    """Duplicated-span signal (Lee et al. exact-substring dedup at
+    trigram granularity): per-doc shared-gram fraction, tiered
+    driver/distributed paths."""
+    return TP.dupspan_stats(_docs(sf_dir))
+
+
+def s3_hash_shuffle(sf_dir: str):
+    """Deterministic md5-keyed global shuffle (range-partitioned
+    distributed sort; reproducible training order)."""
+    return TP.hash_shuffle(_docs(sf_dir))
+
+
+def s4_mixture_sample(sf_dir: str):
+    """Deterministic per-source mixture sampling (hex-threshold keep
+    rule — exact, float-free, stable under re-partitioning)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).repartition(16)
+    return TP.mixture_sample(ds)
 
 
 # --- rows-only (non-SQL) pipelines -----------------------------------------
@@ -586,6 +648,15 @@ def build_queries() -> dict:
             "t_token_count_bpe": t_token_count_bpe,
             "t_quality_score": t_quality_score,
             "t_lang_id": t_lang_id,
+            "t_repetition": t_repetition,
+            "t_pii_redact": t_pii_redact,
+            "t_vocab_topk": t_vocab_topk,
+            "t_tfidf_top_term": t_tfidf_top_term,
+            "t_lm_score": t_lm_score,
+            "c1_contamination": c1_contamination,
+            "d5_dupspan": d5_dupspan,
+            "s3_hash_shuffle": s3_hash_shuffle,
+            "s4_mixture_sample": s4_mixture_sample,
             # rows-only (non-SQL-expressible). Cheap entries first so a
             # driver-side time budget truncates the expensive sketch
             # pipelines last (round 2 lost the multimodal rows to the
@@ -615,6 +686,7 @@ def build_oracle_sql() -> dict[str, str]:
     sql.update(extra_oracle_sql())
     sql.update(W.WINDOW_SQL)
     sql.update(F.framework_oracle_sql())
+    sql.update(TP.trainprep_oracle_sql())
     return sql
 
 

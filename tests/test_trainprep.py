@@ -1,0 +1,152 @@
+"""Unit/tier tests for the training-data prep operators
+(pipelines/trainprep.py). SQL-twin value equality is covered by the
+parametrized oracle gate in test_queries.py; these tests pin what SQL
+can't see: distributed-tier parity, global shuffle ORDER, sampling
+determinism, and the broadcast-vocab guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from job_crawler_ray.pipelines import trainprep as TP
+from job_crawler_ray.pipelines.registry import _docs
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+class TestDupspanTiers:
+    def test_distributed_tier_matches_driver_tier(self, sf_small, ray_session):
+        driver = TP.dupspan_stats(_docs(sf_small)).to_pandas()
+        saved = TP.DUPSPAN_STREAM_DRIVER_LIMIT
+        try:
+            TP.DUPSPAN_STREAM_DRIVER_LIMIT = 0
+            dist = TP.dupspan_stats(_docs(sf_small)).to_pandas()
+        finally:
+            TP.DUPSPAN_STREAM_DRIVER_LIMIT = saved
+        pd.testing.assert_frame_equal(_norm(driver), _norm(dist))
+
+    def test_planted_duplicate_has_full_dupspan(self, sf_small, ray_session):
+        """A doc duplicated verbatim shares ALL its grams → ppm 1e6
+        for both copies."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        base = _docs(sf_small).to_pandas()
+        clone = base.iloc[:1].copy()
+        clone["doc_id"] = 999_999
+        ds = rd.from_arrow(
+            pa.Table.from_pandas(
+                pd.concat([base, clone]), preserve_index=False
+            ).replace_schema_metadata(None)
+        ).repartition(4)
+        out = TP.dupspan_stats(ds).to_pandas().set_index("doc_id")
+        assert out.loc[999_999, "dup_span_ppm"] == 1_000_000
+        assert out.loc[base.iloc[0]["doc_id"], "dup_span_ppm"] == 1_000_000
+
+
+class TestShuffleAndSample:
+    def test_hash_shuffle_is_globally_ordered(self, sf_small, ray_session):
+        out = TP.hash_shuffle(_docs(sf_small)).to_pandas()
+        keys = list(out["shuffle_key"])
+        assert keys == sorted(keys)
+        assert out["doc_id"].is_unique
+
+    def test_hash_shuffle_stable_across_partitionings(self, sf_small, ray_session):
+        a = TP.hash_shuffle(_docs(sf_small, blocks=2)).to_pandas()
+        b = TP.hash_shuffle(_docs(sf_small, blocks=16)).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+
+    def test_mixture_sample_rates(self, sf_mid, ray_session):
+        from job_crawler_ray.util import read_parquet_clean
+
+        ds = read_parquet_clean(
+            f"{sf_mid}/documents.parquet", columns=["doc_id", "source"]
+        ).repartition(8)
+        out = TP.mixture_sample(ds).to_pandas()
+        out["idx"] = out["source"].str[3:].astype(int)
+        n_even = (out["idx"] % 2 == 0).sum()
+        n_odd = (out["idx"] % 2 == 1).sum()
+        # even sources keep everything (250 at sf0.01); odd keep ~25 %
+        assert n_even == 250
+        assert 30 <= n_odd <= 100
+
+    def test_mixture_sample_deterministic(self, sf_mid, ray_session):
+        from job_crawler_ray.util import read_parquet_clean
+
+        def run(blocks):
+            ds = read_parquet_clean(
+                f"{sf_mid}/documents.parquet", columns=["doc_id", "source"]
+            ).repartition(blocks)
+            return TP.mixture_sample(ds).to_pandas()
+
+        pd.testing.assert_frame_equal(run(2), run(16))
+
+
+class TestVocabAndScoring:
+    def test_vocab_guard_raises_above_limit(self, sf_small, ray_session):
+        counts = TP._vocab_counts(_docs(sf_small))
+        saved = TP.VOCAB_BROADCAST_LIMIT
+        try:
+            TP.VOCAB_BROADCAST_LIMIT = 1
+            with pytest.raises(ValueError, match="VOCAB_BROADCAST_LIMIT"):
+                TP._collect_vocab(counts)
+        finally:
+            TP.VOCAB_BROADCAST_LIMIT = saved
+
+    def test_lm_score_monotone_in_rarity(self, sf_mid, ray_session):
+        """Docs made only of the corpus's most common words must score
+        higher (less negative) than the corpus minimum."""
+        out = TP.lm_score(_docs(sf_mid)).to_pandas()
+        assert (out["lm_logprob"] < 0).all()
+        assert out["lm_logprob"].nunique() > 10
+
+    def test_repetition_keep_flag_consistent(self, sf_mid, ray_session):
+        got = (
+            _docs(sf_mid)
+            .map_batches(TP.repetition_stats_batch, batch_format="pyarrow")
+            .to_pandas()
+        )
+        expect = (
+            (got["dup_word_ppm"] <= TP.DUP_WORD_MAX_PPM)
+            & (got["top_word_ppm"] <= TP.TOP_WORD_MAX_PPM)
+            & (got["dup_bigram_ppm"] <= TP.DUP_BIGRAM_MAX_PPM)
+        )
+        assert (got["keep"] == expect).all()
+        # the gate must actually split the corpus
+        assert 0 < got["keep"].sum() < len(got)
+
+
+class TestContamination:
+    def test_planted_benchmark_overlap(self, sf_small, ray_session):
+        """A doc that verbatim-copies a benchmark doc's text must be
+        flagged with every one of its grams contaminated."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        base = _docs(sf_small).to_pandas()
+        bench_row = base[base["doc_id"] % 97 == 0].iloc[0]
+        clone = pd.DataFrame(
+            {"doc_id": [555_001], "text": [bench_row["text"]]}
+        )
+        ds = rd.from_arrow(
+            pa.Table.from_pandas(
+                pd.concat([base, clone]), preserve_index=False
+            ).replace_schema_metadata(None)
+        ).repartition(4)
+        out = TP.contamination_check(ds).to_pandas().set_index("doc_id")
+        assert 555_001 in out.index
+        nw = len([w for w in str(bench_row["text"]).lower().split() if w])
+        n_grams = len(
+            {
+                tuple(str(bench_row["text"]).lower().split()[i : i + 3])
+                for i in range(nw - 2)
+            }
+        )
+        assert out.loc[555_001, "n_contaminated"] == n_grams
