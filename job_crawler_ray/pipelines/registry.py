@@ -163,6 +163,30 @@ def p1_training_data_prep(sf_dir: str):
     return T.pack_sequences(filtered, seq_len=PACK_SEQ_LEN)
 
 
+def p2_webtext_prep(sf_dir: str):
+    """End-to-end WEBTEXT prep composite — the full filter chain a
+    crawled corpus runs before tokenization, every stage individually
+    oracle-proven and the composition value-hash-checked end to end:
+
+      exact-text dedup (min-id) → PII inject+redact → Gopher
+      repetition gate → benchmark-contamination removal → per-source
+      mixture sampling → fixed-length sequence packing.
+
+    All stages are per-row kernels or broadcast semi-joins; the only
+    shuffles are the dedup groupby and the pack assembly."""
+    from job_crawler_ray.stages.dedup import dedup_exact_text
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).repartition(16)
+    deduped = dedup_exact_text(docs).drop_columns(["text_key"])
+    red = deduped.map_batches(TP.redact_as_text_batch, batch_format="pyarrow")
+    gated = red.map_batches(TP.repetition_filter_batch, batch_format="pyarrow")
+    cleaned = TP.contamination_filter(gated)
+    sampled = TP.mixture_sample(cleaned, sort=False)
+    return T.pack_sequences(sampled, seq_len=TP.P2_SEQ_LEN)
+
+
 def s2_pack_sequences(sf_dir: str):
     """Training-data last mile: the corpus token stream (docs in id
     order) packed into fixed-length sequences of 128 whitespace
@@ -644,6 +668,7 @@ def build_queries() -> dict:
             "d4_ngram_jaccard": d4_ngram_jaccard,
             "s2_pack_sequences": s2_pack_sequences,
             "p1_training_data_prep": p1_training_data_prep,
+            "p2_webtext_prep": p2_webtext_prep,
             "t_token_count": t_token_count,
             "t_token_count_bpe": t_token_count_bpe,
             "t_quality_score": t_quality_score,

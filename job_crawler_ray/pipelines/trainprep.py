@@ -630,7 +630,8 @@ MIXTURE_KEEP_EVEN = "ffffffff"  # P(keep) = 1.0 for even source index
 MIXTURE_KEEP_ODD = "3fffffff"   # P(keep) = 0.25 for odd source index
 
 
-def mixture_sample(ds, id_col: str = "doc_id", source_col: str = "source"):
+def mixture_sample(ds, id_col: str = "doc_id", source_col: str = "source",
+                   sort: bool = True):
     """Per-source weighted sampling to a target mixture: keep a row
     iff the first 8 hex chars of ``md5(id:source)`` fall under the
     source's threshold. Hex-string comparison ≡ integer comparison for
@@ -648,7 +649,8 @@ def mixture_sample(ds, id_col: str = "doc_id", source_col: str = "source"):
         thr = np.where(idx % 2 == 0, MIXTURE_KEEP_EVEN, MIXTURE_KEEP_ODD)
         return b.filter(pa.array(k8 <= thr))
 
-    return ds.map_batches(sample, batch_format="pyarrow").sort(id_col)
+    out = ds.map_batches(sample, batch_format="pyarrow")
+    return out.sort(id_col) if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -663,6 +665,8 @@ _WS = (
 
 _PII_EMAIL_SQL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _PII_PHONE_SQL = r"\d{3}-\d{3}-\d{4}"
+
+P2_SEQ_LEN = 128  # packed-sequence length of the p2 composite
 
 
 def trainprep_oracle_sql() -> dict[str, str]:
@@ -776,6 +780,90 @@ def trainprep_oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS dup_span_ppm
             FROM g LEFT JOIN per USING(doc_id) ORDER BY g.doc_id
         """,
+        "p2_webtext_prep": rf"""
+            WITH dedup AS (
+              SELECT doc_id, text, source FROM (
+                SELECT doc_id, text, source,
+                       row_number() OVER (PARTITION BY coalesce(text, '')
+                                          ORDER BY doc_id) AS rnk
+                FROM documents) WHERE rnk = 1
+            ), red AS (
+              SELECT doc_id, source,
+                regexp_replace(regexp_replace(
+                  coalesce(text,'')
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END,
+                  '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+                  '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS text
+              FROM dedup
+            ), w AS (
+              SELECT doc_id, source, text,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS ws
+              FROM red
+            ), tok AS (SELECT doc_id, ws[t.i] AS tok
+                       FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)),
+            wc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+            stats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+                             count(*) AS nd, max(c) AS top
+                      FROM wc GROUP BY doc_id),
+            bi AS (SELECT doc_id,
+                   CASE WHEN len(ws) >= 2 THEN len(ws)-1 ELSE 0 END AS btot,
+                   CASE WHEN len(ws) >= 2 THEN len(list_distinct(list_transform(
+                        generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])))
+                        ELSE 0 END AS bd
+                   FROM w),
+            gated AS (
+              SELECT w.doc_id, w.source, w.text, w.ws
+              FROM w LEFT JOIN stats ON w.doc_id = stats.doc_id
+                     JOIN bi ON w.doc_id = bi.doc_id
+              WHERE (CASE WHEN coalesce(total,0) > 0
+                          THEN ((total-nd)*1000000)//total ELSE 0 END) <= {DUP_WORD_MAX_PPM}
+                AND (CASE WHEN coalesce(total,0) > 0
+                          THEN (top*1000000)//total ELSE 0 END) <= {TOP_WORD_MAX_PPM}
+                AND (CASE WHEN btot > 0
+                          THEN ((btot-bd)*1000000)//btot ELSE 0 END) <= {DUP_BIGRAM_MAX_PPM}
+            ), g3 AS (
+              SELECT doc_id, source, text,
+                     CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+                          generate_series(1, len(ws)-2),
+                          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) ELSE [] END AS grams
+              FROM gated
+            ), bench AS (
+              SELECT DISTINCT t.g AS gram
+              FROM g3, UNNEST(grams) AS t(g) WHERE doc_id % 97 = 0
+            ), contam AS (
+              SELECT DISTINCT eg.doc_id
+              FROM (SELECT doc_id, t.g AS gram FROM g3, UNNEST(grams) AS t(g)) eg
+              JOIN bench USING(gram) WHERE eg.doc_id % 97 <> 0
+            ), surv AS (
+              SELECT doc_id, text FROM g3
+              WHERE doc_id % 97 <> 0
+                AND doc_id NOT IN (SELECT doc_id FROM contam)
+                AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8)
+                    <= CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                            THEN '{MIXTURE_KEEP_EVEN}' ELSE '{MIXTURE_KEEP_ODD}' END
+            ), pw AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                 x -> x <> '') AS pws
+              FROM surv
+            ), ptok AS (
+              SELECT doc_id, t.i, pws[t.i] AS tok
+              FROM pw, UNNEST(generate_series(1, len(pws))) AS t(i)
+            ), numbered AS (
+              SELECT tok, row_number() OVER (ORDER BY doc_id, i) - 1 AS rn
+              FROM ptok
+            )
+            SELECT CAST(rn // {P2_SEQ_LEN} AS BIGINT) AS seq_id,
+                   list(tok ORDER BY rn) AS tokens
+            FROM numbered
+            GROUP BY rn // {P2_SEQ_LEN}
+            HAVING count(*) = {P2_SEQ_LEN}
+            ORDER BY seq_id
+        """,
         "s3_hash_shuffle": """
             SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
@@ -789,3 +877,62 @@ def trainprep_oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
     }
+
+
+# ---------------------------------------------------------------------------
+# composite helpers: filter-shaped variants of the gate stages, used by
+# the end-to-end webtext prep pipeline (registry: p2_webtext_prep)
+# ---------------------------------------------------------------------------
+
+
+def repetition_filter_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Row filter form of the repetition gate: keeps rows passing the
+    Gopher-style thresholds, preserving all columns (incl. text)."""
+    stats = repetition_stats_batch(batch, text_col)
+    return batch.filter(stats["keep"].combine_chunks())
+
+
+def redact_as_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Inject + redact, re-emitting the scrubbed text under the
+    original text column name (drops the count columns) — the
+    in-pipeline form of :func:`pii_redact`."""
+    red = pii_redact_batch(inject_pii_batch(batch, text_col), text_col)
+    keep = red.select(
+        [c for c in red.column_names if c not in ("n_emails", "n_phones", "clean_text")]
+    )
+    return keep.append_column(text_col, red["clean_text"])
+
+
+def contamination_filter(ds, bench_mod: int = 97, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """Removal form of :func:`contamination_check`: drops the
+    benchmark slice itself AND every doc sharing ≥ 1 distinct
+    word-trigram with it. Same broadcast semi-join shape."""
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        sub = b.filter(pa.array(ids % bench_mod == 0))
+        h, _ = _doc_gram_sets(sub[text_col], CONTAM_NGRAM)
+        return pa.table({"gram": pa.array(np.unique(h).view(np.int64))})
+
+    parts = [
+        tb["gram"].to_numpy()
+        for tb in ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        )
+    ]
+    bench = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+    bench_ref = ray.put(bench)
+
+    def filt(b: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        ids = b[id_col].to_numpy()
+        h, offs = _doc_gram_sets(b[text_col], CONTAM_NGRAM)
+        counts = (offs[1:] - offs[:-1]).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(ids)), counts)
+        member = np.isin(h.view(np.int64), bset, assume_unique=False)
+        shared = np.bincount(doc_of[member], minlength=len(ids))
+        keep = (ids % bench_mod != 0) & (shared == 0)
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
