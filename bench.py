@@ -131,6 +131,7 @@ def run_queries() -> dict[str, float]:
         "d1_dedup_exact_text",    # exact dedup shuffle
         "dedup_minhash",          # sketch pipeline
         "ann_cosine_topk",        # similarity search
+        "p2_webtext_prep",        # full webtext prep composite
     ]
     out = {}
     for name in picks:
