@@ -3077,11 +3077,91 @@ BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
 
 def _stopword_hits(lower: pd.Series, words) -> np.ndarray:
     """Σ word-boundary occurrences of each stopword — one vectorized
-    regex count per word, no per-row Python."""
+    regex count per word, no per-row Python. (Regex fallback tier of
+    :func:`_stopword_count_matrix`.)"""
     hits = np.zeros(len(lower), dtype=np.int64)
     for w in words:
         hits += lower.str.count(r"\b" + w + r"\b").to_numpy(dtype=np.int64)
     return hits
+
+
+# \w bytes after utf8_lower: [a-z0-9_] (uppercase gone; ≥0x80 → fallback)
+_WORD_BYTE_LUT = np.zeros(256, dtype=bool)
+_WORD_BYTE_LUT[np.frombuffer(b"abcdefghijklmnopqrstuvwxyz0123456789_", np.uint8)] = True
+_PACK_POW = (np.uint64(256) ** np.arange(8, dtype=np.uint64)).astype(np.uint64)
+
+
+def _stopword_count_matrix(col, words) -> np.ndarray | None:
+    """[ndocs, len(words)] word-boundary occurrence counts in ONE byte
+    pass — the fast tier replacing len(words) separate ``\\b w \\b``
+    regex scans (40 scans/batch in the enrich hot path profiled at
+    ~1.2 s per 2048-page batch; this pass is ~30 ms).
+
+    Semantics ≡ ``str.count(r'\\bw\\b')`` for ASCII text: a match is a
+    maximal ``[a-z0-9_]`` run equal to ``w`` (runs never span rows).
+    Runs are detected with shifted-mask diffs over the flat lowered
+    byte buffer; candidate runs (≤ 8 bytes — all stopwords fit) are
+    packed into one uint64 key and matched against the packed word
+    table with a single searchsorted. Returns None when the batch
+    contains non-ASCII bytes (unicode word-boundary rules differ) —
+    callers then take the regex tier."""
+    words = list(words)
+    data, offs = _lower_bytes_offsets(col)
+    ndocs = len(offs) - 1
+    W = len(words)
+    out_empty = np.zeros((ndocs, W), dtype=np.int64)
+    if ndocs == 0 or offs[-1] == offs[0]:
+        return out_empty
+    base = offs[0]
+    buf = data[base:offs[-1]]
+    if (buf >= 0x80).any():
+        return None
+    is_w = _WORD_BYTE_LUT[buf]
+    if not is_w.any():
+        return out_empty
+    n = buf.size
+    rel = offs - base
+    prev_w = np.empty(n, dtype=bool)
+    prev_w[0] = False
+    prev_w[1:] = is_w[:-1]
+    next_w = np.empty(n, dtype=bool)
+    next_w[-1] = False
+    next_w[:-1] = is_w[1:]
+    # runs break at row boundaries: no prev across a row start, no
+    # next across a row end
+    row_starts = rel[:-1][rel[:-1] < n]
+    prev_w[row_starts] = False
+    row_last = rel[1:] - 1
+    row_last = row_last[(row_last >= 0) & (row_last < n)]
+    next_w[row_last] = False
+    starts = np.nonzero(is_w & ~prev_w)[0]
+    ends = np.nonzero(is_w & ~next_w)[0]
+    lens = ends - starts + 1
+    cand = lens <= 8
+    if not cand.any():
+        return out_empty
+    cs, cl = starts[cand], lens[cand]
+    gather_idx = cs[:, None] + np.arange(8, dtype=np.int64)
+    valid = np.arange(8, dtype=np.int64) < cl[:, None]
+    vals = buf[np.minimum(gather_idx, n - 1)].astype(np.uint64) * valid
+    keys = (vals * _PACK_POW).sum(axis=1, dtype=np.uint64)
+    wkeys = np.zeros(W, dtype=np.uint64)
+    for i, w in enumerate(words):
+        b = w.encode()
+        if len(b) > 8 or any(c >= 0x80 for c in b):
+            return None  # word itself outside the fast tier
+        wkeys[i] = np.uint64(int.from_bytes(b.ljust(8, b"\0"), "little"))
+    uniq, inv = np.unique(wkeys, return_inverse=True)
+    pos = np.searchsorted(uniq, keys)
+    pos_c = np.minimum(pos, len(uniq) - 1)
+    match = uniq[pos_c] == keys
+    if not match.any():
+        return out_empty
+    doc_of = np.searchsorted(offs, cs[match] + base, side="right") - 1
+    flat = np.bincount(
+        doc_of * len(uniq) + pos_c[match], minlength=ndocs * len(uniq)
+    ).reshape(ndocs, len(uniq))
+    return flat[:, inv].astype(np.int64)
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -3104,13 +3184,15 @@ def token_count_bpe_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Length / punctuation / stopword signals (heuristic quality).
-    Stopword hits are word-boundary regex counts — fully vectorized."""
+    Stopword hits via the one-pass byte kernel
+    (:func:`_stopword_count_matrix`); regex tier on non-ASCII."""
     texts = batch[text_col].to_pandas().fillna("")
     n_chars = texts.str.len().astype("int64")
     n_punct = texts.str.count(r"[.!?]").astype("int64")
     lower = texts.str.lower()
     n_tokens = lower.str.split().str.len().fillna(0).astype("int64")
-    n_stop = _stopword_hits(lower, STOPWORDS)
+    mat = _stopword_count_matrix(batch[text_col], STOPWORDS)
+    n_stop = mat.sum(axis=1) if mat is not None else _stopword_hits(lower, STOPWORDS)
     stop_ratio = (n_stop / n_tokens.where(n_tokens > 0, 1)).round(6)
     keep = batch.select([c for c in batch.column_names if c != text_col])
     keep = keep.append_column("n_chars_q", pa.array(n_chars.to_numpy()))
@@ -3123,12 +3205,19 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Multi-language stopword-hit heuristic: the language with the
     most word-boundary stopword hits wins (≥ 2 required; ties resolve
     in LANG_STOPWORDS priority order), else 'unknown'."""
-    texts = batch[text_col].to_pandas().fillna("")
-    lower = texts.str.lower()
     langs = list(LANG_STOPWORDS)
-    hit_mat = np.column_stack(
-        [_stopword_hits(lower, LANG_STOPWORDS[lg]) for lg in langs]
-    )
+    all_words = [w for lg in langs for w in LANG_STOPWORDS[lg]]
+    mat = _stopword_count_matrix(batch[text_col], all_words)
+    if mat is not None:
+        bounds = np.cumsum([0] + [len(LANG_STOPWORDS[lg]) for lg in langs])
+        hit_mat = np.column_stack(
+            [mat[:, bounds[i]:bounds[i + 1]].sum(axis=1) for i in range(len(langs))]
+        )
+    else:
+        lower = batch[text_col].to_pandas().fillna("").str.lower()
+        hit_mat = np.column_stack(
+            [_stopword_hits(lower, LANG_STOPWORDS[lg]) for lg in langs]
+        )
     best = hit_mat.max(axis=1)
     # first language reaching the max (priority order on ties)
     winner = np.argmax(hit_mat == best[:, None], axis=1)

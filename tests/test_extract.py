@@ -121,3 +121,48 @@ class TestCorpusParity:
                 assert got["salary_avg"] == ref["salary_info"]["average"]
             else:
                 assert pd.isna(got["salary_avg"])
+
+
+class TestStopwordFastKernel:
+    """The one-pass byte kernel must equal the regex tier exactly
+    (it replaced 40 per-word regex scans in the enrich hot path)."""
+
+    def test_matches_regex_on_documents(self, sf_mid):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from job_crawler_ray.pipelines import textops as T
+
+        col = pq.read_table(f"{sf_mid}/documents.parquet")["text"]
+        words = T.STOPWORDS + [w for lg in T.LANG_STOPWORDS.values() for w in lg]
+        mat = T._stopword_count_matrix(col, words)
+        assert mat is not None
+        lower = col.to_pandas().fillna("").str.lower()
+        ref = np.column_stack(
+            [lower.str.count(r"\b" + w + r"\b").to_numpy() for w in words]
+        )
+        assert (mat == ref).all()
+
+    def test_edge_cases_and_unicode_fallback(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from job_crawler_ray.pipelines import textops as T
+
+        edge = pa.array(
+            ["", None, "the", "the the the", "xthe they the9 the_ the-y the.the",
+             "a a_a a9 a _a a", "    the   ", "THE The tHe",
+             "punct,the,punct the!the?the", "_the_ the_ _the the"]
+        )
+        words = T.STOPWORDS + ["und", "der"]
+        mat = T._stopword_count_matrix(edge, words)
+        lower = edge.to_pandas().fillna("").str.lower()
+        ref = np.column_stack(
+            [lower.str.count(r"\b" + w + r"\b").to_numpy() for w in words]
+        )
+        assert (mat == ref).all()
+        # duplicate words across lists count independently
+        m = T._stopword_count_matrix(pa.array(["the a the"]), ["the", "a", "the"])
+        assert (m == np.array([[2, 1, 2]])).all()
+        # non-ASCII text → None (callers take the regex tier)
+        assert T._stopword_count_matrix(pa.array(["thé the"]), T.STOPWORDS) is None
