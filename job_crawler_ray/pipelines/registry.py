@@ -356,14 +356,8 @@ def io3_partitioned_read(sf_dir: str):
     out_dir = tempfile.mkdtemp(prefix="jcr_part_")
     ds.write_parquet(out_dir, partition_cols=["lang"])
     # pruned read: ONLY the en partition's files are listed/opened
+    # (the hive path segment re-materializes the lang column)
     back = read_parquet_clean(os.path.join(out_dir, "lang=en"))
-
-    def attach(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "lang", pa.array(["en"] * t.num_rows, type=pa.string())
-        )
-
-    back = back.map_batches(attach, batch_format="pyarrow")
     return back.select_columns(["doc_id", "text", "lang"]).sort("doc_id")
 
 
