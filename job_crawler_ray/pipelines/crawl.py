@@ -189,6 +189,8 @@ def run_crawl(
 
     setup_timings: dict[str, float] = {}
     prebuilt_frontier = None
+    f0_writer = None
+    _f0_err: list[BaseException] = []
     if start_epoch == 0:
         # one-time corpus store + initial frontier — committed ATOMICALLY
         # (write to a tmp dir, os.rename into place): a crash mid-write
@@ -222,9 +224,30 @@ def run_crawl(
             # live handoff into epoch 0 (same as between epochs): the
             # parquet copy is the resume checkpoint, not the data path
             prebuilt_frontier = build_frontier(frontier_src, cfg).materialize()
-            prebuilt_frontier.write_parquet(tmp_f0)
-            os.makedirs(os.path.dirname(f0), exist_ok=True)
-            os.rename(tmp_f0, f0)
+
+            # The checkpoint copy is a RESUME-ONLY artifact: nothing in
+            # this run reads ep-00000 (epoch 0 consumes the live
+            # materialized frontier), and a resume needs it only when no
+            # manifest was committed. So the write overlaps epoch-0
+            # compute in a background thread and is joined before the
+            # epoch-0 manifest commits; the tmp-dir + atomic-rename
+            # protocol keeps a crashed half-write invisible to resume.
+            import threading as _threading
+
+            def _write_f0_checkpoint(
+                ds=prebuilt_frontier, tmp=tmp_f0, dst=f0, err=_f0_err
+            ):
+                try:
+                    ds.write_parquet(tmp)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(tmp, dst)
+                except BaseException as e:  # surfaced at join
+                    err.append(e)
+
+            f0_writer = _threading.Thread(
+                target=_write_f0_checkpoint, daemon=True
+            )
+            f0_writer.start()
         setup_timings["frontier_build"] = round(_time.time() - _t0, 3)
 
     epoch = start_epoch
@@ -462,6 +485,19 @@ def run_crawl(
         seen.snapshot(snap_dir)
         timings["seen_snapshot"] = _time.time() - _t0
 
+        # the epoch-0 frontier checkpoint (written in the background,
+        # overlapped with this epoch's compute) must exist before the
+        # first manifest commits — a resume landing between commit and
+        # write completion would otherwise see a manifest but no
+        # checkpoint chain origin
+        if f0_writer is not None:
+            _t0 = _time.time()
+            f0_writer.join()
+            f0_writer = None
+            if _f0_err:
+                raise _f0_err[0]
+            timings["f0_checkpoint_join"] = _time.time() - _t0
+
         out_files = sorted(os.listdir(out_epoch)) if os.path.isdir(out_epoch) else []
         manifests.append(
             write_manifest(
@@ -487,6 +523,11 @@ def run_crawl(
         epoch += 1
         if n_remaining == 0 and not any(e >= epoch for e in reseed_epochs):
             break
+
+    if f0_writer is not None:  # max_epochs == 0: no manifest joined it
+        f0_writer.join()
+        if _f0_err:
+            raise _f0_err[0]
 
     result = {
         "setup_timings": setup_timings,
