@@ -314,6 +314,17 @@ def s4_mixture_sample(sf_dir: str):
     return TP.mixture_sample(ds)
 
 
+def s5_importance_resample(sf_dir: str):
+    """DSIR-style importance resampling (Xie et al. 2023): per-doc
+    mean unigram log-ratio vs the lang='en' target slice (add-1
+    smoothed), kept via the deterministic md5 coin at
+    P(keep) = min(1, exp(weight))."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).repartition(16)
+    return TP.importance_resample(ds)
+
+
 # --- source/sink roundtrips (§2.1 coverage beyond parquet) ------------------
 
 
@@ -743,6 +754,7 @@ def build_queries() -> dict:
             "d5_dupspan": d5_dupspan,
             "s3_hash_shuffle": s3_hash_shuffle,
             "s4_mixture_sample": s4_mixture_sample,
+            "s5_importance_resample": s5_importance_resample,
             "io1_jsonl_roundtrip": io1_jsonl_roundtrip,
             "io2_csv_roundtrip": io2_csv_roundtrip,
             "io3_partitioned_read": io3_partitioned_read,

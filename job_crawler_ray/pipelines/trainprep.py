@@ -423,6 +423,118 @@ def lm_score(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 # ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al., "Data Selection for
+# Language Models via Importance Resampling", NeurIPS 2023 — public
+# method): weight each document by the mean per-token log-ratio
+# between a TARGET unigram LM (docs matching a target predicate,
+# e.g. lang = 'en') and the corpus-wide unigram LM (both add-1
+# smoothed over the full vocabulary), then resample with the
+# deterministic md5-thresholded coin at P(keep) = min(1, exp(weight)).
+# The keep rule is a pure function of the row (id + rounded weight) —
+# stable under re-partitioning, retries and resume, like
+# ``mixture_sample`` above.
+#
+# Scale shape: two partial-count vocab passes (combiner inside
+# map_batches, one vocab-sized groupby each) → driver merge under
+# VOCAB_BROADCAST_LIMIT (the documented vocabulary ≪ corpus
+# assumption; shard by word-hash above it) → one broadcast
+# (word → log-ratio) table scored by an actor pool.
+# ---------------------------------------------------------------------------
+
+_U32_SCALE = 4294967296.0  # 2^32: md5-prefix space
+
+
+class _ImportanceScorer:
+    """Actor-pool stage holding the broadcast (word → log-ratio)
+    table; emits per-doc mean log-ratio + deterministic keep flag."""
+
+    def __init__(self, vocab_ref, id_col: str, text_col: str):
+        words, lr = ray.get(vocab_ref)
+        self._words = words
+        self._lr = lr
+        self._id = id_col
+        self._text = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = _words_flat(batch[self._text])
+        ids = batch[self._id].to_numpy()
+        empty = pa.table({
+            self._id: pa.array([], type=pa.int64()),
+            "imp_logratio": pa.array([], type=pa.float64()),
+            "kept": pa.array([], type=pa.bool_()),
+        })
+        if len(doc_of) == 0:
+            return empty
+        w = np.asarray(flat.to_pylist(), dtype=object)
+        pos = np.searchsorted(self._words, w)
+        pos = np.clip(pos, 0, max(len(self._words) - 1, 0))
+        if len(self._words) == 0 or not (self._words[pos] == w).all():
+            raise ValueError("token missing from the broadcast ratio table")
+        lr = self._lr[pos]
+        ntok = np.bincount(doc_of, minlength=ndocs)
+        sums = np.bincount(doc_of, weights=lr, minlength=ndocs)
+        has = ntok > 0
+        imp = np.round(sums[has], 6)  # summed log-ratio: the document
+        # likelihood ratio itself (DSIR's resampling weight), not the
+        # per-token mean — length-sensitive by design
+        kept_ids = ids[has]
+        u32 = np.asarray(
+            [int(h[:8], 16) for h in _md5_hex(kept_ids.astype(str))],
+            dtype=np.float64,
+        )
+        thr = np.floor(np.exp(imp) * _U32_SCALE)
+        kept = (imp >= 0) | (u32 < thr)
+        return pa.table({
+            self._id: pa.array(kept_ids),
+            "imp_logratio": pa.array(imp),
+            "kept": pa.array(kept),
+        })
+
+
+def importance_resample(ds, id_col: str = "doc_id", text_col: str = "text",
+                        target_col: str = "lang", target_val: str = "en"):
+    """Per-doc DSIR importance weight + deterministic resample flag.
+
+    Returns (id, imp_logratio, kept) for every doc with ≥ 1 token,
+    sorted by id. Docs whose token distribution resembles the target
+    slice get weight > 0 (always kept); off-target docs are kept with
+    probability exp(weight) via the md5 coin."""
+    import pyarrow.compute as _pc
+
+    full_counts = _vocab_counts(ds, text_col)
+    tgt_ds = ds.map_batches(
+        lambda b: b.filter(_pc.equal(
+            _pc.fill_null(b[target_col], ""), target_val)),
+        batch_format="pyarrow",
+    )
+    tgt_counts = _vocab_counts(tgt_ds, text_col)
+    words_f, cnt_f = _collect_vocab(full_counts)
+    words_t, cnt_t = _collect_vocab(tgt_counts)
+
+    nv = words_f.size
+    total_f = float(cnt_f.sum())
+    total_t = float(cnt_t.sum())
+    ct = np.zeros(nv, dtype=np.float64)
+    if words_t.size:
+        pos = np.searchsorted(words_f, words_t)  # target vocab ⊆ full vocab
+        ct[pos] = cnt_t
+    lr = (np.log((ct + 1.0) / (total_t + nv))
+          - np.log((cnt_f + 1.0) / (total_f + nv)))
+    vocab_ref = ray.put((words_f, lr))
+
+    scored = ds.map_batches(
+        _ImportanceScorer,
+        fn_constructor_kwargs=dict(
+            vocab_ref=vocab_ref, id_col=id_col, text_col=text_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        max_restarts=0,  # ray#53727, as above
+    )
+    return scored.sort(id_col)
+
+
+# ---------------------------------------------------------------------------
 # benchmark-contamination check: word-trigram overlap against a small
 # benchmark set, broadcast semi-join (the canonical small-side pattern)
 # ---------------------------------------------------------------------------
@@ -748,6 +860,30 @@ def trainprep_oracle_sql() -> dict[str, str]:
                     FROM tok t JOIN f USING(tok) CROSS JOIN tt)
             SELECT doc_id, round(avg(lp), 6) AS lm_logprob
             FROM per GROUP BY doc_id ORDER BY doc_id
+        """,
+        "s5_importance_resample": rf"""
+            WITH w AS (SELECT doc_id, lang, {_WS} AS ws FROM documents),
+            tok AS (SELECT doc_id, lang, ws[t.i] AS tok
+                    FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)),
+            f AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            ft AS (SELECT tok, count(*) AS c FROM tok
+                   WHERE lang = 'en' GROUP BY tok),
+            tot AS (SELECT sum(c) AS s FROM f),
+            tott AS (SELECT coalesce(sum(c), 0) AS s FROM ft),
+            v AS (SELECT count(*) AS nv FROM f),
+            per AS (SELECT t.doc_id,
+                        ln((coalesce(ft.c, 0) + 1) * 1.0 / (tott.s + v.nv))
+                      - ln((f.c + 1) * 1.0 / (tot.s + v.nv)) AS lr
+                    FROM tok t JOIN f USING(tok) LEFT JOIN ft USING(tok)
+                    CROSS JOIN tot CROSS JOIN tott CROSS JOIN v),
+            imp AS (SELECT doc_id, round(sum(lr), 6) AS imp_logratio
+                    FROM per GROUP BY doc_id)
+            SELECT doc_id, imp_logratio,
+                   imp_logratio >= 0 OR
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                     printf('%08x', CAST(floor(exp(imp_logratio) * 4294967296.0)
+                                         AS BIGINT)) AS kept
+            FROM imp ORDER BY doc_id
         """,
         "c1_contamination": rf"""
             WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
