@@ -1,0 +1,482 @@
+"""Second-wave analytics operators: Bloom anti-join, exact two-pass
+heavy hitters, pivot/crosstab, ROLLUP aggregates, deterministic
+per-group sampling.
+
+Each op follows the house pattern: vectorized partials inside
+``map_batches`` (the per-batch state is O(capacity), never O(rows)),
+one tiny driver or groupby reduce, DuckDB twin in
+:func:`analytics_oracle_sql` with identical column names / rounding /
+tie-breaks.
+
+Scale design notes (what each op ships at 100 TB):
+
+- ``j5_bloom_anti_join``: the build side is folded into a FIXED-SIZE
+  bit array (128 KiB) by per-batch partial bitmaps OR-merged on the
+  driver — the broadcast cost is independent of build cardinality,
+  unlike J2's sorted key array. Bloom-negative probe rows (the bulk,
+  for a selective anti-join) are exact non-members and stream straight
+  through; only bloom-positive candidates pay the exact membership
+  check (broadcast keys under a cap, id-bucketed fragment store +
+  actor pool above it — the `_IdSetFilter` machinery from textops).
+- ``a12_heavy_hitters``: per-batch truncated count sketches (top-C by
+  count, C fixed) with a per-batch dropped-count bound; candidates =
+  ids whose summed lower bound + total bound reach the k-th count;
+  pass 2 re-counts ONLY the candidates exactly. Driver state is
+  O(blocks × C), never O(distinct ids).
+- ``a11_pivot`` / ``a13_rollup``: per-batch pandas pivots shrink each
+  block to |days × types| rows before the groupby shuffle; ROLLUP's
+  coarser levels are derived from the already-aggregated finest level
+  (≤ |days × types| rows) on the driver, not from a second pass.
+- ``s6_group_sample``: deterministic reservoir-style per-group sample
+  — per-batch top-n by md5(id) per group, then a driver merge over
+  ≤ blocks × groups × n rows. The md5 order makes the sample exactly
+  reproducible across engines (DuckDB twin sorts by the same digest).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Sum
+
+from job_crawler_ray.corpus import mix64
+from job_crawler_ray.pipelines.relational import _read, _round_floats
+
+_u64 = np.uint64
+
+# --- J5: Bloom-prefiltered anti-join ----------------------------------------
+
+BLOOM_BITS = 1 << 20          # 128 KiB bitmap — fixed broadcast cost
+BLOOM_K = 4                   # hash probes per key
+BLOOM_SALTS = (101, 202, 303, 404)
+# candidates above this go through the fragment-store membership check
+# instead of a broadcast key array (same tiering as textops cascades)
+ANTI_KEY_BROADCAST_LIMIT = 20_000_000
+
+
+def _bloom_word_bit(keys: np.ndarray, salt: int) -> tuple[np.ndarray, np.ndarray]:
+    pos = mix64(keys.astype(np.int64).view(_u64), salt) % _u64(BLOOM_BITS)
+    return (pos >> _u64(6)).astype(np.int64), (pos & _u64(63))
+
+
+def _partial_bloom(keys: np.ndarray) -> np.ndarray:
+    """Per-batch bloom bitmap as a uint64 word array (BLOOM_BITS/64)."""
+    words = np.zeros(BLOOM_BITS >> 6, dtype=_u64)
+    for salt in BLOOM_SALTS:
+        w, b = _bloom_word_bit(keys, salt)
+        np.bitwise_or.at(words, w, _u64(1) << b)
+    return words
+
+
+def _bloom_maybe_member(words: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """True where ALL k probed bits are set (possible member)."""
+    m = np.ones(len(keys), dtype=bool)
+    for salt in BLOOM_SALTS:
+        w, b = _bloom_word_bit(keys, salt)
+        m &= (words[w] >> b) & _u64(1) != 0
+    return m
+
+
+def bloom_anti_join(
+    probe_ds,
+    build_ds,
+    probe_key: str,
+    build_key: str,
+):
+    """Rows of ``probe_ds`` whose ``probe_key`` does NOT appear in
+    ``build_ds[build_key]`` — exact result, bloom-accelerated.
+
+    Stage 1 folds the build side into per-batch 128 KiB bitmaps merged
+    with a driver OR (cost independent of build rows). Stage 2 streams
+    the probe side: bloom-negatives are definite keeps; positives are
+    candidates. Stage 3 exact-checks candidates only — broadcast
+    sorted distinct keys under ``ANTI_KEY_BROADCAST_LIMIT``, else an
+    id-bucketed fragment store read by an actor pool."""
+    parts = build_ds.map_batches(
+        lambda t: pa.table({"words": [_partial_bloom(t[build_key].to_numpy()).tobytes()]}),
+        batch_format="pyarrow",
+    )
+    words = np.zeros(BLOOM_BITS >> 6, dtype=_u64)
+    for tb in parts.iter_batches(batch_format="pyarrow", batch_size=64):
+        for buf in tb["words"]:
+            words |= np.frombuffer(buf.as_py(), dtype=_u64)
+    words_ref = ray.put(words)
+
+    def split(t: pa.Table) -> pa.Table:
+        w = ray.get(words_ref)
+        cand = _bloom_maybe_member(w, t[probe_key].to_numpy())
+        return t.append_column("_bloom_cand", pa.array(cand))
+
+    flagged = probe_ds.map_batches(split, batch_format="pyarrow")
+    keeps = flagged.map_batches(
+        lambda t: t.filter(pa.compute.invert(t["_bloom_cand"])).drop_columns(
+            ["_bloom_cand"]
+        ),
+        batch_format="pyarrow",
+    )
+    cands = flagged.map_batches(
+        lambda t: t.filter(t["_bloom_cand"]).drop_columns(["_bloom_cand"]),
+        batch_format="pyarrow",
+    )
+
+    # exact check for candidates: tiered like the textops cascades
+    distinct = build_ds.select_columns([build_key]).unique(build_key)
+    key_arr = np.sort(np.asarray(distinct, dtype=np.int64))
+    if key_arr.size <= ANTI_KEY_BROADCAST_LIMIT:
+        ref = ray.put(key_arr)
+
+        def verify(t: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            c = t[probe_key].to_numpy()
+            idx = np.searchsorted(ks, c)
+            present = np.zeros(len(c), dtype=bool)
+            in_r = idx < ks.size
+            present[in_r] = ks[idx[in_r]] == c[in_r]
+            return t.filter(pa.array(~present))
+
+        survivors = cands.map_batches(verify, batch_format="pyarrow")
+    else:  # pragma: no cover - exercised via forced-limit tests
+        import shutil
+        import tempfile
+
+        from job_crawler_ray.pipelines import textops as T
+
+        frag_dir = tempfile.mkdtemp(prefix="jcr_bloom_anti_")
+
+        def add_dbucket(t: pa.Table) -> pa.Table:
+            db = (
+                mix64(t[build_key].to_numpy().view(_u64), 505)
+                % _u64(T.SIM_FRAGS)
+            ).astype(np.int64)
+            return pa.table(
+                {"drop_id": t[build_key], "dbucket": pa.array(db)}
+            )
+
+        distinct_ds = build_ds.select_columns([build_key]).map_batches(
+            lambda t: pa.table(
+                {build_key: pa.array(np.unique(t[build_key].to_numpy()))}
+            ),
+            batch_format="pyarrow",
+        ).unique(build_key)
+        import ray.data as rd
+
+        rd.from_arrow(
+            pa.table({build_key: pa.array(np.asarray(distinct_ds, dtype=np.int64))})
+        ).map_batches(add_dbucket, batch_format="pyarrow").write_parquet(
+            frag_dir, partition_cols=["dbucket"]
+        )
+        survivors = cands.map_batches(
+            T._IdSetFilter,
+            fn_constructor_kwargs=dict(frag_dir=frag_dir, id_col=probe_key),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            max_restarts=0,
+        ).materialize()
+        shutil.rmtree(frag_dir, ignore_errors=True)
+    return keeps.union(survivors)
+
+
+def j5_bloom_anti_join(sf_dir: str) -> pa.Table:
+    """Customers with no high-value orders (J2's anti-join semantics,
+    J5's bloom-prefiltered mechanism — results pinned equal to the
+    NOT IN oracle and to j2 itself)."""
+    from job_crawler_ray.pipelines.relational import HIGH_VALUE
+
+    probe = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    build = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(
+            pa.compute.greater(t["o_totalprice"], HIGH_VALUE)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    out = bloom_anti_join(probe, build, "c_custkey", "o_custkey")
+    df = out.to_pandas()
+    if df.empty:  # empty unions drop the schema entirely
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                           "c_name": pd.Series(dtype=object)})
+    df = df.sort_values("c_custkey").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# --- A12: exact two-pass heavy hitters --------------------------------------
+
+HH_CAPACITY = 512   # per-batch summary rows kept (fixed, not O(distinct))
+
+
+def heavy_hitters(ds, key_col: str, k: int, capacity: int = HH_CAPACITY):
+    """Exact top-k most frequent values of ``key_col``.
+
+    Pass 1: per-batch Misra-Gries summaries — exact in-batch counts,
+    then the MG decrement (subtract the (C+1)-th largest count δ_b from
+    every counter, drop non-positive ones). The per-batch underestimate
+    is ≤ δ_b ≤ n_b/(C+1), so the summed sketch underestimates any value
+    by at most bound = Σ δ_b ≤ n/(C+1) — INDEPENDENT of batch count,
+    unlike naive per-batch top-C truncation. Candidates = retained
+    values whose sketch count + bound reaches the current k-th sketch
+    count (any value dropped everywhere has true count ≤ bound, so it
+    cannot displace a certified k-th place). Pass 2 re-counts the
+    candidates exactly (broadcast candidate array) and takes the true
+    top-k with a deterministic id tie-break.
+
+    The result is certified exact when the k-th exact count > bound
+    (always true when batches have ≤ capacity distinct values, since
+    then δ_b = 0 everywhere). ``a12_heavy_hitters``'s capacity of 512
+    certifies at every test scale; callers pushing capacity below
+    n/f_k get a ValueError instead of a silently-approximate answer."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, counts = np.unique(t[key_col].to_numpy(), return_counts=True)
+        delta = 0
+        if vals.size > capacity:
+            order = np.argsort(-counts, kind="stable")
+            delta = int(counts[order[capacity]])
+            counts = counts - delta
+            keep = counts > 0
+            vals, counts = vals[keep], counts[keep]
+        # one marker row per source batch carries δ_b (is_bound=True);
+        # marker rows survive any downstream re-batching
+        return pa.table(
+            {
+                "hh_key": pa.array(
+                    np.concatenate([vals, np.zeros(1, dtype=np.int64)]),
+                    type=pa.int64(),
+                ),
+                "cnt": pa.array(
+                    np.concatenate([counts.astype(np.int64), [np.int64(delta)]]),
+                    type=pa.int64(),
+                ),
+                "is_bound": pa.array(
+                    np.concatenate([np.zeros(vals.size, bool), [True]])
+                ),
+            }
+        )
+
+    sums: dict[int, int] = {}
+    bound = 0
+    for tb in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=1 << 16
+    ):
+        is_b = tb["is_bound"].to_numpy(zero_copy_only=False)
+        ks = tb["hh_key"].to_numpy()
+        cs = tb["cnt"].to_numpy()
+        bound += int(cs[is_b].sum())
+        for key, c in zip(ks[~is_b].tolist(), cs[~is_b].tolist()):
+            sums[key] = sums.get(key, 0) + c
+    if not sums:
+        return pa.table({key_col: pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+    keys = np.fromiter(sums.keys(), dtype=np.int64, count=len(sums))
+    cnts = np.fromiter(sums.values(), dtype=np.int64, count=len(sums))
+    order = np.lexsort((keys, -cnts))
+    kth = cnts[order[min(k, len(order)) - 1]]
+    cand = keys[cnts + bound >= kth]
+    cand.sort()
+    ref = ray.put(cand)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
+        v = t[key_col].to_numpy()
+        idx = np.searchsorted(cs, v)
+        ok = np.zeros(len(v), dtype=bool)
+        in_r = idx < cs.size
+        ok[in_r] = cs[idx[in_r]] == v[in_r]
+        vals, counts = np.unique(v[ok], return_counts=True)
+        return pa.table(
+            {
+                "hh_key": pa.array(vals, type=pa.int64()),
+                "cnt": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    exact: dict[int, int] = {}
+    for tb in ds.map_batches(exact_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=1 << 16
+    ):
+        for key, c in zip(tb["hh_key"].to_numpy().tolist(), tb["cnt"].to_numpy().tolist()):
+            exact[key] = exact.get(key, 0) + c
+    ek = np.fromiter(exact.keys(), dtype=np.int64, count=len(exact))
+    ec = np.fromiter(exact.values(), dtype=np.int64, count=len(exact))
+    order = np.lexsort((ek, -ec))[:k]
+    if len(order) >= k and bound > 0 and int(ec[order[k - 1]]) <= bound:
+        raise ValueError(
+            f"heavy_hitters cannot certify exactness: k-th count "
+            f"{int(ec[order[k - 1]])} <= error bound {bound}; raise "
+            f"capacity (needs > n / f_k)"
+        )
+    return pa.table(
+        {key_col: pa.array(ek[order]), "cnt": pa.array(ec[order])}
+    )
+
+
+def a12_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Top-20 most active users by event count (exact, two-pass)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", k=20)
+
+
+# --- A11: pivot / crosstab ---------------------------------------------------
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def a11_pivot(sf_dir: str) -> pa.Table:
+    """Daily event counts pivoted to one column per event type.
+
+    Per-batch pandas crosstab shrinks each block to |days| rows before
+    the groupby shuffle; unseen types materialize as zero columns so
+    the schema is fixed."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        x = pd.crosstab(df["day"], df["event_type"])
+        for ty in PIVOT_TYPES:
+            if ty not in x.columns:
+                x[ty] = 0
+        x = x[PIVOT_TYPES].astype("int64").reset_index()
+        return pa.Table.from_pandas(x, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(*[Sum(ty, alias_name=ty) for ty in PIVOT_TYPES])
+        .to_pandas()
+    )
+    out[PIVOT_TYPES] = out[PIVOT_TYPES].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("day").reset_index(drop=True), preserve_index=False
+    )
+
+
+# --- A13: ROLLUP levels -------------------------------------------------------
+
+
+def a13_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP(event_type, day) counts and value sums: finest level via
+    partial-agg + groupby, coarser levels derived from the (tiny)
+    aggregated finest frame on the driver — no second corpus pass."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        g = (
+            df.groupby(["event_type", "day"], sort=False)
+            .agg(cnt=("value", "size"), value_sum=("value", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Sum("cnt", alias_name="cnt"), Sum("value_sum", alias_name="value_sum")
+        )
+        .to_pandas()
+    )
+    lvl1 = (
+        finest.groupby("event_type", as_index=False)
+        .agg(cnt=("cnt", "sum"), value_sum=("value_sum", "sum"))
+    )
+    lvl1["day"] = None
+    lvl0 = pd.DataFrame(
+        {
+            "event_type": [None],
+            "day": [None],
+            "cnt": [finest["cnt"].sum()],
+            "value_sum": [finest["value_sum"].sum()],
+        }
+    )
+    out = pd.concat(
+        [lvl0, lvl1[["event_type", "day", "cnt", "value_sum"]], finest],
+        ignore_index=True,
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    out = _round_floats(out, ["value_sum"])
+    out = out.sort_values(
+        ["event_type", "day"], na_position="first"
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- S6: deterministic per-group sample --------------------------------------
+
+GROUP_SAMPLE_N = 5
+
+
+def s6_group_sample(sf_dir: str, n: int = GROUP_SAMPLE_N) -> pa.Table:
+    """Deterministic per-language sample of ``n`` documents: order by
+    md5(doc_id) within each lang (an engine-independent coin), keep the
+    first n. Per-batch partial top-n bounds the merge at
+    blocks × langs × n rows."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["md5"] = [
+            hashlib.md5(str(v).encode()).hexdigest() for v in df["doc_id"]
+        ]
+        df = df.sort_values(["lang", "md5", "doc_id"])
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(n), preserve_index=False
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["lang", "md5", "doc_id"])
+    out = parts.groupby("lang", sort=True).head(n).copy()
+    out["sample_rank"] = out.groupby("lang").cumcount() + 1
+    out = out[["lang", "doc_id", "sample_rank"]].reset_index(drop=True)
+    out["sample_rank"] = out["sample_rank"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- oracle twins -------------------------------------------------------------
+
+
+def analytics_oracle_sql() -> dict[str, str]:
+    pivot_cols = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END) AS BIGINT) AS {ty}"
+        for ty in PIVOT_TYPES
+    )
+    return {
+        "j5_bloom_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+            ORDER BY c_custkey
+        """,
+        "a12_heavy_hitters": """
+            SELECT user_id, count(*) AS cnt
+            FROM events GROUP BY user_id
+            ORDER BY cnt DESC, user_id ASC LIMIT 20
+        """,
+        "a11_pivot": f"""
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   {pivot_cols}
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "a13_rollup": """
+            SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(value), 6) AS value_sum
+            FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+                  FROM events)
+            GROUP BY ROLLUP(event_type, day)
+            ORDER BY event_type NULLS FIRST, day NULLS FIRST
+        """,
+        "s6_group_sample": f"""
+            SELECT lang, doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS sample_rank
+            FROM documents
+            QUALIFY sample_rank <= {GROUP_SAMPLE_N}
+            ORDER BY lang, sample_rank
+        """,
+    }

@@ -23,6 +23,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from job_crawler_ray.functions import frameworks as F
+from job_crawler_ray.pipelines import analytics as A2
 from job_crawler_ray.pipelines import relational as R
 from job_crawler_ray.pipelines import textops as T
 from job_crawler_ray.pipelines import trainprep as TP
@@ -758,6 +759,11 @@ def build_queries() -> dict:
             "io1_jsonl_roundtrip": io1_jsonl_roundtrip,
             "io2_csv_roundtrip": io2_csv_roundtrip,
             "io3_partitioned_read": io3_partitioned_read,
+            "j5_bloom_anti_join": A2.j5_bloom_anti_join,
+            "a11_pivot": A2.a11_pivot,
+            "a12_heavy_hitters": A2.a12_heavy_hitters,
+            "a13_rollup": A2.a13_rollup,
+            "s6_group_sample": A2.s6_group_sample,
             # rows-only (non-SQL-expressible). Cheap entries first so a
             # driver-side time budget truncates the expensive sketch
             # pipelines last (round 2 lost the multimodal rows to the
@@ -789,6 +795,7 @@ def build_oracle_sql() -> dict[str, str]:
     sql.update(F.framework_oracle_sql())
     sql.update(TP.trainprep_oracle_sql())
     sql.update(IO_ORACLE_SQL)
+    sql.update(A2.analytics_oracle_sql())
     return sql
 
 

@@ -1,0 +1,98 @@
+"""Tier-forcing and property tests for the second-wave analytics ops
+(bloom anti-join, heavy hitters, pivot/rollup, group sample)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import job_crawler_ray.pipelines.analytics as A
+
+
+class TestBloomAntiJoin:
+    def test_matches_broadcast_j2(self, sf_mid, ray_session):
+        """j5's bloom-prefiltered mechanism returns exactly j2's rows."""
+        from job_crawler_ray.pipelines.relational import j2_anti_join_idle
+
+        j5 = A.j5_bloom_anti_join(sf_mid).to_pandas()
+        j2 = (
+            j2_anti_join_idle(sf_mid)
+            .to_pandas()
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(j5, j2)
+
+    def test_fragment_store_tier_pins_equal(self, sf_mid, ray_session):
+        """Forcing the above-broadcast-cap path (id-bucketed fragment
+        store + actor pool) must give identical rows."""
+        base = A.j5_bloom_anti_join(sf_mid).to_pandas()
+        old = A.ANTI_KEY_BROADCAST_LIMIT
+        A.ANTI_KEY_BROADCAST_LIMIT = 0
+        try:
+            forced = A.j5_bloom_anti_join(sf_mid).to_pandas()
+        finally:
+            A.ANTI_KEY_BROADCAST_LIMIT = old
+        pd.testing.assert_frame_equal(forced, base)
+
+    def test_bloom_has_no_false_negatives(self):
+        keys = np.arange(0, 100000, 7, dtype=np.int64)
+        words = A._partial_bloom(keys)
+        assert A._bloom_maybe_member(words, keys).all()
+
+
+class TestHeavyHitters:
+    def test_truncated_capacity_still_exact(self, sf_mid, ray_session):
+        """Capacity far below the distinct count forces per-batch drops;
+        the two-pass bound must still recover the exact top-k."""
+        from job_crawler_ray.pipelines.relational import _read
+
+        ds = _read(sf_mid, "events", ["user_id"])
+        # capacity 140 < 150 distinct users per block: every batch runs
+        # the MG decrement, yet n/(C+1) stays below the k-th frequency,
+        # so the result must still be certified exact
+        got = A.heavy_hitters(ds, "user_id", k=10, capacity=140).to_pandas()
+        import duckdb
+
+        want = duckdb.sql(
+            f"""SELECT user_id, count(*) AS cnt
+                FROM '{sf_mid}/events.parquet'
+                GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10"""
+        ).df()
+        got["cnt"] = got["cnt"].astype("int64")
+        want["cnt"] = want["cnt"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_uncertifiable_capacity_raises(self, sf_mid, ray_session):
+        """Capacity far below n/f_k cannot prove exactness — the op must
+        refuse rather than return a silently-approximate top-k."""
+        import pytest
+
+        from job_crawler_ray.pipelines.relational import _read
+
+        ds = _read(sf_mid, "events", ["user_id"])
+        with pytest.raises(ValueError, match="certify"):
+            A.heavy_hitters(ds, "user_id", k=10, capacity=8)
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"user_id": pa.array([], pa.int64())}))
+        out = A.heavy_hitters(ds, "user_id", k=5)
+        assert out.num_rows == 0
+
+
+class TestGroupSample:
+    def test_sample_is_deterministic_across_block_shapes(self, sf_mid, ray_session):
+        a = A.s6_group_sample(sf_mid).to_pandas()
+        b = A.s6_group_sample(sf_mid).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        langs = a.groupby("lang").size()
+        assert (langs <= A.GROUP_SAMPLE_N).all()
+
+
+class TestRollup:
+    def test_grand_total_consistency(self, sf_mid, ray_session):
+        out = A.a13_rollup(sf_mid).to_pandas()
+        grand = out[out["event_type"].isna()]
+        finest = out[out["event_type"].notna() & out["day"].notna()]
+        assert int(grand["cnt"].iloc[0]) == int(finest["cnt"].sum())
