@@ -46,6 +46,7 @@ from ray.data.aggregate import Sum
 
 from job_crawler_ray.corpus import mix64
 from job_crawler_ray.pipelines.relational import _read, _round_floats
+from job_crawler_ray.util import strip_meta
 
 _u64 = np.uint64
 
@@ -339,7 +340,9 @@ def a11_pivot(sf_dir: str) -> pa.Table:
             if ty not in x.columns:
                 x[ty] = 0
         x = x[PIVOT_TYPES].astype("int64").reset_index()
-        return pa.Table.from_pandas(x, preserve_index=False)
+        # stripped: pandas-metadata blocks entering the groupby shuffle
+        # trip Ray's schema-dedup hashing on reduce tasks
+        return strip_meta(pa.Table.from_pandas(x, preserve_index=False))
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -370,7 +373,7 @@ def a13_rollup(sf_dir: str) -> pa.Table:
             .agg(cnt=("value", "size"), value_sum=("value", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
 
     finest = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -436,6 +439,57 @@ def s6_group_sample(sf_dir: str, n: int = GROUP_SAMPLE_N) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- G2: per-group top-n -------------------------------------------------------
+
+TOP_PER_GROUP_N = 3
+
+
+def top_n_per_group(ds, group_col: str, order_col: str, tie_col: str, n: int):
+    """Top-``n`` rows per group by ``order_col`` DESC (``tie_col`` ASC
+    breaks ties deterministically).
+
+    Per-batch partial top-n caps every group's shuffle contribution at
+    blocks × n rows — the final ``map_groups`` never sees a whole
+    group, no matter how skewed ``group_col`` is (contrast a naive
+    groupby().map_groups over raw rows, which materializes the hottest
+    group in one task)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            [group_col, order_col, tie_col], ascending=[True, False, True]
+        )
+        return strip_meta(
+            pa.Table.from_pandas(
+                df.groupby(group_col, sort=False).head(n), preserve_index=False
+            )
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, tie_col], ascending=[False, True]).head(n)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def g2_top_per_group(sf_dir: str) -> pa.Table:
+    """Top-3 events per user by value (grouped rank / windowed top-n)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = top_n_per_group(
+        ds, "user_id", "value", "event_id", TOP_PER_GROUP_N
+    ).to_pandas()
+    out = _round_floats(out, ["value"])
+    out = out[["user_id", "event_id", "value", "rnk"]].sort_values(
+        ["user_id", "rnk"]
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -468,6 +522,17 @@ def analytics_oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY ROLLUP(event_type, day)
             ORDER BY event_type NULLS FIRST, day NULLS FIRST
+        """,
+        "g2_top_per_group": f"""
+            SELECT user_id, event_id, round(value, 6) AS value, rnk
+            FROM (SELECT user_id, event_id, value,
+                         CAST(row_number() OVER (
+                             PARTITION BY user_id
+                             ORDER BY value DESC, event_id
+                         ) AS BIGINT) AS rnk
+                  FROM events)
+            WHERE rnk <= {TOP_PER_GROUP_N}
+            ORDER BY user_id, rnk
         """,
         "s6_group_sample": f"""
             SELECT lang, doc_id,

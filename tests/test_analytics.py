@@ -90,6 +90,42 @@ class TestGroupSample:
         assert (langs <= A.GROUP_SAMPLE_N).all()
 
 
+class TestTopPerGroup:
+    def test_skewed_group_matches_naive(self, ray_session):
+        """One group holding 90% of rows: the partial-truncated path
+        must match a plain pandas rank."""
+        import ray.data as rd
+
+        n = 5000
+        user = np.where(np.arange(n) % 10 < 9, 7, np.arange(n) % 100)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": user.astype(np.int64),
+                "value": (np.arange(n, dtype=np.float64) * 37 % 1009),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(8)
+        got = (
+            A.top_n_per_group(ds, "user_id", "value", "event_id", 3)
+            .to_pandas()
+            .sort_values(["user_id", "rnk"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(
+            ["user_id", "value", "event_id"], ascending=[True, False, True]
+        ).groupby("user_id").head(3)
+        want = want.sort_values(["user_id", "value"], ascending=[True, False])
+        want = want.reset_index(drop=True)
+        want["rnk"] = want.groupby("user_id").cumcount() + 1
+        pd.testing.assert_frame_equal(
+            got[["user_id", "event_id", "value", "rnk"]],
+            want[["user_id", "event_id", "value", "rnk"]].astype(
+                {"rnk": "int64"}
+            ),
+        )
+
+
 class TestRollup:
     def test_grand_total_consistency(self, sf_mid, ray_session):
         out = A.a13_rollup(sf_mid).to_pandas()
