@@ -490,6 +490,54 @@ def g2_top_per_group(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- J6: big-big shuffle hash join ---------------------------------------------
+
+HASH_JOIN_PARTITIONS = 16
+
+
+def j6_hash_join(sf_dir: str) -> pa.Table:
+    """Revenue per order priority via a SHUFFLE hash join of two large
+    tables (lineitem ⋈ orders on orderkey) — the big-big join path
+    that broadcast joins (J1/J3) can't cover. Both sides hash-partition
+    on the key into ``HASH_JOIN_PARTITIONS`` independent joins (Ray
+    Data's native `Dataset.join`); the post-join rollup shrinks each
+    block to |priorities| rows before the tiny final groupby.
+
+    Sums reach ~6e8 at sf0.01, where float64 summation-order noise is
+    ~1e-3 — revenue is rounded to 2 dp (not the house 6) so the value
+    hash is order-insensitive."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        od,
+        "inner",
+        num_partitions=HASH_JOIN_PARTITIONS,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), cnt=("revenue", "size")
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].astype(float).round(2)
+    out["cnt"] = out["cnt"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("o_orderpriority").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -522,6 +570,13 @@ def analytics_oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY ROLLUP(event_type, day)
             ORDER BY event_type NULLS FIRST, day NULLS FIRST
+        """,
+        "j6_hash_join": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "g2_top_per_group": f"""
             SELECT user_id, event_id, round(value, 6) AS value, rnk

@@ -765,6 +765,7 @@ def build_queries() -> dict:
             "a13_rollup": A2.a13_rollup,
             "s6_group_sample": A2.s6_group_sample,
             "g2_top_per_group": A2.g2_top_per_group,
+            "j6_hash_join": A2.j6_hash_join,
             # rows-only (non-SQL-expressible). Cheap entries first so a
             # driver-side time budget truncates the expensive sketch
             # pipelines last (round 2 lost the multimodal rows to the
