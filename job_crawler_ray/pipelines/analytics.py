@@ -42,7 +42,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 from job_crawler_ray.corpus import mix64
 from job_crawler_ray.pipelines.relational import _read, _round_floats
@@ -538,6 +538,94 @@ def j6_hash_join(sf_dir: str) -> pa.Table:
     )
 
 
+# --- A14: per-key count-distinct -----------------------------------------------
+
+
+def a14_daily_distinct(sf_dir: str) -> pa.Table:
+    """Distinct users per day (grouped count-distinct).
+
+    Per-batch pair dedup → pair-level groupby (the only full shuffle,
+    over ALREADY-DEDUPED pairs) → per-batch day counts → tiny day
+    groupby. No stage ever holds a whole day's users in one task."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        return strip_meta(
+            pa.Table.from_pandas(
+                df[["day", "user_id"]].drop_duplicates(), preserve_index=False
+            )
+        )
+
+    pairs = (
+        ds.map_batches(pair_distinct, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("day", as_index=False).agg(n_users=("user_id", "size"))
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        pairs.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("day").reset_index(drop=True), preserve_index=False
+    )
+
+
+# --- D6: incremental corpus ingest dedup ----------------------------------------
+
+
+def d6_incremental_ingest(sf_dir: str) -> pa.Table:
+    """Incremental exact-text dedup of a NEW batch against an EXISTING
+    corpus — the daily-ingest step of a production pipeline. Existing =
+    doc_id % 3 == 0, new = the rest; survivors are new docs whose text
+    never appeared in the existing corpus.
+
+    Both sides key on an int64 content hash (blake2b-64 — collision
+    odds negligible, see hashing.content_keys), then reuse
+    :func:`bloom_anti_join`: the existing corpus folds to a fixed
+    128 KiB bitmap however big it is, and only bloom-positive new docs
+    pay the exact key check."""
+    from job_crawler_ray.hashing import content_keys
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        texts = pa.compute.fill_null(t["text"], "")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "_ckey": pa.array(content_keys(texts).view(np.int64)),
+            }
+        )
+
+    def existing_part(t: pa.Table) -> pa.Table:
+        k = keyed(t)
+        return k.filter(pa.array(k["doc_id"].to_numpy() % 3 == 0))
+
+    def new_part(t: pa.Table) -> pa.Table:
+        k = keyed(t)
+        return k.filter(pa.array(k["doc_id"].to_numpy() % 3 != 0))
+
+    existing = docs.map_batches(existing_part, batch_format="pyarrow")
+    new = docs.map_batches(new_part, batch_format="pyarrow")
+    out = bloom_anti_join(new, existing, "_ckey", "_ckey")
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    df = df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -570,6 +658,19 @@ def analytics_oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY ROLLUP(event_type, day)
             ORDER BY event_type NULLS FIRST, day NULLS FIRST
+        """,
+        "a14_daily_distinct": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "d6_incremental_ingest": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 3 <> 0
+              AND coalesce(text, '') NOT IN
+                  (SELECT coalesce(text, '') FROM documents
+                   WHERE doc_id % 3 = 0)
+            ORDER BY doc_id
         """,
         "j6_hash_join": """
             SELECT o_orderpriority,

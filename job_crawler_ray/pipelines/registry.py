@@ -766,6 +766,8 @@ def build_queries() -> dict:
             "s6_group_sample": A2.s6_group_sample,
             "g2_top_per_group": A2.g2_top_per_group,
             "j6_hash_join": A2.j6_hash_join,
+            "a14_daily_distinct": A2.a14_daily_distinct,
+            "d6_incremental_ingest": A2.d6_incremental_ingest,
             # rows-only (non-SQL-expressible). Cheap entries first so a
             # driver-side time budget truncates the expensive sketch
             # pipelines last (round 2 lost the multimodal rows to the
