@@ -373,6 +373,58 @@ def io3_partitioned_read(sf_dir: str):
     return back.select_columns(["doc_id", "text", "lang"]).sort("doc_id")
 
 
+def io4_schema_drift(sf_dir: str):
+    """Schema-drift-tolerant multi-generation read: generation 1 wrote
+    ``(doc_id, text, lang)``; generation 2 renamed ``doc_id → id``,
+    ``text → body`` and doesn't have ``lang`` yet. Each generation is
+    read with its own rename map and missing columns are filled with
+    NULL before the union — the column-mapping layer any long-lived
+    100 TB corpus needs (formats drift; re-writing history doesn't
+    scale)."""
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).repartition(4)
+    gen1_dir = tempfile.mkdtemp(prefix="jcr_drift_g1_")
+    gen2_dir = tempfile.mkdtemp(prefix="jcr_drift_g2_")
+    docs.map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 2 == 0)),
+        batch_format="pyarrow",
+    ).write_parquet(gen1_dir)
+    docs.map_batches(
+        lambda t: t.filter(
+            pa.array(t["doc_id"].to_numpy() % 2 == 1)
+        ).select(["doc_id", "text"]).rename_columns(["id", "body"]),
+        batch_format="pyarrow",
+    ).write_parquet(gen2_dir)
+
+    def norm_gen2(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["id"],
+                "text": t["body"],
+                "lang": pa.nulls(t.num_rows, type=pa.string()),
+            }
+        )
+
+    g1 = read_parquet_clean(gen1_dir).select_columns(["doc_id", "text", "lang"])
+    g2 = read_parquet_clean(gen2_dir).map_batches(
+        norm_gen2, batch_format="pyarrow"
+    )
+    merged = g1.union(g2)
+
+    def project(t: pa.Table) -> pa.Table:
+        txt = pa.compute.fill_null(t["text"], "")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_chars": pa.compute.utf8_length(txt),
+            }
+        )
+
+    return merged.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
 IO_ORACLE_SQL = {
     "io1_jsonl_roundtrip": """
         SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
@@ -383,6 +435,12 @@ IO_ORACLE_SQL = {
     "io3_partitioned_read": """
         SELECT doc_id, text, lang FROM documents WHERE lang = 'en'
         ORDER BY doc_id
+    """,
+    "io4_schema_drift": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 1 THEN NULL ELSE lang END AS lang,
+               CAST(length(coalesce(text, '')) AS INT) AS n_chars
+        FROM documents ORDER BY doc_id
     """,
 }
 
@@ -759,6 +817,7 @@ def build_queries() -> dict:
             "io1_jsonl_roundtrip": io1_jsonl_roundtrip,
             "io2_csv_roundtrip": io2_csv_roundtrip,
             "io3_partitioned_read": io3_partitioned_read,
+            "io4_schema_drift": io4_schema_drift,
             "j5_bloom_anti_join": A2.j5_bloom_anti_join,
             "a11_pivot": A2.a11_pivot,
             "a12_heavy_hitters": A2.a12_heavy_hitters,
