@@ -626,6 +626,100 @@ def d6_incremental_ingest(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# --- G3: iterative PageRank ------------------------------------------------------
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 2
+PAGERANK_EDGE_MULTS = ((31, 7), (57, 13), (91, 23))
+PAGERANK_PARTITIONS = 4
+
+
+def pagerank(nodes, edges, n: int, out_degree: int, n_iter: int,
+             damping: float = PAGERANK_DAMPING):
+    """Iterative PageRank as distributed dataflow: each iteration is
+    one big-big hash join (ranks onto edges by src — ranks are O(nodes)
+    and never broadcast), a per-batch partial contribution rollup, a
+    dst groupby, and a left-outer join back onto the node set so
+    zero-in-degree nodes keep the teleport mass. The driver holds
+    nothing but loop control — rank state lives in the object store
+    between iterations."""
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rank": pa.array(np.full(t.num_rows, 1.0 / n)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contribs = edges.join(
+            ranks,
+            "inner",
+            num_partitions=PAGERANK_PARTITIONS,
+            on=("src",),
+            right_on=("doc_id",),
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df["c"] = df["rank"] / out_degree
+            g = df.groupby("dst", as_index=False).agg(s=("c", "sum"))
+            return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+        sums = (
+            contribs.map_batches(partial, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("s", alias_name="s"))
+        )
+        merged = nodes.join(
+            sums,
+            "left_outer",
+            num_partitions=PAGERANK_PARTITIONS,
+            on=("doc_id",),
+            right_on=("dst",),
+        )
+
+        def apply_rank(t: pa.Table) -> pa.Table:
+            s = t["s"].to_pandas().fillna(0.0).to_numpy()
+            return pa.table(
+                {"doc_id": t["doc_id"], "rank": pa.array(base + damping * s)}
+            )
+
+        ranks = merged.map_batches(apply_rank, batch_format="pyarrow")
+    return ranks
+
+
+def g3_pagerank(sf_dir: str) -> pa.Table:
+    """2-iteration PageRank over a deterministic synthetic link graph
+    (3 modular-arithmetic out-links per doc — derivable identically in
+    SQL, so the unrolled-CTE twin hash-checks the whole iteration)."""
+    nodes = _read(sf_dir, "documents", ["doc_id"])
+    n = nodes.count()
+
+    def gen_edges(t: pa.Table) -> pa.Table:
+        s = t["doc_id"].to_numpy()
+        src = np.concatenate([s] * len(PAGERANK_EDGE_MULTS))
+        dst = np.concatenate([(s * a + b) % n for a, b in PAGERANK_EDGE_MULTS])
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    edges = nodes.map_batches(gen_edges, batch_format="pyarrow")
+    out = pagerank(
+        nodes, edges, n, out_degree=len(PAGERANK_EDGE_MULTS),
+        n_iter=PAGERANK_ITERS,
+    ).to_pandas()
+    out = _round_floats(out, ["rank"])
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -658,6 +752,34 @@ def analytics_oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY ROLLUP(event_type, day)
             ORDER BY event_type NULLS FIRST, day NULLS FIRST
+        """,
+        "g3_pagerank": f"""
+            WITH nodes AS (SELECT doc_id FROM documents),
+            c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         count(*) AS ni FROM nodes),
+            edges AS (
+                {" UNION ALL ".join(
+                    f"SELECT doc_id AS src, (doc_id * {a} + {b}) % "
+                    f"(SELECT ni FROM c) AS dst FROM nodes"
+                    for a, b in PAGERANK_EDGE_MULTS
+                )}
+            ),
+            r0 AS (SELECT doc_id, 1.0 / (SELECT n FROM c) AS rank FROM nodes),
+            s1 AS (SELECT e.dst AS doc_id,
+                          sum(r.rank / {len(PAGERANK_EDGE_MULTS)}.0) AS s
+                   FROM edges e JOIN r0 r ON e.src = r.doc_id GROUP BY e.dst),
+            r1 AS (SELECT n.doc_id,
+                          {1.0 - PAGERANK_DAMPING} / (SELECT n FROM c)
+                          + {PAGERANK_DAMPING} * coalesce(s1.s, 0) AS rank
+                   FROM nodes n LEFT JOIN s1 ON n.doc_id = s1.doc_id),
+            s2 AS (SELECT e.dst AS doc_id,
+                          sum(r.rank / {len(PAGERANK_EDGE_MULTS)}.0) AS s
+                   FROM edges e JOIN r1 r ON e.src = r.doc_id GROUP BY e.dst),
+            r2 AS (SELECT n.doc_id,
+                          {1.0 - PAGERANK_DAMPING} / (SELECT n FROM c)
+                          + {PAGERANK_DAMPING} * coalesce(s2.s, 0) AS rank
+                   FROM nodes n LEFT JOIN s2 ON n.doc_id = s2.doc_id)
+            SELECT doc_id, round(rank, 6) AS rank FROM r2 ORDER BY doc_id
         """,
         "a14_daily_distinct": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,
