@@ -125,10 +125,15 @@ def bloom_anti_join(
         batch_format="pyarrow",
     )
 
-    # exact check for candidates: tiered like the textops cascades
-    distinct = build_ds.select_columns([build_key]).unique(build_key)
-    key_arr = np.sort(np.asarray(distinct, dtype=np.int64))
-    if key_arr.size <= ANTI_KEY_BROADCAST_LIMIT:
+    # exact check for candidates: tiered like the textops cascades.
+    # The tier is decided on the CHEAP row count (an upper bound on
+    # distinct keys) so the above-cap path never collects the key set
+    # on the driver — build rows flow batch-unique → hash-bucketed
+    # fragment store, and duplicate drop_ids across batches are
+    # harmless to the sorted-membership check.
+    if build_ds.count() <= ANTI_KEY_BROADCAST_LIMIT:
+        distinct = build_ds.select_columns([build_key]).unique(build_key)
+        key_arr = np.sort(np.asarray(distinct, dtype=np.int64))
         ref = ray.put(key_arr)
 
         def verify(t: pa.Table) -> pa.Table:
@@ -141,7 +146,7 @@ def bloom_anti_join(
             return t.filter(pa.array(~present))
 
         survivors = cands.map_batches(verify, batch_format="pyarrow")
-    else:  # pragma: no cover - exercised via forced-limit tests
+    else:
         import shutil
         import tempfile
 
@@ -150,27 +155,20 @@ def bloom_anti_join(
         frag_dir = tempfile.mkdtemp(prefix="jcr_bloom_anti_")
 
         def add_dbucket(t: pa.Table) -> pa.Table:
+            keys = np.unique(t[build_key].to_numpy())
             db = (
-                mix64(t[build_key].to_numpy().view(_u64), 505)
-                % _u64(T.SIM_FRAGS)
+                mix64(keys.view(_u64), 505) % _u64(T.SIM_FRAGS)
             ).astype(np.int64)
             return pa.table(
-                {"drop_id": t[build_key], "dbucket": pa.array(db)}
+                {
+                    "drop_id": pa.array(keys, pa.int64()),
+                    "dbucket": pa.array(db),
+                }
             )
 
-        distinct_ds = build_ds.select_columns([build_key]).map_batches(
-            lambda t: pa.table(
-                {build_key: pa.array(np.unique(t[build_key].to_numpy()))}
-            ),
-            batch_format="pyarrow",
-        ).unique(build_key)
-        import ray.data as rd
-
-        rd.from_arrow(
-            pa.table({build_key: pa.array(np.asarray(distinct_ds, dtype=np.int64))})
-        ).map_batches(add_dbucket, batch_format="pyarrow").write_parquet(
-            frag_dir, partition_cols=["dbucket"]
-        )
+        build_ds.select_columns([build_key]).map_batches(
+            add_dbucket, batch_format="pyarrow"
+        ).write_parquet(frag_dir, partition_cols=["dbucket"])
         survivors = cands.map_batches(
             T._IdSetFilter,
             fn_constructor_kwargs=dict(frag_dir=frag_dir, id_col=probe_key),
