@@ -21,8 +21,9 @@ Scale design notes (what each op ships at 100 TB):
 - ``a12_heavy_hitters``: per-batch truncated count sketches (top-C by
   count, C fixed) with a per-batch dropped-count bound; candidates =
   ids whose summed lower bound + total bound reach the k-th count;
-  pass 2 re-counts ONLY the candidates exactly. Driver state is
-  O(blocks × C), never O(distinct ids).
+  pass 2 re-counts ONLY the candidates exactly. The driver sketch is
+  itself MG-compressed whenever it exceeds 4C, so driver state is
+  O(C), never O(distinct ids) or O(blocks).
 - ``a11_pivot`` / ``a13_rollup``: per-batch pandas pivots shrink each
   block to |days × types| rows before the groupby shuffle; ROLLUP's
   coarser levels are derived from the already-aggregated finest level
@@ -255,6 +256,19 @@ def heavy_hitters(ds, key_col: str, k: int, capacity: int = HH_CAPACITY):
             }
         )
 
+    def mg_compress(sums: dict[int, int]) -> int:
+        """Decrement the merged sketch back to ``capacity`` entries;
+        returns the δ added to the error bound (0 if under capacity)."""
+        if len(sums) <= capacity:
+            return 0
+        counts = np.fromiter(sums.values(), dtype=np.int64, count=len(sums))
+        delta = int(np.partition(counts, -capacity - 1)[-capacity - 1])
+        for key in [k for k, c in sums.items() if c <= delta]:
+            del sums[key]
+        for key in sums:
+            sums[key] -= delta
+        return delta
+
     sums: dict[int, int] = {}
     bound = 0
     for tb in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
@@ -266,6 +280,10 @@ def heavy_hitters(ds, key_col: str, k: int, capacity: int = HH_CAPACITY):
         bound += int(cs[is_b].sum())
         for key, c in zip(ks[~is_b].tolist(), cs[~is_b].tolist()):
             sums[key] = sums.get(key, 0) + c
+        # keep the driver sketch O(capacity), not O(blocks × capacity):
+        # the MG decrement on the MERGED sketch adds its δ to the bound
+        if len(sums) > 4 * capacity:
+            bound += mg_compress(sums)
     if not sums:
         return pa.table({key_col: pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
     keys = np.fromiter(sums.keys(), dtype=np.int64, count=len(sums))
@@ -300,11 +318,14 @@ def heavy_hitters(ds, key_col: str, k: int, capacity: int = HH_CAPACITY):
     ek = np.fromiter(exact.keys(), dtype=np.int64, count=len(exact))
     ec = np.fromiter(exact.values(), dtype=np.int64, count=len(exact))
     order = np.lexsort((ek, -ec))[:k]
-    if len(order) >= k and bound > 0 and int(ec[order[k - 1]]) <= bound:
+    kth = int(ec[order[k - 1]]) if len(order) >= k else 0
+    if bound > 0 and kth <= bound:
+        # fewer than k candidates, or a k-th place a dropped value could
+        # still beat: the answer would be silently approximate — refuse
         raise ValueError(
             f"heavy_hitters cannot certify exactness: k-th count "
-            f"{int(ec[order[k - 1]])} <= error bound {bound}; raise "
-            f"capacity (needs > n / f_k)"
+            f"{kth} <= error bound {bound}; raise capacity "
+            f"(needs > n / f_k)"
         )
     return pa.table(
         {key_col: pa.array(ek[order]), "cnt": pa.array(ec[order])}

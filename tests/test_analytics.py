@@ -62,6 +62,19 @@ class TestHeavyHitters:
         want["cnt"] = want["cnt"].astype("int64")
         pd.testing.assert_frame_equal(got, want)
 
+    def test_driver_sketch_compression_stays_exact(self, ray_session):
+        """More distinct keys than 4×capacity forces the driver-side MG
+        compression; a skewed head must still come out exact."""
+        import ray.data as rd
+
+        head = np.repeat(np.arange(5, dtype=np.int64), 400)
+        tail = np.arange(1000, 3000, dtype=np.int64)
+        df = pd.DataFrame({"k": np.concatenate([head, tail])})
+        ds = rd.from_pandas(df).repartition(8)
+        got = A.heavy_hitters(ds, "k", k=5, capacity=100).to_pandas()
+        assert got["k"].tolist() == [0, 1, 2, 3, 4]
+        assert (got["cnt"] == 400).all()
+
     def test_uncertifiable_capacity_raises(self, sf_mid, ray_session):
         """Capacity far below n/f_k cannot prove exactness — the op must
         refuse rather than return a silently-approximate top-k."""
