@@ -650,11 +650,15 @@ def d6_incremental_ingest(sf_dir: str) -> pa.Table:
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 2
 PAGERANK_EDGE_MULTS = ((31, 7), (57, 13), (91, 23))
-PAGERANK_PARTITIONS = 4
+# join fan-out at TEST scale (500 nodes): fixed per-partition aggregator
+# cost dominates tiny inputs, so keep it low here; real deployments size
+# this to cluster width via the pagerank(num_partitions=...) parameter
+PAGERANK_PARTITIONS = 2
 
 
 def pagerank(nodes, edges, n: int, out_degree: int, n_iter: int,
-             damping: float = PAGERANK_DAMPING):
+             damping: float = PAGERANK_DAMPING,
+             num_partitions: int = PAGERANK_PARTITIONS):
     """Iterative PageRank as distributed dataflow: each iteration is
     one big-big hash join (ranks onto edges by src — ranks are O(nodes)
     and never broadcast), a per-batch partial contribution rollup, a
@@ -676,7 +680,7 @@ def pagerank(nodes, edges, n: int, out_degree: int, n_iter: int,
         contribs = edges.join(
             ranks,
             "inner",
-            num_partitions=PAGERANK_PARTITIONS,
+            num_partitions=num_partitions,
             on=("src",),
             right_on=("doc_id",),
         )
@@ -695,7 +699,7 @@ def pagerank(nodes, edges, n: int, out_degree: int, n_iter: int,
         merged = nodes.join(
             sums,
             "left_outer",
-            num_partitions=PAGERANK_PARTITIONS,
+            num_partitions=num_partitions,
             on=("doc_id",),
             right_on=("dst",),
         )
