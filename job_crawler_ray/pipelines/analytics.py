@@ -134,7 +134,14 @@ def bloom_anti_join(
     # harmless to the sorted-membership check.
     if build_ds.count() <= ANTI_KEY_BROADCAST_LIMIT:
         distinct = build_ds.select_columns([build_key]).unique(build_key)
-        key_arr = np.sort(np.asarray(distinct, dtype=np.int64))
+        # empty/NULL-keyed build rows match nothing (unique() returns
+        # None for an empty Dataset and surfaces NULL keys as None)
+        key_arr = np.sort(
+            np.asarray(
+                [v for v in (distinct or []) if v is not None],
+                dtype=np.int64,
+            )
+        )
         ref = ray.put(key_arr)
 
         def verify(t: pa.Table) -> pa.Table:

@@ -139,6 +139,38 @@ class TestTopPerGroup:
         )
 
 
+class TestEdgeCases:
+    def test_bloom_anti_join_empty_build_keeps_everything(self, ray_session):
+        import ray.data as rd
+
+        probe = rd.from_pandas(
+            pd.DataFrame({"k": np.arange(10, dtype=np.int64)})
+        )
+        build = rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64")}))
+        out = A.bloom_anti_join(probe, build, "k", "k").to_pandas()
+        assert sorted(out["k"].tolist()) == list(range(10))
+
+    def test_top_n_per_group_empty(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "g": pd.Series(dtype="int64"),
+                    "v": pd.Series(dtype="float64"),
+                    "t": pd.Series(dtype="int64"),
+                }
+            )
+        )
+        assert A.top_n_per_group(ds, "g", "v", "t", 3).count() == 0
+
+    def test_pagerank_mass_conserved(self, ray_session):
+        out = A.g3_pagerank("/root/testdata/sf0.001").to_pandas()
+        # 3 fixed out-links per node and no dangling nodes: total rank
+        # mass stays 1 at every iteration
+        assert abs(out["rank"].sum() - 1.0) < 1e-6
+
+
 class TestRollup:
     def test_grand_total_consistency(self, sf_mid, ray_session):
         out = A.a13_rollup(sf_mid).to_pandas()
