@@ -750,6 +750,47 @@ def g3_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+# --- A15: distributed correlation ------------------------------------------------
+
+
+def a15_correlation(sf_dir: str) -> pa.Table:
+    """Pearson correlation of event value vs hour-of-day in one pass:
+    per-batch co-moment partials (n, Σx, Σy, Σxx, Σyy, Σxy — six
+    numbers per block regardless of rows), one driver combine. The
+    shape every distributed descriptive statistic takes at 100 TB."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        x = df["ts"].dt.hour.to_numpy(dtype=np.float64)
+        y = df["value"].to_numpy(dtype=np.float64)
+        return pa.table(
+            {
+                "n": [float(len(x))],
+                "sx": [float(x.sum())],
+                "sy": [float(y.sum())],
+                "sxx": [float((x * x).sum())],
+                "syy": [float((y * y).sum())],
+                "sxy": [float((x * y).sum())],
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n, sx, sy, sxx, syy, sxy = (
+        p["n"], p["sx"], p["sy"], p["sxx"], p["syy"], p["sxy"]
+    )
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sxx / n - (sx / n) ** 2
+    vy = syy / n - (sy / n) ** 2
+    corr = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else 0.0
+    return pa.table(
+        {
+            "n_events": pa.array([int(n)], pa.int64()),
+            "corr_hour_value": pa.array([round(float(corr), 6)]),
+        }
+    )
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -810,6 +851,12 @@ def analytics_oracle_sql() -> dict[str, str]:
                           + {PAGERANK_DAMPING} * coalesce(s2.s, 0) AS rank
                    FROM nodes n LEFT JOIN s2 ON n.doc_id = s2.doc_id)
             SELECT doc_id, round(rank, 6) AS rank FROM r2 ORDER BY doc_id
+        """,
+        "a15_correlation": """
+            SELECT CAST(count(*) AS BIGINT) AS n_events,
+                   round(corr(value, CAST(hour(ts) AS DOUBLE)), 6)
+                       AS corr_hour_value
+            FROM events
         """,
         "a14_daily_distinct": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,

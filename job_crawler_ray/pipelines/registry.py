@@ -828,6 +828,7 @@ def build_queries() -> dict:
             "a14_daily_distinct": A2.a14_daily_distinct,
             "d6_incremental_ingest": A2.d6_incremental_ingest,
             "g3_pagerank": A2.g3_pagerank,
+            "a15_correlation": A2.a15_correlation,
             # rows-only (non-SQL-expressible). Cheap entries first so a
             # driver-side time budget truncates the expensive sketch
             # pipelines last (round 2 lost the multimodal rows to the
