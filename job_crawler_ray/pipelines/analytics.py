@@ -791,6 +791,37 @@ def a15_correlation(sf_dir: str) -> pa.Table:
     )
 
 
+# --- T8: text normalization -------------------------------------------------------
+
+
+def t_normalize(sf_dir: str) -> pa.Table:
+    """C4-style text cleaning as a pure vectorized batch kernel:
+    unicode NFC, lowercase, whitespace-run collapse, edge trim. Stateless
+    per row — the stage fuses with any upstream read and never
+    shuffles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("")
+        s = (
+            s.str.normalize("NFC")
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": pa.array(s, pa.string()),
+                "n_chars_norm": pa.array(
+                    s.str.len().to_numpy(dtype=np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow").sort("doc_id")
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -851,6 +882,15 @@ def analytics_oracle_sql() -> dict[str, str]:
                           + {PAGERANK_DAMPING} * coalesce(s2.s, 0) AS rank
                    FROM nodes n LEFT JOIN s2 ON n.doc_id = s2.doc_id)
             SELECT doc_id, round(rank, 6) AS rank FROM r2 ORDER BY doc_id
+        """,
+        "t_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(
+                       coalesce(text, ''))), '\s+', ' ', 'g')) AS norm_text,
+                   CAST(length(trim(regexp_replace(lower(nfc_normalize(
+                       coalesce(text, ''))), '\s+', ' ', 'g'))) AS BIGINT)
+                       AS n_chars_norm
+            FROM documents ORDER BY doc_id
         """,
         "a15_correlation": """
             SELECT CAST(count(*) AS BIGINT) AS n_events,

@@ -786,6 +786,7 @@ def build_queries() -> dict:
             "w1_tumbling_daily": W.w1_tumbling_daily,
             "w2_sessionize": W.w2_sessionize,
             "w3_sliding_7d": W.w3_sliding_7d,
+            "w4_running_total": W.w4_running_total,
             "j4_asof_join": W.j4_asof_join,
             "r1_range_join": W.r1_range_join,
             "m2_full_framework": F.m2_full_framework,
@@ -829,6 +830,7 @@ def build_queries() -> dict:
             "d6_incremental_ingest": A2.d6_incremental_ingest,
             "g3_pagerank": A2.g3_pagerank,
             "a15_correlation": A2.a15_correlation,
+            "t_normalize": A2.t_normalize,
             # rows-only (non-SQL-expressible). Cheap entries first so a
             # driver-side time budget truncates the expensive sketch
             # pipelines last (round 2 lost the multimodal rows to the

@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count, Mean
+from ray.data.aggregate import Count, Mean, Sum
 
 from job_crawler_ray.util import strip_meta
 
@@ -223,7 +223,56 @@ def r1_range_join(sf_dir: str) -> pa.Table:
     return out
 
 
+def w4_running_total(sf_dir: str) -> pa.Table:
+    """Cumulative (UNBOUNDED-PRECEDING) running totals per day: the
+    third window frame shape alongside w1's tumbling buckets and w3's
+    sliding RANGE. Daily partials aggregate distributed; the prefix
+    sum runs over the tiny post-agg daily table (≤ distinct days rows),
+    never over raw events."""
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def daily_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.assign(day=df["ts"].dt.floor("D").dt.strftime("%Y-%m-%d"))
+            .groupby("day", as_index=False)
+            .agg(cnt=("value", "size"), value_sum=("value", "sum"))
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    daily = (
+        ds.map_batches(daily_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Sum("value_sum", alias_name="value_sum"),
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    daily["cum_cnt"] = daily["cnt"].cumsum().astype("int64")
+    daily["cum_value"] = daily["value_sum"].cumsum().astype(float).round(6)
+    daily["cnt"] = daily["cnt"].astype("int64")
+    out = daily[["day", "cnt", "cum_cnt", "cum_value"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 WINDOW_SQL = {
+    "w4_running_total": """
+        WITH daily AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   sum(value) AS value_sum
+            FROM events GROUP BY 1
+        )
+        SELECT day, cnt,
+               CAST(sum(cnt) OVER w AS BIGINT) AS cum_cnt,
+               round(sum(value_sum) OVER w, 6) AS cum_value
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        ORDER BY day
+    """,
     "w3_sliding_7d": """
         WITH daily AS (
             SELECT date_trunc('day', ts) AS day, count(*) AS cnt,
