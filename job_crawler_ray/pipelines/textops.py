@@ -37,7 +37,7 @@ import pyarrow as pa
 
 import ray
 
-from job_crawler_ray.util import strip_meta
+from job_crawler_ray.util import scratch_dir, strip_meta
 import ray.data as rd
 
 from job_crawler_ray.corpus import mix64
@@ -894,7 +894,7 @@ def _fragment_store_verify(survivors, cand_texts, n_surv: int, id_col: str,
     # unique per invocation: a fixed path lets two concurrent runs on
     # one machine (bench + tests, two drivers) clobber each other's
     # store mid-verify. On a real cluster this would be shared storage.
-    frag_dir = tempfile.mkdtemp(prefix="jcr_minhash_texts_")
+    frag_dir = scratch_dir("jcr_minhash_texts_")
 
     def add_tbucket(t: pa.Table) -> pa.Table:
         tb = (
@@ -1345,7 +1345,7 @@ def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     import shutil
     import tempfile
 
-    frag_dir = tempfile.mkdtemp(prefix="jcr_simhash_sigs_")
+    frag_dir = scratch_dir("jcr_simhash_sigs_")
 
     def add_sbucket(t: pa.Table) -> pa.Table:
         sb = (
@@ -1477,7 +1477,7 @@ def pack_sequences(ds, seq_len: int = 128, id_col: str = "doc_id",
 
         import pyarrow.parquet as _pq
 
-        offset_store = tempfile.mkdtemp(prefix="jcr_pack_offsets_")
+        offset_store = scratch_dir("jcr_pack_offsets_")
         running = 0
         part = 0
         for tb in counts_ds.sort(id_col).iter_batches(
@@ -2110,7 +2110,7 @@ def ngram_jaccard_pairs(ds, n: int = 2,
             lambda t: t.filter(pc.greater(t["_c"], 1)),
             batch_format="pyarrow",
         )
-        df_dir = _tempfile.mkdtemp(prefix="jcr_ngram_df_")
+        df_dir = _scratch_dir("jcr_ngram_df_")
 
         def add_gbucket(t: pa.Table) -> pa.Table:
             gb = (
@@ -2485,7 +2485,7 @@ def neardup_keep_representatives(ds, pairs, id_col: str = "doc_id"):
         losers_ds = rd.from_arrow(
             pa.table({"drop_id": pa.array(losers_arr, type=pa.int64())})
         )
-    frag_dir = tempfile.mkdtemp(prefix="jcr_neardup_losers_")
+    frag_dir = scratch_dir("jcr_neardup_losers_")
 
     def add_dbucket(t: pa.Table) -> pa.Table:
         db = (
@@ -2626,7 +2626,7 @@ def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",
     # runs must not clobber each other's fragment store)
     own_dir = work_dir is None
     if own_dir:
-        work_dir = tempfile.mkdtemp(prefix="jcr_embdup_frags_")
+        work_dir = scratch_dir("jcr_embdup_frags_")
     else:
         shutil.rmtree(work_dir, ignore_errors=True)
 
@@ -2882,7 +2882,7 @@ def embedding_neardup_pairs_approx(ds, threshold: float,
             )
         )
 
-    work_dir = tempfile.mkdtemp(prefix="jcr_ivfdup_frags_")
+    work_dir = scratch_dir("jcr_ivfdup_frags_")
 
     def normalize(batch: pa.Table) -> pa.Table:
         m = _load_matrix(batch, col="embedding")

@@ -49,3 +49,24 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
     names = columns if columns is not None else sch.names
     clean = pa.schema([sch.field(c).remove_metadata() for c in names])
     return rd.read_parquet(path, columns=columns, schema=clean, **kwargs)
+
+
+def scratch_dir(prefix: str) -> str:
+    """Scratch directory for shuffle-avoiding fragment stores.
+
+    Fragment stores (minhash candidate texts, simhash signatures, anti-
+    join key buckets, packed-sequence offsets, ...) are WRITTEN by
+    ``write_parquet`` tasks and READ by actor pools — on a multi-node
+    cluster those run on arbitrary nodes, so the directory must be
+    cluster-visible. Set ``$JCR_SHARED_SCRATCH`` to a shared prefix
+    (NFS mount, fuse-mounted object store) in a cluster deployment;
+    the default node-local tmp is correct only single-node (this
+    sandbox)."""
+    import os
+    import tempfile
+
+    base = os.environ.get("JCR_SHARED_SCRATCH")
+    if base:
+        os.makedirs(base, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return tempfile.mkdtemp(prefix=prefix)

@@ -39,6 +39,42 @@ class TestBloomAntiJoin:
         words = A._partial_bloom(keys)
         assert A._bloom_maybe_member(words, keys).all()
 
+    def test_build_side_executes_exactly_once(self, ray_session):
+        """The build lineage (an expensive filtered chain at scale) must
+        run once — round 3 ran it 2-3× (partials, count(), unique()).
+        A counter actor inside the build chain observes executions."""
+        import ray
+        import ray.data as rd
+
+        @ray.remote
+        class Counter:
+            def __init__(self):
+                self.n = 0
+
+            def bump(self, k: int) -> None:
+                self.n += k
+
+            def get(self) -> int:
+                return self.n
+
+        counter = Counter.remote()
+
+        def counted(t: pa.Table) -> pa.Table:
+            ray.get(counter.bump.remote(len(t)))
+            return t
+
+        n_build = 1000
+        build = rd.from_arrow(
+            pa.table({"k": pa.array(np.arange(n_build, dtype=np.int64))})
+        ).map_batches(counted, batch_format="pyarrow")
+        probe = rd.from_arrow(
+            pa.table({"k": pa.array(np.arange(500, 1500, dtype=np.int64))})
+        )
+        out = A.bloom_anti_join(probe, build, "k", "k").to_pandas()
+        assert sorted(out["k"]) == list(range(1000, 1500))
+        # every build row hashed exactly once across partials + exact tier
+        assert ray.get(counter.get.remote()) == n_build
+
 
 class TestHeavyHitters:
     def test_truncated_capacity_still_exact(self, sf_mid, ray_session):
