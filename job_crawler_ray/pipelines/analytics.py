@@ -681,22 +681,34 @@ def d6_incremental_ingest(sf_dir: str) -> pa.Table:
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 2
 PAGERANK_EDGE_MULTS = ((31, 7), (57, 13), (91, 23))
-# join fan-out at TEST scale (500 nodes): fixed per-partition aggregator
-# cost dominates tiny inputs, so keep it low here; real deployments size
-# this to cluster width via the pagerank(num_partitions=...) parameter
+# floor for the width-derived join fan-out (pagerank defaults to
+# cpus // 2; fixed per-partition aggregator cost dominates tiny inputs,
+# so the floor keeps the 500-node test graph from over-partitioning)
 PAGERANK_PARTITIONS = 2
 
 
 def pagerank(nodes, edges, n: int, out_degree: int, n_iter: int,
              damping: float = PAGERANK_DAMPING,
-             num_partitions: int = PAGERANK_PARTITIONS):
+             num_partitions: int | None = None):
     """Iterative PageRank as distributed dataflow: each iteration is
     one big-big hash join (ranks onto edges by src — ranks are O(nodes)
     and never broadcast), a per-batch partial contribution rollup, a
     dst groupby, and a left-outer join back onto the node set so
     zero-in-degree nodes keep the teleport mass. The driver holds
     nothing but loop control — rank state lives in the object store
-    between iterations."""
+    between iterations.
+
+    Ranks are MATERIALIZED once per iteration: the lazy plan would
+    otherwise deepen by two joins + a groupby every round (recompute
+    risk on block eviction, unbounded optimizer input at n_iter=50).
+    Each iteration's wall time is therefore flat. ``num_partitions``
+    defaults to the cluster CPU width (capped at test scale by
+    PAGERANK_PARTITIONS when the cluster is tiny)."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(PAGERANK_PARTITIONS, cpus // 2)
+    nodes = nodes.materialize()  # joined against every iteration
+    edges = edges.materialize()  # likewise; never re-derive per round
     ranks = nodes.map_batches(
         lambda t: pa.table(
             {
@@ -741,7 +753,7 @@ def pagerank(nodes, edges, n: int, out_degree: int, n_iter: int,
                 {"doc_id": t["doc_id"], "rank": pa.array(base + damping * s)}
             )
 
-        ranks = merged.map_batches(apply_rank, batch_format="pyarrow")
+        ranks = merged.map_batches(apply_rank, batch_format="pyarrow").materialize()
     return ranks
 
 
@@ -818,11 +830,20 @@ def a15_correlation(sf_dir: str) -> pa.Table:
 # --- T8: text normalization -------------------------------------------------------
 
 
+# the one shared whitespace definition for t_normalize and its twin
+ASCII_WS_RE = r"[ \t\n\r\f\v]+"
+
+
 def t_normalize(sf_dir: str) -> pa.Table:
     """C4-style text cleaning as a pure vectorized batch kernel:
     unicode NFC, lowercase, whitespace-run collapse, edge trim. Stateless
     per row — the stage fuses with any upstream read and never
-    shuffles."""
+    shuffles.
+
+    Whitespace is the EXPLICIT ASCII class on both sides of the oracle
+    pair (Python's ``\\s`` is Unicode-aware — NBSP, U+2028 — while
+    RE2's is ASCII-only, and SQL trim() strips only spaces; one shared
+    definition or the twins diverge on any non-ASCII whitespace)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def norm(t: pa.Table) -> pa.Table:
@@ -830,8 +851,8 @@ def t_normalize(sf_dir: str) -> pa.Table:
         s = (
             s.str.normalize("NFC")
             .str.lower()
-            .str.replace(r"\s+", " ", regex=True)
-            .str.strip()
+            .str.replace(ASCII_WS_RE, " ", regex=True)
+            .str.strip(" ")
         )
         return pa.table(
             {
@@ -907,12 +928,17 @@ def analytics_oracle_sql() -> dict[str, str]:
                    FROM nodes n LEFT JOIN s2 ON n.doc_id = s2.doc_id)
             SELECT doc_id, round(rank, 6) AS rank FROM r2 ORDER BY doc_id
         """,
+        # whitespace class shared with the Python kernel (ASCII_WS_RE):
+        # RE2's \s is ASCII-only but excludes \v, Python's is Unicode —
+        # the explicit class is the one definition both sides run
         "t_normalize": r"""
             SELECT doc_id,
                    trim(regexp_replace(lower(nfc_normalize(
-                       coalesce(text, ''))), '\s+', ' ', 'g')) AS norm_text,
+                       coalesce(text, ''))), '[ \t\n\r\f\v]+', ' ', 'g'),
+                       ' ') AS norm_text,
                    CAST(length(trim(regexp_replace(lower(nfc_normalize(
-                       coalesce(text, ''))), '\s+', ' ', 'g'))) AS BIGINT)
+                       coalesce(text, ''))), '[ \t\n\r\f\v]+', ' ', 'g'),
+                       ' ')) AS BIGINT)
                        AS n_chars_norm
             FROM documents ORDER BY doc_id
         """,

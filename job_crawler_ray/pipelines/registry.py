@@ -196,18 +196,44 @@ def s2_pack_sequences(sf_dir: str):
     return T.pack_sequences(_docs(sf_dir), seq_len=PACK_SEQ_LEN)
 
 
+HLL_REL_ERR_BOUND = 0.05  # ~3σ for 2^12 registers (σ ≈ 1.04/√4096)
+
+
 def a10_quantile_sketch(sf_dir: str) -> pa.Table:
     """Approximate order-price quantiles via the deterministic
-    mergeable ε-summary (per-batch coresets, driver weighted merge) —
-    rows-only: rank error ≤ 2ε by construction, pinned by test."""
+    mergeable ε-summary (per-batch coresets, driver weighted merge),
+    ORACLE-BOUND-CHECKED: the exact rank of each sketch value is
+    re-counted distributedly (one partial-sum pass) and the ≤ 2ε
+    rank-error guarantee is emitted as a flag the DuckDB twin pins
+    TRUE — a violated bound hash-mismatches the driver record. (The
+    sketch VALUES themselves are approximate by design, so they can't
+    be hash-pinned; the invariant can.)"""
     ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
-    ds = ds.repartition(8)
-    med, p95, p99 = T.quantile_sketch(ds, "o_totalprice", [0.5, 0.95, 0.99])
+    ds = ds.repartition(8).materialize()  # sketch pass + rank pass
+    qs = [0.5, 0.95, 0.99]
+    vals = T.quantile_sketch(ds, "o_totalprice", qs)
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        x = t["o_totalprice"].to_numpy()
+        return pa.table(
+            {
+                "n": [len(x)],
+                **{f"le_{i}": [int((x <= v).sum())] for i, v in enumerate(vals)},
+            }
+        )
+
+    agg = ds.map_batches(rank_partial, batch_format="pyarrow").sum(
+        ["n"] + [f"le_{i}" for i in range(len(qs))]
+    )
+    n = agg["sum(n)"]
+    ok = [
+        abs(agg[f"sum(le_{i})"] / n - q) <= 2.0 * T.QUANTILE_EPS + 1.0 / n
+        for i, q in enumerate(qs)
+    ]
     return pa.table(
         {
-            "p50": pa.array([round(med, 6)]),
-            "p95": pa.array([round(p95, 6)]),
-            "p99": pa.array([round(p99, 6)]),
+            "q": pa.array(qs, pa.float64()),
+            "rank_bound_ok": pa.array(ok, pa.bool_()),
         }
     )
 
@@ -215,14 +241,30 @@ def a10_quantile_sketch(sf_dir: str) -> pa.Table:
 def a9_hll_distinct(sf_dir: str) -> pa.Table:
     """Approximate COUNT(DISTINCT o_custkey) via a mergeable
     HyperLogLog sketch (2^12 registers, per-batch partials, 4 KB
-    merge) — the distributed-sketch path for distinct counts that
-    would otherwise shuffle every value. Rows-only: the estimate is
-    approximate by design (pinned to < 5 % error by test)."""
+    merge), ORACLE-BOUND-CHECKED: the exact distinct count is also
+    computed distributedly (batch-unique → groupby → row count) and
+    emitted next to a within-5% flag; the DuckDB twin computes the
+    same exact count and pins the flag TRUE, so a bound violation
+    hash-mismatches the driver record."""
     ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    ds = ds.repartition(8)
+    ds = ds.repartition(8).materialize()  # sketch pass + exact pass
     est = T.hll_distinct(ds, "o_custkey")
-    return pa.table({"approx_distinct_custkeys": pa.array([round(est)],
-                                                          type=pa.int64())})
+    exact = (
+        ds.map_batches(
+            lambda t: pa.table({"o_custkey": pa.compute.unique(t["o_custkey"])}),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .count()
+        .count()
+    )
+    ok = abs(est - exact) / max(exact, 1) <= HLL_REL_ERR_BOUND
+    return pa.table(
+        {
+            "exact_distinct_custkeys": pa.array([exact], type=pa.int64()),
+            "within_bound": pa.array([ok], type=pa.bool_()),
+        }
+    )
 
 
 def d4_ngram_jaccard(sf_dir: str):
@@ -341,20 +383,40 @@ def io1_jsonl_roundtrip(sf_dir: str):
     out_dir = scratch_dir("jcr_jsonl_")
     ds.write_json(out_dir)
     back = rd.read_json(out_dir)
-    return back.select_columns(["doc_id", "text", "lang", "source"]).sort("doc_id")
+    out = back.select_columns(
+        ["doc_id", "text", "lang", "source"]
+    ).sort("doc_id").materialize()
+    shutil.rmtree(out_dir, ignore_errors=True)  # don't leak a corpus copy
+    return out
 
 
 def io2_csv_roundtrip(sf_dir: str):
-    """documents → CSV sink → ``read_csv`` source (Arrow CSV quoting
-    handles arbitrary text). Same lossless-roundtrip proof as io1 for
-    the other ubiquitous interchange format."""
+    """documents → CSV sink → ``read_csv`` source. Same lossless-
+    roundtrip proof as io1 for the other ubiquitous interchange
+    format — including texts with embedded newlines
+    (``newlines_in_values``) and the NULL/empty-string distinction
+    (Arrow writes NULL as an unquoted empty field and "" quoted, so
+    ``strings_can_be_null`` + ``quoted_strings_can_be_null=False``
+    recovers both exactly; pinned by test on an adversarial corpus)."""
+    from pyarrow import csv as pacsv
+
     ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     ).repartition(4)
     out_dir = scratch_dir("jcr_csv_")
     ds.write_csv(out_dir)
-    back = rd.read_csv(out_dir)
-    return back.select_columns(["doc_id", "text", "lang", "source"]).sort("doc_id")
+    back = rd.read_csv(
+        out_dir,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        convert_options=pacsv.ConvertOptions(
+            strings_can_be_null=True, quoted_strings_can_be_null=False
+        ),
+    )
+    out = back.select_columns(
+        ["doc_id", "text", "lang", "source"]
+    ).sort("doc_id").materialize()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
 
 
 def io3_partitioned_read(sf_dir: str):
@@ -370,7 +432,9 @@ def io3_partitioned_read(sf_dir: str):
     # pruned read: ONLY the en partition's files are listed/opened
     # (the hive path segment re-materializes the lang column)
     back = read_parquet_clean(os.path.join(out_dir, "lang=en"))
-    return back.select_columns(["doc_id", "text", "lang"]).sort("doc_id")
+    out = back.select_columns(["doc_id", "text", "lang"]).sort("doc_id").materialize()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
 
 
 def io4_schema_drift(sf_dir: str):
@@ -422,7 +486,10 @@ def io4_schema_drift(sf_dir: str):
             }
         )
 
-    return merged.map_batches(project, batch_format="pyarrow").sort("doc_id")
+    out = merged.map_batches(project, batch_format="pyarrow").sort("doc_id").materialize()
+    shutil.rmtree(gen1_dir, ignore_errors=True)
+    shutil.rmtree(gen2_dir, ignore_errors=True)
+    return out
 
 
 IO_ORACLE_SQL = {
@@ -614,6 +681,20 @@ def extra_oracle_sql() -> dict[str, str]:
     bpe_pat = T.BPE_TOKEN_PATTERN.replace("'", "''")
     thr = T.NGRAM_JACCARD_THRESHOLD
     return {
+        # sketch queries: the VALUES are approximate by design, so the
+        # twins pin the exact side + the error-bound invariant instead
+        # (the Ray queries re-count exact distributedly and emit the
+        # bound check; a sketch that violates its guarantee mismatches)
+        "a9_hll_distinct": """
+            SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+                       AS exact_distinct_custkeys,
+                   TRUE AS within_bound
+            FROM orders
+        """,
+        "a10_quantile_sketch": """
+            SELECT CAST(q AS DOUBLE) AS q, TRUE AS rank_bound_ok
+            FROM (VALUES (0.5), (0.95), (0.99)) t(q) ORDER BY q
+        """,
         "d4_ngram_jaccard": rf"""
             WITH w AS (
               SELECT doc_id,

@@ -3236,17 +3236,21 @@ class BinaryDecoder:
 
     The Ray-side plumbing is real: binary column in, small batches,
     typed metadata out, decoder state built once per actor. The decode
-    kernel itself is a STUB — image/audio libraries are not in this
-    container — replaced by a deterministic header parse. Swap
-    ``_decode`` for PIL/torchaudio in production.
+    kernel is CONSTRUCTOR-INJECTED: pass ``codec`` — any callable
+    ``bytes -> (width, height, body_bytes)`` raising
+    NotImplementedError on undecodable input (e.g. a PIL adapter:
+    ``lambda p: (*Image.open(io.BytesIO(p)).size, len(p))``) — and
+    production needs zero edits here. The default is a deterministic
+    header parse (image/audio libraries are not in this sandbox).
     """
 
     MAGIC = b"FAKEIMG1"
 
-    def __init__(self):
+    def __init__(self, codec=None):
         self.header_len = len(self.MAGIC) + 8  # magic + w/h uint32s
+        self._decode = codec if codec is not None else self._header_decode
 
-    def _decode(self, payload: bytes) -> tuple[int, int, int]:
+    def _header_decode(self, payload: bytes) -> tuple[int, int, int]:
         if payload is None or not payload.startswith(self.MAGIC):
             raise NotImplementedError(
                 "real image decode not available in this sandbox"
@@ -3276,31 +3280,39 @@ class BinaryDecoder:
 
 class BinaryResizer:
     """Actor-pool 'resize' stage for opaque payloads. The pixel kernel
-    is a sandbox STUB (no codecs): dims in the header are halved and
-    the body truncated to a quarter — but the plumbing a real resize
-    needs (binary in/out, small batches, per-actor state, row-level
-    passthrough of undecodable payloads) is real and tested. Swap the
-    body for PIL/libvips in production."""
+    is CONSTRUCTOR-INJECTED: pass ``resize_fn`` — any callable
+    ``(payload: bytes, factor: int) -> bytes | None`` (None =
+    undecodable, row passes through) — and production (PIL/libvips)
+    needs zero edits here. The default is the sandbox STUB (no codecs
+    in this container): header dims halved, body truncated to a
+    quarter. The plumbing a real resize needs (binary in/out, small
+    batches, per-actor state, row-level passthrough of undecodable
+    payloads) is real and tested either way."""
 
-    def __init__(self, factor: int = 2):
+    def __init__(self, factor: int = 2, resize_fn=None):
         self.factor = factor
+        self._resize = resize_fn if resize_fn is not None else self._header_resize
+
+    @staticmethod
+    def _header_resize(p: bytes, f: int) -> bytes | None:
+        if p is None or not p.startswith(BinaryDecoder.MAGIC):
+            return None
+        w = int.from_bytes(p[8:12], "little") // f
+        h = int.from_bytes(p[12:16], "little") // f
+        body = p[16:]
+        return (
+            BinaryDecoder.MAGIC
+            + w.to_bytes(4, "little")
+            + h.to_bytes(4, "little")
+            + body[: max(1, len(body) // (f * f))]
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         f = self.factor
         out_payloads = []
         for p in batch["payload"].to_pylist():
-            if p is None or not p.startswith(BinaryDecoder.MAGIC):
-                out_payloads.append(p)  # passthrough, like fetch errors
-                continue
-            w = int.from_bytes(p[8:12], "little") // f
-            h = int.from_bytes(p[12:16], "little") // f
-            body = p[16:]
-            out_payloads.append(
-                BinaryDecoder.MAGIC
-                + w.to_bytes(4, "little")
-                + h.to_bytes(4, "little")
-                + body[: max(1, len(body) // (f * f))]
-            )
+            resized = self._resize(p, f)
+            out_payloads.append(p if resized is None else resized)
         keep = batch.select([c for c in batch.column_names if c != "payload"])
         return keep.append_column(
             "payload", pa.array(out_payloads, type=pa.binary())
@@ -3346,26 +3358,32 @@ class FrameSampler:
     every k-th frame, one output row per kept frame (row explosion —
     the multimodal flat_map shape).
 
-    Payload format is the codec-free sandbox stand-in
-    (``FAKEVID1`` + uint32 n_frames + uint32 frame_bytes + frames);
-    swap ``_frames`` for an ffmpeg/PyAV keyframe iterator in
-    production. The Ray-side shape is the real one: binary in, small
-    batches, per-actor state, frame rows out with (doc_id, frame_idx,
-    frame) so downstream decode/feature stages chain per frame;
-    undecodable payloads degrade to zero rows plus a flag row, never
-    an exception."""
+    The frame iterator is CONSTRUCTOR-INJECTED: pass ``frames_fn`` —
+    any callable ``(payload: bytes, every_k: int) -> iterator of
+    (frame_idx, frame_bytes) | None`` (None = undecodable) — e.g. an
+    ffmpeg/PyAV keyframe adapter, and production needs zero edits
+    here. The default parses the codec-free sandbox stand-in
+    (``FAKEVID1`` + uint32 n_frames + uint32 frame_bytes + frames).
+    The Ray-side shape is the real one: binary in, small batches,
+    per-actor state, frame rows out with (doc_id, frame_idx, frame) so
+    downstream decode/feature stages chain per frame; undecodable
+    payloads degrade to zero rows plus a flag row, never an
+    exception."""
 
     MAGIC = b"FAKEVID1"
 
-    def __init__(self, every_k: int = 4):
+    def __init__(self, every_k: int = 4, frames_fn=None):
         self.every_k = int(every_k)
+        self._frames = frames_fn if frames_fn is not None else self._header_frames
 
-    def _frames(self, p: bytes):
+    @classmethod
+    def _header_frames(cls, p: bytes, every_k: int):
+        if p is None or not p.startswith(cls.MAGIC):
+            return None
         n = int.from_bytes(p[8:12], "little")
         fb = int.from_bytes(p[12:16], "little")
         body = p[16:]
-        for i in range(0, n, self.every_k):
-            yield i, body[i * fb : (i + 1) * fb]
+        return ((i, body[i * fb : (i + 1) * fb]) for i in range(0, n, every_k))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids_out: list[int] = []
@@ -3374,13 +3392,14 @@ class FrameSampler:
         ok_out: list[bool] = []
         ids = batch["doc_id"].to_pylist()
         for doc_id, p in zip(ids, batch["payload"].to_pylist()):
-            if p is None or not p.startswith(self.MAGIC):
+            it = self._frames(p, self.every_k)
+            if it is None:
                 ids_out.append(doc_id)
                 idx_out.append(-1)
                 frames.append(b"")
                 ok_out.append(False)
                 continue
-            for i, fr in self._frames(p):
+            for i, fr in it:
                 ids_out.append(doc_id)
                 idx_out.append(i)
                 frames.append(fr)

@@ -881,9 +881,14 @@ def trainprep_oracle_sql() -> dict[str, str]:
             SELECT doc_id, imp_logratio,
                    imp_logratio >= 0 OR
                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-                     printf('%08x', CAST(floor(exp(imp_logratio) * 4294967296.0)
-                                         AS BIGINT)) AS kept
+                     printf('%08x',
+                            CAST(floor(least(exp(imp_logratio), 1.0)
+                                       * 4294967296.0) AS BIGINT)) AS kept
             FROM imp ORDER BY doc_id
+            -- least(..., 1.0) mirrors the Python kept = (imp >= 0) | ...
+            -- short-circuit: DuckDB evaluates the OR's right side for
+            -- every row, and exp(lr) of a strongly in-domain doc
+            -- (lr > ~21.5) would overflow the BIGINT cast
         """,
         "c1_contamination": rf"""
             WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),

@@ -16,12 +16,12 @@ event time is the `ts` column; late data is simply sorted into place
 - sessionization: per-user gap > timeout starts a new session
   (classic sessionize; map_groups per user).
 - as-of join: for each purchase, the user's most recent click at or
-  before it (sorted backward search per group; at table scale this is
-  pd.merge_asof inside co-partitioned groups).
+  before it — two-level (user, time-bucket) plan: in-bucket
+  merge_asof, then a per-user prefix-max over bucket summaries fills
+  the rest. No whole-user group ever forms (hot-key bounded).
 - range join: (purchase, error) pairs of the same user within ±1 h —
-  per-user group cross-filter; the partitioning assumption is that a
-  single key-group fits in memory (salt hot users into sub-groups if
-  not).
+  errors replicated to ±1 adjacent (user, bucket) groups, in-group
+  sort + double-searchsorted sweep (output-linear, no cross product).
 """
 
 from __future__ import annotations
@@ -138,62 +138,197 @@ def w2_sessionize(sf_dir: str) -> pa.Table:
     return out
 
 
+ASOF_BUCKET_HOURS = 24
+
+
+def _fmt_asof(df: pd.DataFrame) -> pd.DataFrame:
+    # an all-NaT block round-trips Arrow as a null-typed column →
+    # object dtype in pandas; coerce before using the .dt accessor
+    p_ts = pd.to_datetime(df["purchase_ts"])
+    c_ts = pd.to_datetime(df["last_click_ts"])
+    return pd.DataFrame(
+        {
+            "purchase_id": df["purchase_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "purchase_ts": p_ts.dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            "last_click_ts": c_ts.dt.strftime("%Y-%m-%d %H:%M:%S.%f").fillna(""),
+        }
+    )
+
+
 def j4_asof_join(sf_dir: str) -> pa.Table:
     """As-of join: each purchase event ⟵ the same user's most recent
-    click at or before it (backward merge_asof within the user group)."""
-    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    click at or before it.
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
+    Two-level, HOT-KEY-BOUNDED plan (no whole-user pandas group — a
+    Zipf-head user owning half the event stream never lands in one
+    task):
+
+    1. group by (user, 24 h bucket): local backward merge_asof.
+       Purchases resolved by a same-bucket click are finished; each
+       group also emits ONE summary row (its max click ts).
+    2. group by user over SUMMARIES + UNRESOLVED purchases only — rows
+       per group ≤ #buckets + unresolved count, independent of the
+       user's raw event volume. A click in any earlier bucket is ≤
+       every ts in later buckets, so the prefix-max of bucket click
+       maxima IS the as-of answer for purchases unresolved in-bucket
+       (searchsorted over the per-user cummax arrays).
+    """
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    bucket_ns = ASOF_BUCKET_HOURS * 3_600_000_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = t["ts"].cast(pa.int64()).to_numpy() // bucket_ns
+        return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+    _empty = {
+        "user_id": pd.Series([], dtype="int64"),
+        "_bucket": pd.Series([], dtype="int64"),
+        "_kind": pd.Series([], dtype="int64"),  # 0 summary, 1 resolved, 2 open
+        "purchase_id": pd.Series([], dtype="int64"),
+        "purchase_ts": pd.Series([], dtype="datetime64[ns]"),
+        "last_click_ts": pd.Series([], dtype="datetime64[ns]"),
+    }
+
+    def local_asof(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts", kind="mergesort")
+        uid = int(g["user_id"].iloc[0])
+        bkt = int(g["_bucket"].iloc[0])
         p = g[g["event_type"] == "purchase"]
         c = g[g["event_type"] == "click"]
-        if p.empty:
-            return pd.DataFrame(
-                {
-                    "purchase_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "purchase_ts": pd.Series([], dtype="object"),
-                    "last_click_ts": pd.Series([], dtype="object"),
-                }
+        parts = []
+        if not c.empty:
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "user_id": [uid],
+                        "_bucket": [bkt],
+                        "_kind": [0],
+                        "purchase_id": [0],
+                        "purchase_ts": [pd.NaT],
+                        "last_click_ts": [c["ts"].iloc[-1]],
+                    }
+                )
             )
-        merged = pd.merge_asof(
-            p[["event_id", "user_id", "ts"]].rename(columns={"ts": "purchase_ts"}),
-            c[["ts"]].rename(columns={"ts": "click_ts"}),
-            left_on="purchase_ts",
-            right_on="click_ts",
-            direction="backward",
-        )
+        if not p.empty:
+            merged = pd.merge_asof(
+                p[["event_id", "ts"]].rename(columns={"ts": "purchase_ts"}),
+                c[["ts"]].rename(columns={"ts": "click_ts"}),
+                left_on="purchase_ts",
+                right_on="click_ts",
+                direction="backward",
+            )
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "user_id": uid,
+                        "_bucket": bkt,
+                        "_kind": np.where(merged["click_ts"].isna(), 2, 1),
+                        "purchase_id": merged["event_id"].astype("int64"),
+                        "purchase_ts": merged["purchase_ts"],
+                        "last_click_ts": merged["click_ts"],
+                    }
+                )
+            )
+        if not parts:
+            return pd.DataFrame(_empty)
+        return pd.concat(parts, ignore_index=True)
+
+    level1 = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "_bucket"])
+        .map_groups(local_asof, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .materialize()  # split below reads cached narrow blocks once
+    )
+    resolved = level1.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["_kind"], 1)),
+        batch_format="pyarrow",
+    )
+
+    def fill_open(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["_kind"] == 0].sort_values("_bucket")
+        o = g[g["_kind"] == 2]
+        if o.empty:
+            return pd.DataFrame(_empty)
+        filled = np.full(len(o), np.datetime64("NaT", "ns"))
+        if not s.empty:
+            sb = s["_bucket"].to_numpy()
+            runmax = np.maximum.accumulate(
+                pd.to_datetime(s["last_click_ts"]).to_numpy()
+            )
+            idx = np.searchsorted(sb, o["_bucket"].to_numpy(), side="left") - 1
+            has = idx >= 0
+            filled[has] = runmax[idx[has]]
         return pd.DataFrame(
             {
-                "purchase_id": merged["event_id"].astype("int64"),
-                "user_id": merged["user_id"].astype("int64"),
-                "purchase_ts": merged["purchase_ts"].dt.strftime(
-                    "%Y-%m-%d %H:%M:%S.%f"
-                ),
-                "last_click_ts": merged["click_ts"]
-                .dt.strftime("%Y-%m-%d %H:%M:%S.%f")
-                .fillna(""),
+                "user_id": o["user_id"].astype("int64").to_numpy(),
+                "_bucket": o["_bucket"].astype("int64").to_numpy(),
+                "_kind": np.ones(len(o), dtype=np.int64),
+                "purchase_id": o["purchase_id"].astype("int64").to_numpy(),
+                "purchase_ts": pd.to_datetime(o["purchase_ts"]).to_numpy(),
+                "last_click_ts": filled,
             }
         )
 
+    filled = (
+        level1.map_batches(
+            lambda t: t.filter(
+                pa.compute.not_equal(t["_kind"], 1)
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .map_groups(fill_open, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+    )
     out = (
-        ds.groupby("user_id")
-        .map_groups(asof, batch_format="pandas")
+        resolved.union(filled)
+        .map_batches(
+            lambda df: _fmt_asof(df),
+            batch_format="pandas",
+        )
         .map_batches(strip_meta, batch_format="pyarrow")
         .sort("purchase_id")
     )
     return out
 
 
+RANGE_BUCKET_HOURS = 6  # must be ≥ RANGE_JOIN_HOURS for ±1-bucket overlap
+
+
 def r1_range_join(sf_dir: str) -> pa.Table:
     """Range join: (purchase, error) event pairs of the same user with
-    |ts_p − ts_e| ≤ 1 h. Per-user group cross-filter (documented
-    partitioning assumption: a user's events fit in one group)."""
+    |ts_p − ts_e| ≤ 1 h.
+
+    HOT-KEY-BOUNDED interval-overlap plan: purchases keep their home
+    (user, 6 h bucket); errors are replicated to the ±1 adjacent
+    buckets (any pair within 1 h < bucket width is co-grouped; each
+    pair is emitted once because the purchase lives in exactly one
+    group). In-group matching is a sort + double-searchsorted window
+    sweep — O((p+e)·log e + output), never the old O(p×e) cross
+    product, and group size is bounded by per-bucket density, not by
+    the user's total event volume."""
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    bucket_ns = RANGE_BUCKET_HOURS * 3_600_000_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        b = df["ts"].astype("int64").to_numpy() // bucket_ns
+        isp = (df["event_type"] == "purchase").to_numpy()
+        ise = (df["event_type"] == "error").to_numpy()
+        p = df[isp].assign(_bucket=b[isp])
+        e = df[ise]
+        eb = b[ise]
+        reps = [e.assign(_bucket=eb + off) for off in (-1, 0, 1)]
+        out = pd.concat([p, *reps], ignore_index=True)[
+            ["event_id", "user_id", "event_type", "ts", "_bucket"]
+        ]
+        return strip_meta(pa.Table.from_pandas(out, preserve_index=False))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         p = g[g["event_type"] == "purchase"]
-        e = g[g["event_type"] == "error"]
+        e = g[g["event_type"] == "error"].sort_values("ts", kind="mergesort")
         if p.empty or e.empty:
             return pd.DataFrame(
                 {
@@ -202,20 +337,29 @@ def r1_range_join(sf_dir: str) -> pa.Table:
                     "user_id": pd.Series([], dtype="int64"),
                 }
             )
-        pt = p["ts"].to_numpy()
-        et = e["ts"].to_numpy()
-        d = np.abs(pt[:, None] - et[None, :])
-        pi, ei = np.nonzero(d <= np.timedelta64(RANGE_JOIN_HOURS, "h"))
+        pt = p["ts"].to_numpy().astype("datetime64[ns]").view("int64")
+        et = e["ts"].to_numpy().astype("datetime64[ns]").view("int64")
+        w = RANGE_JOIN_HOURS * 3_600_000_000_000
+        lo = np.searchsorted(et, pt - w, side="left")
+        hi = np.searchsorted(et, pt + w, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        pi = np.repeat(np.arange(len(pt)), counts)
+        starts = np.repeat(lo, counts)
+        ei = starts + (
+            np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
         return pd.DataFrame(
             {
                 "purchase_id": p["event_id"].to_numpy()[pi],
                 "error_id": e["event_id"].to_numpy()[ei],
-                "user_id": np.full(len(pi), g["user_id"].iloc[0], dtype=np.int64),
+                "user_id": np.full(total, g["user_id"].iloc[0], dtype=np.int64),
             }
         )
 
     out = (
-        ds.groupby("user_id")
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["user_id", "_bucket"])
         .map_groups(pairs, batch_format="pandas")
         .map_batches(strip_meta, batch_format="pyarrow")
         .sort(["purchase_id", "error_id"])

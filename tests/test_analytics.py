@@ -206,6 +206,41 @@ class TestEdgeCases:
         # mass stays 1 at every iteration
         assert abs(out["rank"].sum() - 1.0) < 1e-6
 
+    def test_pagerank_deep_iteration_flat_time(self, ray_session):
+        """Per-iteration materialization caps plan depth: at n_iter=8
+        every round must cost about the same (a lazily-chained plan
+        recomputes earlier rounds, so late iterations balloon)."""
+        import time
+
+        from job_crawler_ray.pipelines.relational import _read
+
+        sf = "/root/testdata/sf0.001"
+        nodes = _read(sf, "documents", ["doc_id"])
+        n = nodes.count()
+
+        def gen_edges(t):
+            s = t["doc_id"].to_numpy()
+            src = np.concatenate([s] * len(A.PAGERANK_EDGE_MULTS))
+            dst = np.concatenate(
+                [(s * a + b) % n for a, b in A.PAGERANK_EDGE_MULTS]
+            )
+            return pa.table(
+                {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+            )
+
+        edges = nodes.map_batches(gen_edges, batch_format="pyarrow")
+        t0 = time.time()
+        r4 = A.pagerank(nodes, edges, n, out_degree=3, n_iter=4)
+        mid = time.time()
+        r8 = A.pagerank(nodes, edges, n, out_degree=3, n_iter=8)
+        t8 = time.time() - mid
+        t4 = mid - t0
+        assert abs(r8.to_pandas()["rank"].sum() - 1.0) < 1e-6
+        assert abs(r4.to_pandas()["rank"].sum() - 1.0) < 1e-6
+        # flat per-iteration cost: 8 rounds ≲ 3× the cost of 4 rounds
+        # (generous bound — recompute-chained plans blow well past it)
+        assert t8 < 3.0 * t4 + 5.0, (t4, t8)
+
 
 class TestRollup:
     def test_grand_total_consistency(self, sf_mid, ray_session):

@@ -333,7 +333,15 @@ class TestRowsOnlyPipelines:
             f"SELECT count(DISTINCT o_custkey) FROM "
             f"read_parquet('{sf_mid}/orders.parquet')"
         ).fetchone()[0]
-        est = a9_hll_distinct(sf_mid)["approx_distinct_custkeys"][0].as_py()
+        out = a9_hll_distinct(sf_mid)
+        assert out["exact_distinct_custkeys"][0].as_py() == exact
+        assert out["within_bound"][0].as_py()
+        est = T.hll_distinct(
+            read_parquet_clean(
+                f"{sf_mid}/orders.parquet", columns=["o_custkey"]
+            ).repartition(8),
+            "o_custkey",
+        )
         assert abs(est - exact) / exact < 0.05
         # merge-invariance: 1 block vs 32 blocks, identical registers
         ds1 = read_parquet_clean(
@@ -406,6 +414,33 @@ class TestRowsOnlyPipelines:
         assert (df["width"] >= 16).all() and (df["height"] >= 16).all()
         assert (df["body_bytes"] > 0).all()
 
+    def test_multimodal_injected_codec_end_to_end(self, sf_small, ray_session):
+        """Swapping in a 'production' decode kernel is a constructor
+        argument, not an edit: a fake codec with different semantics
+        flows through the same actor-pool stage and the output
+        reflects the injected kernel."""
+        from job_crawler_ray.pipelines import textops as T
+        from job_crawler_ray.pipelines.registry import _docs
+
+        def prod_codec(payload):
+            if payload is None or len(payload) < 16:
+                raise NotImplementedError("undecodable")
+            # a real codec sees pixels, not our fake header
+            return 640, 480, len(payload)
+
+        ds = _docs(sf_small)
+        ds = ds.map_batches(T.synth_binary_payloads, batch_format="pyarrow")
+        out = ds.map_batches(
+            T.BinaryDecoder,
+            fn_constructor_kwargs=dict(codec=prod_codec),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 2),
+        ).to_pandas()
+        assert out["decoded_ok"].all()
+        assert (out["width"] == 640).all() and (out["height"] == 480).all()
+        assert (out["body_bytes"] > 0).all()
+
     def test_multimodal_frame_sample(self, sf_small, ray_session):
         """Every-4th-frame row explosion: kept frames are multiples of
         4, fixed frame size, per-doc counts match ceil(n_frames/4)."""
@@ -456,3 +491,48 @@ class TestRowsOnlyPipelines:
         a = doc_fingerprints(sf_small).to_pandas()
         b = doc_fingerprints(sf_small).to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestIoRoundtrips:
+    def test_csv_roundtrip_adversarial_lossless(self, ray_session, tmp_path):
+        """Embedded newlines, NULL vs empty string, quotes, tabs — the
+        CSV pair must recover all of them exactly (newlines_in_values
+        on read; Arrow writes NULL unquoted-empty and '' quoted, so
+        strings_can_be_null + quoted_strings_can_be_null=False splits
+        them back apart)."""
+        from job_crawler_ray.pipelines.registry import io2_csv_roundtrip
+
+        texts = ["line1\nline2", None, "", 'quote"comma,', "tab\tsep", "normal"]
+        orig = pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": ["en", None, "de", "fr", "en", ""],
+                "source": ["a"] * len(texts),
+            }
+        )
+        orig.to_parquet(tmp_path / "documents.parquet", index=False)
+        got = io2_csv_roundtrip(str(tmp_path)).to_pandas()
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "text", "lang", "source"]],
+            orig,
+            check_dtype=False,
+        )
+
+    def test_io_queries_leave_no_scratch_behind(self, sf_small, ray_session):
+        import glob
+
+        from job_crawler_ray.pipelines.registry import (
+            io1_jsonl_roundtrip,
+            io3_partitioned_read,
+            io4_schema_drift,
+        )
+
+        before = set(glob.glob("/tmp/jcr_jsonl_*") + glob.glob("/tmp/jcr_part_*")
+                     + glob.glob("/tmp/jcr_drift_*"))
+        io1_jsonl_roundtrip(sf_small)
+        io3_partitioned_read(sf_small)
+        io4_schema_drift(sf_small)
+        after = set(glob.glob("/tmp/jcr_jsonl_*") + glob.glob("/tmp/jcr_part_*")
+                    + glob.glob("/tmp/jcr_drift_*"))
+        assert after == before
