@@ -138,6 +138,11 @@ def _warm_workers() -> None:
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     ray.get([_imp.remote() for _ in range(ncpu)])
+    # one throwaway Dataset execution: the first pipeline in a session
+    # additionally pays Ray Data executor/planner init (~1 s)
+    import ray.data as rd
+
+    rd.range(ncpu).map_batches(lambda b: b).materialize()
 
 
 def run_queries() -> dict[str, float]:

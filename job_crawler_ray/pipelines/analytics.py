@@ -43,7 +43,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from job_crawler_ray.corpus import mix64
 from job_crawler_ray.pipelines.relational import _read, _round_floats
@@ -867,6 +867,296 @@ def t_normalize(sf_dir: str) -> pa.Table:
     return ds.map_batches(norm, batch_format="pyarrow").sort("doc_id")
 
 
+# --- A16: exact distributed grouped quantile (histogram selection) ----------
+
+SELECT_BINS = 4096
+SELECT_COLLECT_LIMIT = 2_000_000  # rows a final in-bin collect may pull
+
+
+def grouped_kth_exact(ds, key: str, val: str, q: float = 0.5):
+    """EXACT per-group discrete quantile (``quantile_disc`` semantics:
+    0-based index ceil(q·n)−1 of the sorted group, i.e. the smallest
+    element whose rank fraction reaches q — verified against DuckDB
+    across n/q combinations) WITHOUT sorting the data — distributed
+    histogram selection:
+
+    1. one partial-agg pass → per-group (n, min, max);
+    2. per refinement round, one pass building per-group 4096-bin
+       equi-width histograms (partials combine in a groupby), after
+       which the driver walks the cumulative counts to the bin holding
+       the k-th element — the candidate range shrinks 4096× per round
+       (driver state: #groups × 4096 counts, never values);
+    3. when the target bin holds ≤ SELECT_COLLECT_LIMIT rows (or one
+       distinct value), one filtered collect of JUST that bin picks
+       the element exactly.
+
+    At 100 TB this is 2-3 full passes of narrow columns versus a
+    global sort's all-to-all shuffle; selection state on the driver is
+    KBs. Bin membership is decided by the same float arithmetic on
+    every pass (refinement rounds re-select by parent-bin membership,
+    never by a derived float range), so the filter and the histogram
+    agree through two levels; deeper nesting (needs > bins ×
+    COLLECT_LIMIT ≈ 8G rows in ONE group) could drift one ulp at the
+    grandparent boundary — the identical-value shortcut bounds the
+    recursion in the degenerate-skew case that would get there."""
+    stats = (
+        ds.map_batches(
+            lambda t: strip_meta(
+                pa.Table.from_pandas(
+                    t.to_pandas()
+                    .dropna(subset=[val])
+                    .groupby(key, sort=False)[val]
+                    .agg(n="size", lo="min", hi="max")
+                    .reset_index(),
+                    preserve_index=False,
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(key)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("lo", alias_name="lo"),
+            Max("hi", alias_name="hi"),
+        )
+        .to_pandas()
+    )
+    # selection state per group: remaining k within [lo, hi]
+    state = {
+        r[key]: {
+            "k": max(0, int(np.ceil(q * r["n"])) - 1),
+            "lo": float(r["lo"]),
+            "hi": float(r["hi"]),
+            "n_range": int(r["n"]),
+        }
+        for _, r in stats.iterrows()
+    }
+    result: dict = {}
+    for g, st in list(state.items()):
+        if st["lo"] == st["hi"]:
+            result[g] = st["lo"]
+            del state[g]
+
+    def bin_of(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        w = (hi - lo) / SELECT_BINS
+        return np.clip(((v - lo) / w).astype(np.int64), 0, SELECT_BINS - 1)
+
+    # explicit Arrow key type so empty partial blocks keep the schema
+    # (an empty pandas object column would round-trip as null type)
+    key_pa_type = pa.Schema.from_pandas(stats[[key]]).field(key).type
+
+    while state:
+        live = dict(state)  # bounds snapshot shipped to this pass
+        live_ref = ray.put(live)
+
+        def hist_partial(t: pa.Table) -> pa.Table:
+            bounds = ray.get(live_ref)
+            df = t.to_pandas().dropna(subset=[val])
+            parts = []
+            for g, st in bounds.items():
+                v = df.loc[df[key] == g, val].to_numpy(dtype=np.float64)
+                if "bin" in st:
+                    # refinement round: select by PARENT-bin membership
+                    # (the same float arithmetic that built the parent
+                    # histogram — a derived [lo, hi) range filter could
+                    # drop boundary values by one ulp and break the
+                    # k accounting)
+                    v = v[(v >= st["plo"]) & (v <= st["phi"])]
+                    v = v[bin_of(v, st["plo"], st["phi"]) == st["bin"]]
+                else:
+                    v = v[(v >= st["lo"]) & (v <= st["hi"])]
+                if not len(v):
+                    continue
+                b = bin_of(v, st["lo"], st["hi"])
+                cnt = np.bincount(b, minlength=SELECT_BINS)
+                nz = np.nonzero(cnt)[0]
+                parts.append(
+                    pd.DataFrame({key: g, "bin": nz, "cnt": cnt[nz]})
+                )
+            if not parts:
+                return pa.table(
+                    {key: pa.array([], key_pa_type),
+                     "bin": pa.array([], pa.int64()),
+                     "cnt": pa.array([], pa.int64())}
+                )
+            return strip_meta(
+                pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                     preserve_index=False)
+            )
+
+        hist = (
+            ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby([key, "bin"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        collect = {}
+        for g, st in list(state.items()):
+            h = hist[hist[key] == g].sort_values("bin")
+            cum = h["cnt"].cumsum().to_numpy()
+            i = int(np.searchsorted(cum, st["k"] + 1, side="left"))
+            b = int(h["bin"].iloc[i])
+            before = int(cum[i - 1]) if i else 0
+            in_bin = int(h["cnt"].iloc[i])
+            w = (st["hi"] - st["lo"]) / SELECT_BINS
+            blo = st["lo"] + b * w
+            bhi = st["hi"] if b == SELECT_BINS - 1 else st["lo"] + (b + 1) * w
+            st2 = {"k": st["k"] - before, "lo": blo, "hi": bhi,
+                   "n_range": in_bin, "bin": b,
+                   "plo": st["lo"], "phi": st["hi"]}
+            if in_bin <= SELECT_COLLECT_LIMIT or blo == bhi:
+                collect[g] = st2
+                del state[g]
+            else:
+                state[g] = st2
+
+        if collect:
+            col_ref = ray.put(collect)
+
+            def in_bin_vals(t: pa.Table) -> pa.Table:
+                bounds = ray.get(col_ref)
+                df = t.to_pandas().dropna(subset=[val])
+                parts = []
+                for g, st in bounds.items():
+                    v = df.loc[df[key] == g, val].to_numpy(dtype=np.float64)
+                    v = v[(v >= st["plo"]) & (v <= st["phi"])]
+                    if not len(v):
+                        continue
+                    v = v[bin_of(v, st["plo"], st["phi"]) == st["bin"]]
+                    if len(v):
+                        parts.append(pd.DataFrame({key: g, "v": v}))
+                if not parts:
+                    return pa.table({key: pa.array([], key_pa_type),
+                                     "v": pa.array([], pa.float64())})
+                return strip_meta(
+                    pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                         preserve_index=False)
+                )
+
+            got = ds.map_batches(in_bin_vals, batch_format="pyarrow").to_pandas()
+            for g, st in collect.items():
+                v = np.sort(got.loc[got[key] == g, "v"].to_numpy())
+                result[g] = float(v[st["k"]])
+
+    out = pd.DataFrame(
+        {key: list(result), "median_val": [result[g] for g in result]}
+    ).sort_values(key).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def a16_grouped_median(sf_dir: str) -> pa.Table:
+    """Exact median order price per order priority — the distributed
+    selection operator (no global sort) with a quantile_disc twin."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return grouped_kth_exact(ds, "o_orderpriority", "o_totalprice", q=0.5)
+
+
+# --- A17: CUBE over (event_type, day) ---------------------------------------
+
+
+def a17_cube(sf_dir: str) -> pa.Table:
+    """CUBE(event_type, day): all four grouping sets. Finest level via
+    partial-agg + groupby; the other three derived from the tiny
+    finest frame on the driver — one corpus pass total (a13's rollup
+    plus the day-only grouping)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        g = (
+            df.groupby(["event_type", "day"], sort=False)
+            .agg(cnt=("value", "size"), value_sum=("value", "sum"))
+            .reset_index()
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Sum("cnt", alias_name="cnt"), Sum("value_sum", alias_name="value_sum")
+        )
+        .to_pandas()
+    )
+    by_type = finest.groupby("event_type", as_index=False).agg(
+        cnt=("cnt", "sum"), value_sum=("value_sum", "sum")
+    )
+    by_type["day"] = None
+    by_day = finest.groupby("day", as_index=False).agg(
+        cnt=("cnt", "sum"), value_sum=("value_sum", "sum")
+    )
+    by_day["event_type"] = None
+    grand = pd.DataFrame(
+        {
+            "event_type": [None],
+            "day": [None],
+            "cnt": [finest["cnt"].sum()],
+            "value_sum": [finest["value_sum"].sum()],
+        }
+    )
+    cols = ["event_type", "day", "cnt", "value_sum"]
+    out = pd.concat(
+        [grand[cols], by_type[cols], by_day[cols], finest[cols]],
+        ignore_index=True,
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    out = _round_floats(out, ["value_sum"])
+    out = out.sort_values(
+        ["event_type", "day"], na_position="first"
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- J7: semi-join -----------------------------------------------------------
+
+
+def j7_semi_join(sf_dir: str) -> pa.Table:
+    """Customers WITH at least one high-value order (EXISTS semi-join)
+    — the positive complement of j2/j5, same broadcast-key-set
+    mechanism: build side reduced to distinct keys, probe side
+    filtered map-side, no shuffle."""
+    from job_crawler_ray.pipelines.relational import HIGH_VALUE, _read as _r
+
+    keys = (
+        _r(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": pa.compute.unique(
+                        t.filter(
+                            pa.compute.greater(t["o_totalprice"], HIGH_VALUE)
+                        )["o_custkey"]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .unique("o_custkey")
+    )
+    key_arr = np.sort(np.asarray([k for k in (keys or []) if k is not None],
+                                 dtype=np.int64))
+    ref = ray.put(key_arr)
+
+    def semi(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        c = t["c_custkey"].to_numpy()
+        idx = np.searchsorted(ks, c)
+        present = np.zeros(len(c), dtype=bool)
+        in_r = idx < ks.size
+        present[in_r] = ks[idx[in_r]] == c[in_r]
+        return t.filter(pa.array(present))
+
+    out = (
+        _r(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -876,6 +1166,25 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "a16_grouped_median": """
+            SELECT o_orderpriority,
+                   quantile_disc(o_totalprice, 0.5) AS median_val
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "a17_cube": """
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(value), 6) AS value_sum
+            FROM events
+            GROUP BY CUBE (event_type, day)
+            ORDER BY event_type NULLS FIRST, day NULLS FIRST
+        """,
+        "j7_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+            ORDER BY c_custkey
+        """,
         "j5_bloom_anti_join": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN

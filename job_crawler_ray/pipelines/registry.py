@@ -931,6 +931,12 @@ def build_queries() -> dict:
             "embedding_neardup_approx": embedding_neardup_approx,
             "dedup_minhash": dedup_minhash,
             "dedup_minhash_apply": dedup_minhash_apply,
+            # round-4 additions (registered after the rotation window;
+            # driver-checked next round, oracle-gate-tested now)
+            "w5_lead_lag": W.w5_lead_lag,
+            "a16_grouped_median": A2.a16_grouped_median,
+            "a17_cube": A2.a17_cube,
+            "j7_semi_join": A2.j7_semi_join,
         }
     )
     # Round-4 rotation. The driver's CORRECTNESS record covers only the

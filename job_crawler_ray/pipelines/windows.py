@@ -402,7 +402,132 @@ def w4_running_total(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def w5_lead_lag(sf_dir: str) -> pa.Table:
+    """LAG: seconds since the same user's previous event (any type) —
+    the window-function projection shape (feature: inter-event gap).
+
+    Same two-level hot-key-bounded plan as j4: group by (user, 24 h
+    bucket) and diff in-bucket; the FIRST event of each bucket needs
+    the user's max ts over earlier buckets, which is the per-user
+    prefix-max of one summary row per (user, bucket) — never the
+    user's raw history in one task. Ties broken by event_id, matching
+    the SQL twin's ORDER BY ts, event_id."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    bucket_ns = ASOF_BUCKET_HOURS * 3_600_000_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = t["ts"].cast(pa.int64()).to_numpy() // bucket_ns
+        return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+    _empty = {
+        "user_id": pd.Series([], dtype="int64"),
+        "_bucket": pd.Series([], dtype="int64"),
+        "_kind": pd.Series([], dtype="int64"),  # 0 summary, 1 done, 2 first
+        "event_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[ns]"),
+        "prev_ts": pd.Series([], dtype="datetime64[ns]"),
+    }
+
+    def local_lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        uid = int(g["user_id"].iloc[0])
+        bkt = int(g["_bucket"].iloc[0])
+        prev = g["ts"].shift(1)
+        out = pd.DataFrame(
+            {
+                "user_id": uid,
+                "_bucket": bkt,
+                "_kind": np.where(prev.isna(), 2, 1),
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "ts": g["ts"].to_numpy(),
+                "prev_ts": prev.to_numpy(),
+            }
+        )
+        summary = pd.DataFrame(
+            {
+                "user_id": [uid],
+                "_bucket": [bkt],
+                "_kind": [0],
+                "event_id": [0],
+                "ts": [g["ts"].iloc[-1]],
+                "prev_ts": [pd.NaT],
+            }
+        )
+        return pd.concat([out, summary], ignore_index=True)
+
+    level1 = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "_bucket"])
+        .map_groups(local_lag, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .materialize()
+    )
+    done = level1.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["_kind"], 1)),
+        batch_format="pyarrow",
+    )
+
+    def fill_first(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["_kind"] == 0].sort_values("_bucket")
+        o = g[g["_kind"] == 2]
+        if o.empty:
+            return pd.DataFrame(_empty)
+        prev = np.full(len(o), np.datetime64("NaT", "ns"))
+        if not s.empty:
+            sb = s["_bucket"].to_numpy()
+            runmax = np.maximum.accumulate(pd.to_datetime(s["ts"]).to_numpy())
+            idx = np.searchsorted(sb, o["_bucket"].to_numpy(), side="left") - 1
+            has = idx >= 0
+            prev[has] = runmax[idx[has]]
+        return pd.DataFrame(
+            {
+                "user_id": o["user_id"].astype("int64").to_numpy(),
+                "_bucket": o["_bucket"].astype("int64").to_numpy(),
+                "_kind": np.ones(len(o), dtype=np.int64),
+                "event_id": o["event_id"].astype("int64").to_numpy(),
+                "ts": pd.to_datetime(o["ts"]).to_numpy(),
+                "prev_ts": prev,
+            }
+        )
+
+    filled = (
+        level1.map_batches(
+            lambda t: t.filter(pa.compute.not_equal(t["_kind"], 1)),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .map_groups(fill_first, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+    )
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(df["ts"])
+        prev = pd.to_datetime(df["prev_ts"])
+        gap = (ts - prev).dt.total_seconds().round(6)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "gap_s": gap,
+            }
+        )
+
+    return (
+        done.union(filled)
+        .map_batches(fmt, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
 WINDOW_SQL = {
+    "w5_lead_lag": """
+        SELECT event_id, user_id,
+               round(epoch_us(ts - lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id))
+                   / 1000000.0, 6) AS gap_s
+        FROM events ORDER BY event_id
+    """,
     "w4_running_total": """
         WITH daily AS (
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

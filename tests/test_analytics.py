@@ -248,3 +248,49 @@ class TestRollup:
         grand = out[out["event_type"].isna()]
         finest = out[out["event_type"].notna() & out["day"].notna()]
         assert int(grand["cnt"].iloc[0]) == int(finest["cnt"].sum())
+
+
+class TestGroupedSelection:
+    def test_matches_quantile_disc_other_q(self, sf_mid, ray_session):
+        """q=0.9 per event_type over events.value — pins the
+        floor((n-1)q) index semantics beyond the registry's median."""
+        import duckdb
+
+        from job_crawler_ray.pipelines.relational import _read
+
+        ds = _read(sf_mid, "events", ["event_type", "value"])
+        got = A.grouped_kth_exact(ds, "event_type", "value", q=0.9).to_pandas()
+        want = duckdb.sql(
+            f"""SELECT event_type, quantile_disc(value, 0.9) AS median_val
+                FROM '{sf_mid}/events.parquet'
+                GROUP BY event_type ORDER BY event_type"""
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_forced_refinement_rounds_still_exact(self, sf_mid, ray_session,
+                                                  monkeypatch):
+        """COLLECT_LIMIT=3 forces multi-round histogram refinement (the
+        >8G-rows-per-group shape at test scale); the answer must not
+        move."""
+        from job_crawler_ray.pipelines.relational import _read
+
+        base = A.a16_grouped_median(sf_mid).to_pandas()
+        monkeypatch.setattr(A, "SELECT_COLLECT_LIMIT", 3)
+        forced = A.a16_grouped_median(sf_mid).to_pandas()
+        pd.testing.assert_frame_equal(forced, base)
+
+    def test_single_value_and_tiny_groups(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame(
+            {
+                "g": ["a"] * 5 + ["b"] + ["c"] * 2,
+                "v": [7.0, 7.0, 7.0, 7.0, 7.0, 3.5, 1.0, 2.0],
+            }
+        )
+        ds = rd.from_pandas(df)
+        got = A.grouped_kth_exact(ds, "g", "v", q=0.5).to_pandas()
+        want = pd.DataFrame(
+            {"g": ["a", "b", "c"], "median_val": [7.0, 3.5, 1.0]}
+        )
+        pd.testing.assert_frame_equal(got, want)
