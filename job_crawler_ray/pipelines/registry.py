@@ -276,6 +276,15 @@ def d4_ngram_jaccard(sf_dir: str):
     )
 
 
+def d7_containment(sf_dir: str):
+    """Exact word-bigram CONTAINMENT join (overlap coefficient
+    |A∩B|/min(|A|,|B|)) over documents — the doc-in-doc near-
+    containment detector that Jaccard structurally under-scores."""
+    return T.ngram_containment_pairs(
+        _docs(sf_dir), n=2, threshold=T.NGRAM_CONTAINMENT_THRESHOLD
+    )
+
+
 def t_token_count(sf_dir: str):
     ds = _docs(sf_dir)
     return ds.map_batches(T.token_count_batch, batch_format="pyarrow")
@@ -327,6 +336,13 @@ def t_lm_score(sf_dir: str):
     """Mean unigram log-probability per doc (KenLM-style quality
     signal under the corpus's own unigram LM)."""
     return TP.lm_score(_docs(sf_dir))
+
+
+def t_bm25_topk(sf_dir: str):
+    """Top-k docs by BM25 against a fixed keyword query — corpus
+    statistics from one partial-stats pass (nothing vocabulary-sized
+    shuffles), scoring stateless and vectorized."""
+    return TP.bm25_topk(_docs(sf_dir))
 
 
 def c1_contamination(sf_dir: str):
@@ -720,6 +736,29 @@ def extra_oracle_sql() -> dict[str, str]:
                    - len(list_intersect(a.grams, b.grams))) >= {thr}
             ORDER BY id_a, id_b
         """,
+        "d7_containment": rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1])) AS grams
+              FROM w
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                         least(len(a.grams), len(b.grams)), 6) AS containment
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE least(len(a.grams), len(b.grams)) > 0
+              AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+                  least(len(a.grams), len(b.grams))
+                  >= {T.NGRAM_CONTAINMENT_THRESHOLD}
+            ORDER BY id_a, id_b
+        """,
         "ann_cosine_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(
@@ -937,6 +976,8 @@ def build_queries() -> dict:
             "a16_grouped_median": A2.a16_grouped_median,
             "a17_cube": A2.a17_cube,
             "j7_semi_join": A2.j7_semi_join,
+            "d7_containment": d7_containment,
+            "t_bm25_topk": t_bm25_topk,
         }
     )
     # Round-4 rotation. The driver's CORRECTNESS record covers only the

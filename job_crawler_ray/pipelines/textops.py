@@ -275,16 +275,20 @@ VERIFY_TEXT_DRIVER_LIMIT = 200_000
 class _PairTextVerifier:
     """Actor-pool verify stage: resolves each pair's two texts from the
     bucket-fragment store (per-actor LRU over fragments), then computes
-    EXACT shingle-set Jaccard for the whole batch in one vectorized
-    sort pass (no per-pair Python set ops)."""
+    EXACT shingle-set similarity for the whole batch — ``metric``
+    selects Jaccard (|A∩B|/|A∪B|, the default) or the overlap /
+    containment coefficient (|A∩B|/min(|A|,|B|))."""
 
     def __init__(self, frag_dir: str, id_col: str, text_col: str,
-                 gram: str = "char", threshold: float = JACCARD_THRESHOLD):
+                 gram: str = "char", threshold: float = JACCARD_THRESHOLD,
+                 metric: str = "jaccard"):
         self.frag_dir = frag_dir
         self.id_col = id_col
         self.text_col = text_col
         self.gram = gram  # "char" (k-byte shingles) or "word<n>"
         self.threshold = threshold
+        self.metric = metric  # "jaccard" | "containment"
+        self.out_col = "jaccard" if metric == "jaccard" else "containment"
         self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.sh_cache: dict[int, np.ndarray] = {}
 
@@ -365,11 +369,12 @@ class _PairTextVerifier:
         if npair == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
-                             "jaccard": pa.array([], pa.float64())})
+                             self.out_col: pa.array([], pa.float64())})
         ids_a = b["id_a"].to_numpy()
         ids_b = b["id_b"].to_numpy()
         uids = np.unique(np.concatenate([ids_a, ids_b]))
         sh = self._shingles_of(uids)
+        contain = self.metric == "containment"
         jac = np.empty(npair, dtype=np.float64)
         for p in range(npair):  # per-PAIR C merges on small sorted sets
             a = sh[int(ids_a[p])]
@@ -378,14 +383,17 @@ class _PairTextVerifier:
                 jac[p] = 1.0
                 continue
             inter = np.intersect1d(a, bb, assume_unique=True).size
-            union = a.size + bb.size - inter
-            jac[p] = inter / union if union else 0.0
+            if contain:
+                denom = min(a.size, bb.size)
+            else:
+                denom = a.size + bb.size - inter
+            jac[p] = inter / denom if denom else 0.0
         keep = jac >= self.threshold
         return pa.table(
             {
                 "id_a": pa.array(ids_a[keep], type=pa.int64()),
                 "id_b": pa.array(ids_b[keep], type=pa.int64()),
-                "jaccard": pa.array(np.round(jac[keep], 6)),
+                self.out_col: pa.array(np.round(jac[keep], 6)),
             }
         )
 
@@ -878,7 +886,8 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 def _fragment_store_verify(survivors, cand_texts, n_surv: int, id_col: str,
                            text_col: str, gram: str = "char",
-                           threshold: float = JACCARD_THRESHOLD):
+                           threshold: float = JACCARD_THRESHOLD,
+                           metric: str = "jaccard"):
     """Stage 5: exact verify with texts via the bucket-fragment store.
 
     The candidate texts are spilled once to TEXT_FRAGS hash-bucketed
@@ -911,7 +920,7 @@ def _fragment_store_verify(survivors, cand_texts, n_surv: int, id_col: str,
         _PairTextVerifier,
         fn_constructor_kwargs=dict(frag_dir=frag_dir, id_col=id_col,
                                    text_col=text_col, gram=gram,
-                                   threshold=threshold),
+                                   threshold=threshold, metric=metric),
         batch_format="pyarrow",
         concurrency=(1, 8),
         max_restarts=0,  # constructor args live in the object store;
@@ -1915,15 +1924,22 @@ class _PrefixExploder:
     join tier: per batch of texts, computes word-gram hashes, resolves
     each gram's document frequency from a gram-bucketed df fragment
     store (per-actor LRU; lookup miss ⇒ df = 1), and emits only the
-    rows in each doc's PPJoin prefix whose gram is shared (df > 1)."""
+    rows in each doc's PPJoin prefix whose gram is shared (df > 1).
+
+    With ``all_shared=True`` (the containment-join tier) it instead
+    emits EVERY shared row plus a boolean ``pref`` column marking the
+    prefix rows — containment candidates pair a prefix row with any
+    shared row of the same gram, so the non-prefix side must survive
+    the explode."""
 
     def __init__(self, frag_dir: str, id_col: str, text_col: str, n: int,
-                 threshold: float):
+                 threshold: float, all_shared: bool = False):
         self.frag_dir = frag_dir
         self.id_col = id_col
         self.text_col = text_col
         self.n = n
         self.threshold = threshold
+        self.all_shared = all_shared
         self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def _load(self, bucket: int) -> tuple[np.ndarray, np.ndarray]:
@@ -1973,6 +1989,13 @@ class _PrefixExploder:
             df_of[sel] = dfs
             hit_any[sel] = hits
         pm = _ppjoin_prefix_mask(rids, hi, df_of, self.threshold)
+        if self.all_shared:
+            keep = hit_any
+            return pa.table(
+                {self.id_col: pa.array(rids[keep]),
+                 "gram": pa.array(hi[keep]),
+                 "pref": pa.array(pm[keep] & hit_any[keep])}
+            )
         keep = pm & hit_any
         return pa.table(
             {self.id_col: pa.array(rids[keep]), "gram": pa.array(hi[keep])}
@@ -2100,9 +2123,6 @@ def ngram_jaccard_pairs(ds, n: int = 2,
     else:
         # df via distributed groupby → gram-bucketed df fragment store;
         # prefix-explosion actors resolve df per bucket (LRU)
-        import shutil as _shutil
-        import tempfile as _tempfile
-
         from ray.data.aggregate import Count as _Count
 
         counts = exploded.groupby("gram").aggregate(_Count(alias_name="_c"))
@@ -2110,7 +2130,7 @@ def ngram_jaccard_pairs(ds, n: int = 2,
             lambda t: t.filter(pc.greater(t["_c"], 1)),
             batch_format="pyarrow",
         )
-        df_dir = _scratch_dir("jcr_ngram_df_")
+        df_dir = scratch_dir("jcr_ngram_df_")
 
         def add_gbucket(t: pa.Table) -> pa.Table:
             gb = (
@@ -2223,6 +2243,254 @@ def ngram_jaccard_pairs(ds, n: int = 2,
     return _fragment_store_verify(
         survivors, cand_texts, n_surv, id_col, text_col,
         gram=f"word{n}", threshold=threshold,
+    )
+
+
+NGRAM_CONTAINMENT_THRESHOLD = 0.6
+
+_EMPTY_CONTAIN_PAIRS = pa.table(
+    {
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "containment": pa.array([], pa.float64()),
+    }
+)
+
+
+def _gram_pairs_prefix_any(ids_flat: np.ndarray, gh_flat: np.ndarray,
+                           pm: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate (a, b) pairs for the CONTAINMENT join from flat
+    (doc, gram) rows: a pair qualifies when it shares a gram that lies
+    in at least ONE side's PPJoin prefix. Each prefix row pairs with
+    every row of its gram group — the non-prefix side is unbounded,
+    which is inherent to the overlap coefficient (a tiny doc's grams
+    may all be hot). Vectorized group-run expansion, deduped."""
+    order = np.argsort(gh_flat, kind="stable")
+    gs, ds_ids, pms = gh_flat[order], ids_flat[order], pm[order]
+    nrow = len(gs)
+    if nrow == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    new = np.empty(nrow, dtype=bool)
+    new[0] = True
+    new[1:] = gs[1:] != gs[:-1]
+    starts = np.nonzero(new)[0]
+    grp = np.cumsum(new) - 1
+    gcnt = np.diff(np.append(starts, nrow))
+    pref_idx = np.nonzero(pms)[0]
+    reps = gcnt[grp[pref_idx]]
+    total = int(reps.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    lefts = np.repeat(pref_idx, reps)
+    within = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+    )
+    rights = np.repeat(starts[grp[pref_idx]], reps) + within
+    ia, ib = ds_ids[lefts], ds_ids[rights]
+    keepm = ia != ib
+    if not keepm.any():
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return _dedup_pair_arrays(
+        np.minimum(ia[keepm], ib[keepm]), np.maximum(ia[keepm], ib[keepm])
+    )
+
+
+def ngram_containment_pairs(ds, n: int = 2,
+                            threshold: float = NGRAM_CONTAINMENT_THRESHOLD,
+                            id_col: str = "doc_id", text_col: str = "text"):
+    """EXACT word-n-gram CONTAINMENT join: all pairs whose overlap
+    coefficient |A∩B| / min(|A|,|B|) ≥ threshold — the doc-in-doc
+    detector Jaccard structurally misses (a short doc fully embedded
+    in a long one has J ≈ |A|/|B| but containment 1.0).
+
+    Recall 1.0: if C(A,B) ≥ t then, WLOG |A| ≤ |B|, the pair shares
+    ≥ ⌈t·|A|⌉ grams, so under the global (df, gram) order some shared
+    gram lies in A's prefix of size |A| − ⌈t·|A|⌉ + 1 (the PPJoin
+    bound applied to the smaller side). Candidates therefore pair each
+    PREFIX row with EVERY shared row of its gram — a superset of the
+    necessary "prefix of the smaller side" rule, since which side is
+    smaller isn't known at explode time.
+
+    Tiers mirror :func:`ngram_jaccard_pairs`: one in-process pass
+    under ``NGRAM_STREAM_DRIVER_LIMIT``; above it df via broadcast or
+    gram-bucketed fragment store, a shared-row explode (prefix flag
+    carried), per-gram-part distributed pair generation, and the
+    fragment-store exact verify in containment mode."""
+    import pyarrow.compute as pc
+
+    def explode(b: pa.Table) -> pa.Table:
+        h, offs = _batch_wordgram_hashes(b[text_col], n)
+        counts = offs[1:] - offs[:-1]
+        ids = np.repeat(b[id_col].to_numpy(), counts)
+        return pa.table(
+            {id_col: pa.array(ids), "gram": pa.array(h.view(np.int64))}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    n_rows = exploded.count()
+    if n_rows == 0:
+        return rd.from_arrow(_EMPTY_CONTAIN_PAIRS)
+
+    if n_rows <= NGRAM_STREAM_DRIVER_LIMIT:
+        id_parts, g_parts = [], []
+        for tb in exploded.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            id_parts.append(tb[id_col].to_numpy())
+            g_parts.append(tb["gram"].to_numpy())
+        ids_flat = np.concatenate(id_parts)
+        gh_flat = np.concatenate(g_parts)
+        uniq_g, df = np.unique(gh_flat, return_counts=True)
+        df_of = df[np.searchsorted(uniq_g, gh_flat)]
+        pm = _ppjoin_prefix_mask(ids_flat, gh_flat, df_of, threshold)
+        pm &= df_of > 1  # unshared prefix grams can't generate a pair
+        ids_a, ids_b = _gram_pairs_prefix_any(ids_flat, gh_flat, pm)
+        if ids_a.size == 0:
+            return rd.from_arrow(_EMPTY_CONTAIN_PAIRS)
+        # exact overlap coefficient from the SAME exploded rows
+        # (already distinct + sorted per doc)
+        o2 = np.lexsort((gh_flat, ids_flat))
+        sid, sgr = ids_flat[o2], gh_flat[o2]
+        udocs, ustarts = np.unique(sid, return_index=True)
+        uoffs = np.append(ustarts, len(sid))
+        pa_i = np.searchsorted(udocs, ids_a)
+        pb_i = np.searchsorted(udocs, ids_b)
+        ovl = np.empty(len(ids_a), dtype=np.float64)
+        for p in range(len(ids_a)):
+            i, j = pa_i[p], pb_i[p]
+            a = sgr[uoffs[i]:uoffs[i + 1]]
+            bb = sgr[uoffs[j]:uoffs[j + 1]]
+            inter = np.intersect1d(a, bb, assume_unique=True).size
+            denom = min(a.size, bb.size)
+            ovl[p] = inter / denom if denom else 0.0
+        keep = ovl >= threshold
+        ids_a, ids_b, ovl = ids_a[keep], ids_b[keep], ovl[keep]
+        out_order = np.lexsort((ids_b, ids_a))
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(ids_a[out_order], type=pa.int64()),
+                    "id_b": pa.array(ids_b[out_order], type=pa.int64()),
+                    "containment": pa.array(np.round(ovl[out_order], 6)),
+                }
+            )
+        )
+
+    # distributed tier: df first, then a SHARED-row explode carrying
+    # the prefix flag (the non-prefix side of a containment candidate
+    # must survive), per-gram-part pair generation, fragment verify.
+    df_dir_cleanup = None
+    if n_rows <= HOT_HASH_DRIVER_LIMIT:
+        parts = [
+            b["gram"].to_numpy()
+            for b in exploded.select_columns(["gram"]).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20
+            )
+        ]
+        allh = np.concatenate(parts)
+        uniq, cnt = np.unique(allh, return_counts=True)
+        shared = cnt > 1
+        df_ref = ray.put((uniq[shared], cnt[shared]))
+
+        def shared_explode(b: pa.Table) -> pa.Table:
+            h, offs = _batch_wordgram_hashes(b[text_col], n)
+            counts_ = offs[1:] - offs[:-1]
+            rids = np.repeat(b[id_col].to_numpy(), counts_)
+            hi = h.view(np.int64)
+            ug, uc = ray.get(df_ref)
+            df_of = np.ones(len(hi), dtype=np.int64)
+            idx = np.searchsorted(ug, hi)
+            in_r = idx < ug.size
+            hit = np.zeros(len(hi), dtype=bool)
+            hit[in_r] = ug[idx[in_r]] == hi[in_r]
+            df_of[hit] = uc[idx[hit]]
+            pm = _ppjoin_prefix_mask(rids, hi, df_of, threshold)
+            return pa.table(
+                {id_col: pa.array(rids[hit]), "gram": pa.array(hi[hit]),
+                 "pref": pa.array(pm[hit])}
+            )
+
+        shared_rows = ds.map_batches(shared_explode, batch_format="pyarrow")
+    else:
+        from ray.data.aggregate import Count as _Count
+
+        counts = exploded.groupby("gram").aggregate(_Count(alias_name="_c"))
+        hot_ds = counts.map_batches(
+            lambda t: t.filter(pc.greater(t["_c"], 1)),
+            batch_format="pyarrow",
+        )
+        df_dir = scratch_dir("jcr_contain_df_")
+
+        def add_gbucket(t: pa.Table) -> pa.Table:
+            gb = (
+                mix64(t["gram"].to_numpy().view(_u64), 707) % _u64(SIM_FRAGS)
+            ).astype(np.int64)
+            return t.append_column("gbucket", pa.array(gb))
+
+        hot_ds.map_batches(add_gbucket, batch_format="pyarrow").write_parquet(
+            df_dir, partition_cols=["gbucket"]
+        )
+        df_dir_cleanup = df_dir
+        shared_rows = ds.map_batches(
+            _PrefixExploder,
+            fn_constructor_kwargs=dict(
+                frag_dir=df_dir, id_col=id_col, text_col=text_col, n=n,
+                threshold=threshold, all_shared=True,
+            ),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            max_restarts=0,
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = (b["gram"].to_numpy() & (PAIR_GEN_PARTS - 1)).astype(np.int64)
+        return b.append_column("part", pa.array(part))
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ia, ib = _gram_pairs_prefix_any(
+            df[id_col].to_numpy(), df["gram"].to_numpy(),
+            df["pref"].to_numpy().astype(bool),
+        )
+        return pd.DataFrame({"id_a": ia, "id_b": ib}).astype(
+            {"id_a": "int64", "id_b": "int64"}
+        )
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy().view(_u64)
+        b = t["id_b"].to_numpy().view(_u64)
+        pp = ((mix64(a, 101) ^ mix64(b, 202)) & _u64(PAIR_GEN_PARTS - 1)).astype(
+            np.int64
+        )
+        return t.append_column("pair_part", pa.array(pp))
+
+    shared_rows = shared_rows.materialize()
+    if df_dir_cleanup:
+        import shutil as _sh
+
+        _sh.rmtree(df_dir_cleanup, ignore_errors=True)
+    if shared_rows.count() == 0:
+        return rd.from_arrow(_EMPTY_CONTAIN_PAIRS)
+    survivors = (
+        shared_rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gen_pairs, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("pair_part")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
+            batch_format="pandas",
+        )
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .materialize()
+    )
+    n_surv = survivors.count()
+    if n_surv == 0:
+        return rd.from_arrow(_EMPTY_CONTAIN_PAIRS)
+    cand_texts = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    )
+    return _fragment_store_verify(
+        survivors, cand_texts, n_surv, id_col, text_col,
+        gram=f"word{n}", threshold=threshold, metric="containment",
     )
 
 

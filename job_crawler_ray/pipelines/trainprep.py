@@ -423,6 +423,84 @@ def lm_score(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 # ---------------------------------------------------------------------------
+# BM25 keyword retrieval (Robertson/Spärck Jones probabilistic
+# relevance framework; idf per Lucene's non-negative variant
+# ln(1 + (N - df + 0.5)/(df + 0.5))). Scale shape: the corpus-level
+# statistics (N, total tokens, per-QUERY-term document frequencies)
+# come from one partial-stats pass — a 1-row table per batch, summed
+# on the driver — so nothing vocabulary-sized ever shuffles; scoring
+# is a second stateless vectorized pass; top-k is sort + limit on the
+# (matching docs only) score table.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "vector", "stream")
+BM25_TOPK = 20
+
+
+def bm25_topk(ds, query=BM25_QUERY, k: int = BM25_TOPK,
+              k1: float = BM25_K1, b: float = BM25_B,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """Top-k documents by BM25 score against a fixed term query.
+
+    Each doc lives wholly in one batch row, so per-batch document
+    frequencies sum to exact global df (same invariant as
+    :func:`_df_partial_batch`). Docs containing none of the query
+    terms score 0 and are absent, as in the SQL twin."""
+    qterms = [str(t) for t in query]
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = _words_flat(batch[text_col])
+        row: dict[str, list[int]] = {
+            "n_docs": [ndocs], "n_tok": [len(doc_of)]
+        }
+        for i, t in enumerate(qterms):
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            row[f"df_{i}"] = [int(np.unique(doc_of[m]).size)]
+        return pa.table(row)
+
+    totals = np.zeros(2 + len(qterms), dtype=np.int64)
+    cols = ["n_docs", "n_tok"] + [f"df_{i}" for i in range(len(qterms))]
+    for tb in ds.map_batches(
+        stats_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        for ci, c in enumerate(cols):
+            totals[ci] += int(np.sum(tb[c].to_numpy()))
+    n_docs, n_tok = int(totals[0]), int(totals[1])
+    dfc = totals[2:].astype(np.float64)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "bm25": pa.array([], pa.float64())})
+    if n_docs == 0 or n_tok == 0:
+        return rd.from_arrow(empty)
+    avgdl = n_tok / n_docs
+    idf = np.log((n_docs - dfc + 0.5) / (dfc + 0.5) + 1.0)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = _words_flat(batch[text_col])
+        ids = batch[id_col].to_numpy()
+        dl = np.bincount(doc_of, minlength=ndocs).astype(np.float64)
+        score = np.zeros(ndocs, dtype=np.float64)
+        anyhit = np.zeros(ndocs, dtype=bool)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        for i, t in enumerate(qterms):
+            if dfc[i] == 0:
+                continue
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_of[m], minlength=ndocs).astype(np.float64)
+            hit = tf > 0
+            score[hit] += idf[i] * tf[hit] * (k1 + 1.0) / (tf[hit] + norm[hit])
+            anyhit |= hit
+        return pa.table({
+            id_col: pa.array(ids[anyhit], type=pa.int64()),
+            "bm25": pa.array(np.round(score[anyhit], 6)),
+        })
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow")
+    return scored.sort(["bm25", id_col], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al., "Data Selection for
 # Language Models via Importance Resampling", NeurIPS 2023 — public
 # method): weight each document by the mean per-token log-ratio
@@ -782,7 +860,31 @@ P2_SEQ_LEN = 128  # packed-sequence length of the p2 composite
 
 
 def trainprep_oracle_sql() -> dict[str, str]:
+    _terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
     return {
+        "t_bm25_topk": rf"""
+            WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+            tok AS (SELECT doc_id, ws[t.i] AS tok
+                    FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) * 1.0 FROM tok)
+                            / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, tok, count(*) AS c FROM tok
+                   WHERE tok IN ({_terms}) GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS dfc FROM tok
+                   WHERE tok IN ({_terms}) GROUP BY tok),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(ln((st.n - df.dfc + 0.5) / (df.dfc + 0.5) + 1) *
+                         (tf.c * ({BM25_K1} + 1.0)) /
+                         (tf.c + {BM25_K1} *
+                          (1 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl))) AS s
+              FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+              CROSS JOIN st GROUP BY tf.doc_id)
+            SELECT doc_id, round(s, 6) AS bm25 FROM scored
+            ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOPK}
+        """,
         "t_repetition": rf"""
             WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
             tok AS (SELECT doc_id, ws[t.i] AS tok

@@ -485,6 +485,45 @@ class TestRowsOnlyPipelines:
         b = dedup_minhash(sf_small).to_pandas().reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
 
+    def test_containment_distributed_tiers_same_pairs(
+        self, sf_small, ray_session, monkeypatch
+    ):
+        """d7's broadcast-df and fragment-store-df distributed tiers
+        must both equal the one-pass driver tier exactly."""
+        from job_crawler_ray.pipelines import textops as T
+        from job_crawler_ray.pipelines.registry import d7_containment
+
+        a = d7_containment(sf_small).to_pandas().reset_index(drop=True)
+        assert len(a) > 0  # the corpus plants near-dup pairs
+        monkeypatch.setattr(T, "NGRAM_STREAM_DRIVER_LIMIT", 0)
+        monkeypatch.setattr(T, "OUT_SORT_DRIVER_LIMIT", 0)
+        b = d7_containment(sf_small).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        monkeypatch.setattr(T, "HOT_HASH_DRIVER_LIMIT", 0)
+        c = d7_containment(sf_small).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, c)
+
+    def test_containment_catches_doc_in_doc(self, sf_small, ray_session):
+        """A short doc verbatim-embedded in a much longer one has low
+        Jaccard but containment 1.0 — d7 must find it, d4 must not."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from job_crawler_ray.pipelines import textops as T
+
+        short = "alpha beta gamma delta epsilon zeta"
+        filler = " ".join(f"w{i} w{i+1}" for i in range(0, 200, 2))
+        long_doc = short + " " + filler
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array([short, long_doc])})
+        )
+        got = T.ngram_containment_pairs(ds, n=2, threshold=0.9).to_pandas()
+        assert [(1, 2)] == list(zip(got["id_a"], got["id_b"]))
+        assert got["containment"].iloc[0] == 1.0
+        jac = T.ngram_jaccard_pairs(ds, n=2, threshold=0.9).to_pandas()
+        assert len(jac) == 0
+
     def test_doc_fingerprints_deterministic(self, sf_small, ray_session):
         from job_crawler_ray.pipelines.registry import doc_fingerprints
 

@@ -107,6 +107,46 @@ class TestVocabAndScoring:
         assert (out["lm_logprob"] < 0).all()
         assert out["lm_logprob"].nunique() > 10
 
+    def test_bm25_brute_force_parity(self, ray_session):
+        """BM25 on a tiny hand-built corpus must equal the direct
+        formula, exclude no-hit docs, and rank higher-tf docs first."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        texts = [
+            "spark spark vector alpha beta",      # tf spark=2, vector=1
+            "spark gamma delta epsilon zeta",     # tf spark=1
+            "alpha beta gamma delta",             # no query term
+            "stream stream stream alpha",         # tf stream=3
+        ]
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "text": pa.array(texts)})
+        ).repartition(3)
+        got = TP.bm25_topk(ds, k=10).to_pandas()
+        assert 2 not in set(got["doc_id"])  # no-hit doc absent
+        n, ntok = 4, sum(len(t.split()) for t in texts)
+        avgdl = ntok / n
+        k1, b = TP.BM25_K1, TP.BM25_B
+
+        def score(tfs: dict, dl: int) -> float:
+            s = 0.0
+            dfm = {"spark": 2, "vector": 1, "stream": 1}
+            for t, tf in tfs.items():
+                idf = np.log((n - dfm[t] + 0.5) / (dfm[t] + 0.5) + 1)
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            return round(s, 6)
+
+        expect = {
+            0: score({"spark": 2, "vector": 1}, 5),
+            1: score({"spark": 1}, 5),
+            3: score({"stream": 3}, 4),
+        }
+        for _, r in got.iterrows():
+            assert r["bm25"] == pytest.approx(expect[r["doc_id"]], abs=1e-6)
+        # output ordered by score desc, doc_id asc
+        assert list(got["bm25"]) == sorted(got["bm25"], reverse=True)
+
     def test_repetition_keep_flag_consistent(self, sf_mid, ray_session):
         got = (
             _docs(sf_mid)
