@@ -43,6 +43,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from job_crawler_ray.corpus import mix64
@@ -786,6 +787,175 @@ def g3_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+# --- G4: triangle counting -------------------------------------------------------
+
+# independent mult set from PageRank's so the two graph queries don't
+# share structure; chosen so the synthetic graph actually has
+# triangles (24 at every tested SF)
+TRIANGLE_EDGE_MULTS = ((3, 1), (5, 2), (17, 5))
+# node-degree broadcast guard: the degree table is node-sized (≪ edge
+# count). Above this, replace the broadcast with a deg⋈edges hash
+# join (two shuffles) — same orientation, no driver table.
+DEG_BROADCAST_LIMIT = 50_000_000
+
+
+def triangle_counts(edges):
+    """Per-node triangle counts over an undirected graph given as a
+    (src, dst) edge dataset, by DEGREE-ORIENTED wedge join (the
+    MapReduce triangle algorithm of Suri & Vassilvitskii, WWW'11):
+
+    1. canonicalize + distinct the edges (pair groupby — the only
+       edge-sized shuffle),
+    2. orient each edge from its lower-(degree, id) endpoint to the
+       higher one, so every node's OUT-degree is O(√m) regardless of
+       hub skew — the bound that makes step 3 safe at scale,
+    3. per-source wedge generation (pairs of out-neighbors; group size
+       is the bounded out-degree, never a hub's full neighborhood),
+    4. hash-join wedges against the oriented edge set — each match is
+       exactly one triangle (a < b < c in orientation order),
+    5. explode the 3 corners and count per node.
+    """
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t["src"].to_numpy(), t["dst"].to_numpy()
+        m = s != d
+        return pa.table({
+            "u": pa.array(np.minimum(s[m], d[m]), pa.int64()),
+            "v": pa.array(np.maximum(s[m], d[m]), pa.int64()),
+        })
+
+    und = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate([t["u"].to_numpy(), t["v"].to_numpy()])
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    deg = (
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+    )
+    deg_nodes, deg_cnt, nrows = [], [], 0
+    for tb in deg.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        deg_nodes.append(tb["node"].to_numpy())
+        deg_cnt.append(tb["deg"].to_numpy())
+        nrows += len(tb)
+        if nrows > DEG_BROADCAST_LIMIT:
+            raise ValueError(
+                f"degree table exceeds DEG_BROADCAST_LIMIT={DEG_BROADCAST_LIMIT}; "
+                "orient via a deg ⋈ edges hash join instead of broadcasting"
+            )
+    if nrows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_triangles": pa.array([], pa.int64())})
+    dn = np.concatenate(deg_nodes)
+    dc = np.concatenate(deg_cnt)
+    order = np.argsort(dn)
+    deg_ref = ray.put((dn[order], dc[order]))
+
+    def orient(t: pa.Table) -> pa.Table:
+        u, v = t["u"].to_numpy(), t["v"].to_numpy()
+        nodes_s, degs_s = ray.get(deg_ref)
+        du = degs_s[np.searchsorted(nodes_s, u)]
+        dv = degs_s[np.searchsorted(nodes_s, v)]
+        # (deg, id) lexicographic orientation: low endpoint → high
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pa.table({
+            "src": pa.array(np.where(u_first, u, v), pa.int64()),
+            "dst": pa.array(np.where(u_first, v, u), pa.int64()),
+        })
+
+    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = np.sort(df["dst"].to_numpy())
+        k = len(outs)
+        if k < 2:
+            return pd.DataFrame({"apex": [], "u": [], "v": []}).astype("int64")
+        iu, iv = np.triu_indices(k, k=1)
+        return pd.DataFrame({
+            "apex": np.repeat(df["src"].iloc[0], len(iu)),
+            "u": outs[iu], "v": outs[iv],
+        }).astype("int64")
+
+    wedge_ds = (
+        oriented.groupby("src")
+        .map_groups(wedges, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .materialize()
+    )
+    if wedge_ds.count() == 0:  # e.g. bipartite graph: no wedges above
+        # any apex — also sidesteps joining an all-empty-block dataset
+        # whose schema Arrow's hash join can't resolve
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_triangles": pa.array([], pa.int64())})
+        )
+    # a wedge (apex; u, v) closes into a triangle iff (u, v) — both
+    # oriented ABOVE the apex — is itself an edge, in either
+    # orientation (deg-orientation of (u, v) is independent of apex)
+    tri = wedge_ds.join(
+        oriented.map_batches(
+            lambda t: pa.table({
+                "eu": pa.array(
+                    np.minimum(t["src"].to_numpy(), t["dst"].to_numpy()),
+                    pa.int64()),
+                "ev": pa.array(
+                    np.maximum(t["src"].to_numpy(), t["dst"].to_numpy()),
+                    pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ),
+        "inner",
+        num_partitions=HASH_JOIN_PARTITIONS,
+        on=("u", "v"),
+        right_on=("eu", "ev"),
+    )
+
+    def corners(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            t["apex"].to_numpy(), t["u"].to_numpy(), t["v"].to_numpy()
+        ])
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+                         "n_triangles": pa.array(cnt.astype(np.int64))})
+
+    return (
+        tri.map_batches(corners, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_triangles", alias_name="n_triangles"))
+    )
+
+
+def g4_triangles(sf_dir: str) -> pa.Table:
+    """Per-node triangle counts over the deterministic synthetic link
+    graph (3 modular out-links per doc — SQL-derivable, so the twin
+    counts the identical triangles)."""
+    nodes = _read(sf_dir, "documents", ["doc_id"])
+    n = nodes.count()
+
+    def gen_edges(t: pa.Table) -> pa.Table:
+        s = t["doc_id"].to_numpy()
+        src = np.concatenate([s] * len(TRIANGLE_EDGE_MULTS))
+        dst = np.concatenate([(s * a + b) % n for a, b in TRIANGLE_EDGE_MULTS])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = nodes.map_batches(gen_edges, batch_format="pyarrow")
+    out = triangle_counts(edges).to_pandas()
+    out["n_triangles"] = out["n_triangles"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 # --- A15: distributed correlation ------------------------------------------------
 
 
@@ -1236,6 +1406,26 @@ def analytics_oracle_sql() -> dict[str, str]:
                           + {PAGERANK_DAMPING} * coalesce(s2.s, 0) AS rank
                    FROM nodes n LEFT JOIN s2 ON n.doc_id = s2.doc_id)
             SELECT doc_id, round(rank, 6) AS rank FROM r2 ORDER BY doc_id
+        """,
+        "g4_triangles": f"""
+            WITH e0 AS (
+                {" UNION ALL ".join(
+                    f"SELECT doc_id AS src, (doc_id * {a} + {b}) % "
+                    f"(SELECT count(*) FROM documents) AS dst FROM documents"
+                    for a, b in TRIANGLE_EDGE_MULTS
+                )}
+            ),
+            und AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+                    FROM e0 WHERE src <> dst GROUP BY 1, 2),
+            tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+                    FROM und ab
+                    JOIN und bc ON bc.u = ab.v
+                    JOIN und ac ON ac.u = ab.u AND ac.v = bc.v),
+            corners AS (SELECT a AS doc_id FROM tri
+                        UNION ALL SELECT b FROM tri
+                        UNION ALL SELECT c FROM tri)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY doc_id ORDER BY doc_id
         """,
         # whitespace class shared with the Python kernel (ASCII_WS_RE):
         # RE2's \s is ASCII-only but excludes \v, Python's is Unicode —

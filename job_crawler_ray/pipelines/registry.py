@@ -58,6 +58,28 @@ def ann_cosine_topk(sf_dir: str) -> pa.Table:
     return T.ann_topk(ds, q, k=10)
 
 
+KNN_QUERY_MOD = 25  # vec_id % MOD == 0 picks the deterministic query set
+KNN_K = 3
+
+
+def j8_knn_join(sf_dir: str) -> pa.Table:
+    """k-NN join: top-KNN_K cosine neighbors for every query vector
+    (the deterministic vec_id % KNN_QUERY_MOD == 0 subset). The query
+    matrix is tiny by construction and broadcast once; the corpus side
+    streams through one matmul + partial-top-k per batch."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    qmask = ids % KNN_QUERY_MOD == 0
+    qtab = emb.filter(pa.array(qmask))
+    qmat = np.asarray(
+        qtab["embedding"].combine_chunks().flatten(), dtype=np.float64
+    ).reshape(int(qmask.sum()), -1)
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return T.knn_join(ds, ids[qmask], qmat, k=KNN_K)
+
+
 def embedding_neardup(sf_dir: str):
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return T.embedding_neardup_pairs(ds, threshold=NEARDUP_THRESHOLD)
@@ -759,6 +781,21 @@ def extra_oracle_sql() -> dict[str, str]:
                   >= {T.NGRAM_CONTAINMENT_THRESHOLD}
             ORDER BY id_a, id_b
         """,
+        "j8_knn_join": f"""
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0),
+            s AS (SELECT q.qid, e.vec_id AS nid,
+                         round(list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+                  FROM embeddings e CROSS JOIN q
+                  WHERE e.vec_id <> q.qid),
+            r AS (SELECT qid, nid, score,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY score DESC, nid ASC) AS rnk
+                  FROM s)
+            SELECT qid, nid, score, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= {KNN_K} ORDER BY qid, rnk
+        """,
         "ann_cosine_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(
@@ -978,6 +1015,8 @@ def build_queries() -> dict:
             "j7_semi_join": A2.j7_semi_join,
             "d7_containment": d7_containment,
             "t_bm25_topk": t_bm25_topk,
+            "g4_triangles": A2.g4_triangles,
+            "j8_knn_join": j8_knn_join,
         }
     )
     # Round-4 rotation. The driver's CORRECTNESS record covers only the

@@ -2817,6 +2817,55 @@ def ann_topk(ds, query_vec: np.ndarray, k: int = 10, id_col: str = "vec_id"):
     return pa.Table.from_pandas(parts, preserve_index=False)
 
 
+def knn_join(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 3,
+             id_col: str = "vec_id"):
+    """k-NN JOIN: for every query vector, the k nearest corpus vectors
+    by cosine (self-matches excluded), with a dense 1..k rank.
+
+    The retrieval-side primitive of cross-corpus dedup and RAG eval:
+    unlike :func:`ann_topk` (one query), the whole QUERY MATRIX is
+    broadcast once (``ray.put``) and every corpus batch does a single
+    (batch × dim) @ (dim × q) matmul, keeps a per-batch per-query
+    partial top-k (ships k·q rows per batch, never the batch), and a
+    driver merge finishes — queries ≪ corpus is the documented
+    assumption (the query matrix must fit in a worker's heap; shard
+    the query set and union above that)."""
+    qn = np.linalg.norm(query_mat, axis=1)
+    qn[qn == 0] = 1.0
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64),
+                   query_mat / qn[:, None]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(ref)
+        m = _load_matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m / norms[:, None]) @ qm.T  # (rows × q)
+        ids = batch[id_col].to_numpy()
+        sims[ids[:, None] == qids[None, :]] = -np.inf  # self-match
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk × q)
+        rows = top.ravel(order="F")
+        qcol = np.repeat(np.arange(len(qids)), kk)
+        s = sims[rows, qcol]
+        keep = np.isfinite(s)
+        return pa.table({
+            "qid": pa.array(qids[qcol[keep]], type=pa.int64()),
+            "nid": pa.array(ids[rows[keep]], type=pa.int64()),
+            "score": pa.array(np.round(s[keep], 6)),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["qid", "score", "nid"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out = parts.groupby("qid", as_index=False).head(k).copy()
+    out["rnk"] = out.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
 EMB_FRAG_ROWS = 65_536  # rows per normalized fragment (dim 64 f64 ⇒ ~32 MB)
 
 

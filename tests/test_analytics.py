@@ -294,3 +294,38 @@ class TestGroupedSelection:
             {"g": ["a", "b", "c"], "median_val": [7.0, 3.5, 1.0]}
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestTriangles:
+    def test_hub_skew_star_plus_path(self, ray_session):
+        """A 200-degree hub star plus a path along the leaves: triangle
+        (0, i, i+1) for each path edge. Degree orientation points every
+        star edge AT the hub, so no wedge group ever holds the hub's
+        neighborhood — correctness under exactly the skew that breaks
+        id-oriented wedge generation. Self-loops and duplicate edges
+        must be dropped by canonicalization."""
+        import ray.data as rd
+
+        n_leaf = 200
+        src = [0] * n_leaf + list(range(1, n_leaf)) + [5, 5, 7]
+        dst = list(range(1, n_leaf + 1)) + list(range(2, n_leaf + 1)) + [0, 5, 7]
+        ds = rd.from_arrow(
+            pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+        ).repartition(8)
+        out = A.triangle_counts(ds).to_pandas().set_index("doc_id")["n_triangles"]
+        assert out[0] == n_leaf - 1          # hub in every triangle
+        assert out[1] == 1 and out[n_leaf] == 1  # path endpoints
+        assert (out.drop([0, 1, n_leaf]) == 2).all()
+        assert out.sum() == 3 * (n_leaf - 1)
+
+    def test_triangle_free_graph_is_empty(self, ray_session):
+        """A bipartite (hence triangle-free) graph yields no rows."""
+        import ray.data as rd
+
+        left = np.arange(50, dtype=np.int64)
+        right = 100 + ((left * 3) % 50)
+        ds = rd.from_arrow(
+            pa.table({"src": pa.array(left), "dst": pa.array(right)})
+        )
+        assert A.triangle_counts(ds).count() == 0

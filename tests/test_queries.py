@@ -524,6 +524,36 @@ class TestRowsOnlyPipelines:
         jac = T.ngram_jaccard_pairs(ds, n=2, threshold=0.9).to_pandas()
         assert len(jac) == 0
 
+    def test_knn_join_brute_force_parity(self, sf_small, ray_session):
+        """knn_join's per-batch partial-top-k + driver merge must equal
+        a single dense brute-force on the whole (tiny) corpus, at any
+        partitioning."""
+        import pyarrow.parquet as pq
+
+        from job_crawler_ray.pipelines.registry import (
+            KNN_K, KNN_QUERY_MOD, j8_knn_join,
+        )
+
+        got = j8_knn_join(sf_small).to_pandas()
+        emb = pq.read_table(f"{sf_small}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        ids = emb["vec_id"].to_numpy()
+        mat = np.asarray(
+            emb["embedding"].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(len(ids), -1)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        for qid in ids[ids % KNN_QUERY_MOD == 0]:
+            qi = int(np.nonzero(ids == qid)[0][0])
+            s = np.round(sims[:, qi], 6)
+            order = sorted(
+                [(float(-s[j]), int(ids[j])) for j in range(len(ids))
+                 if ids[j] != qid]
+            )[:KNN_K]
+            mine = got[got["qid"] == qid].sort_values("rnk")
+            assert list(mine["nid"]) == [n for _, n in order]
+            assert list(mine["score"]) == [-v for v, _ in order]
+
     def test_doc_fingerprints_deterministic(self, sf_small, ray_session):
         from job_crawler_ray.pipelines.registry import doc_fingerprints
 
