@@ -956,6 +956,132 @@ def g4_triangles(sf_dir: str) -> pa.Table:
     )
 
 
+# --- J9: fuzzy record-linkage join -----------------------------------------------
+
+FUZZY_MAX_DIST = 2  # Levenshtein threshold of the name-linkage join
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Exact Levenshtein distance, row-DP with the min-plus prefix
+    scan (`minimum.accumulate(cand - k) + k`) resolving the
+    insertion dependency — numpy kernels only, no per-cell Python."""
+    if a == b:
+        return 0
+    av = np.array([ord(c) for c in a], dtype=np.int64)
+    bv = np.array([ord(c) for c in b], dtype=np.int64)
+    lb = len(bv)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i in range(len(av)):
+        sub = prev[:-1] + (bv != av[i])
+        cand = np.concatenate(
+            ([i + 1], np.minimum(prev[1:] + 1, sub))
+        )
+        prev = np.minimum.accumulate(cand - idx) + idx
+    return int(prev[-1])
+
+
+def fuzzy_link_pairs(ds, col: str, max_dist: int = FUZZY_MAX_DIST):
+    """Fuzzy record linkage: all DISTINCT-value pairs of ``col`` with
+    Levenshtein distance ≤ ``max_dist``, by character-bigram blocking.
+
+    Recall 1.0: each edit destroys at most 2 of a string's distinct
+    bigrams, so strings with > 2·max_dist distinct bigrams must still
+    share one after ≤ max_dist edits — they meet in a bigram block.
+    Strings with ≤ 2·max_dist distinct bigrams (too short to carry a
+    guaranteed survivor) all go to one catch-all block, which is
+    finite by the same length bound.
+
+    Scale shape: the value-DISTINCT step is the only corpus-sized
+    shuffle (and it ships one column); everything after is
+    vocabulary-sized — blocks of (bigram, value) rows, per-block pair
+    generation, then the exact DP verify over candidate pairs only."""
+    distinct = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {col: pc_unique_str(t[col])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(col)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns([col])
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        names, grams = [], []
+        for v in t[col].to_pylist():
+            if v is None:
+                continue
+            gs = {v[i:i + 2] for i in range(len(v) - 1)}
+            keys = (
+                [hash_bigram(g) for g in gs]
+                if len(gs) > 2 * max_dist else [0]  # catch-all block
+            )
+            names.extend([v] * len(keys))
+            grams.extend(keys)
+        return pa.table({"gram": pa.array(grams, pa.int64()),
+                         col: pa.array(names, pa.string())})
+
+    def hash_bigram(g: str) -> int:
+        h = mix64(
+            np.frombuffer(
+                g.encode("utf-8").ljust(8, b"\0"), dtype=np.uint64
+            ),
+            811,
+        )
+        return int(h[0] & np.uint64(0x7FFFFFFFFFFFFFFF)) or 1
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.merge(df, on="gram", suffixes=("_a", "_b"))
+        out = out[out[f"{col}_a"] < out[f"{col}_b"]]
+        return out[[f"{col}_a", f"{col}_b"]].drop_duplicates()
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t[f"{col}_a"].to_pylist()
+        b = t[f"{col}_b"].to_pylist()
+        d = np.array(
+            [_levenshtein(x, y) for x, y in zip(a, b)], dtype=np.int64
+        )
+        keep = d <= max_dist
+        return pa.table({
+            "name_a": pa.array(np.asarray(a, object)[keep], pa.string()),
+            "name_b": pa.array(np.asarray(b, object)[keep], pa.string()),
+            "dist": pa.array(d[keep]),
+        })
+
+    pairs = (
+        distinct.map_batches(explode, batch_format="pyarrow")
+        .groupby("gram")
+        .map_groups(gen_pairs, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .groupby([f"{col}_a", f"{col}_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns([f"{col}_a", f"{col}_b"])
+        .map_batches(verify, batch_format="pyarrow")
+    )
+    return pairs.sort(["name_a", "name_b"])
+
+
+def pc_unique_str(arr) -> pa.Array:
+    import pyarrow.compute as _pc
+
+    u = _pc.unique(arr)
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    return u
+
+
+def j9_fuzzy_link(sf_dir: str) -> pa.Table:
+    """Near-identical part-name pairs (Levenshtein ≤ 2) — the
+    blocking + verify record-linkage pattern over a dirty dimension
+    column."""
+    ds = _read(sf_dir, "part", ["p_name"])
+    out = fuzzy_link_pairs(ds, "p_name").to_pandas()
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
 # --- A15: distributed correlation ------------------------------------------------
 
 
@@ -1406,6 +1532,15 @@ def analytics_oracle_sql() -> dict[str, str]:
                           + {PAGERANK_DAMPING} * coalesce(s2.s, 0) AS rank
                    FROM nodes n LEFT JOIN s2 ON n.doc_id = s2.doc_id)
             SELECT doc_id, round(rank, 6) AS rank FROM r2 ORDER BY doc_id
+        """,
+        "j9_fuzzy_link": f"""
+            WITH n AS (SELECT DISTINCT p_name FROM part
+                       WHERE p_name IS NOT NULL)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM n a JOIN n b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+            ORDER BY name_a, name_b
         """,
         "g4_triangles": f"""
             WITH e0 AS (

@@ -367,6 +367,12 @@ def t_bm25_topk(sf_dir: str):
     return TP.bm25_topk(_docs(sf_dir))
 
 
+def s7_length_batches(sf_dir: str):
+    """Length-sorted batch assembly: per-batch padding-waste stats
+    (the bucketed-batching planning pass)."""
+    return TP.length_batches(_docs(sf_dir))
+
+
 def c1_contamination(sf_dir: str):
     """Benchmark-contamination flags: word-trigram overlap vs the
     doc_id %% 97 == 0 benchmark slice, broadcast semi-join."""
@@ -1017,6 +1023,8 @@ def build_queries() -> dict:
             "t_bm25_topk": t_bm25_topk,
             "g4_triangles": A2.g4_triangles,
             "j8_knn_join": j8_knn_join,
+            "j9_fuzzy_link": A2.j9_fuzzy_link,
+            "s7_length_batches": s7_length_batches,
         }
     )
     # Round-4 rotation. The driver's CORRECTNESS record covers only the

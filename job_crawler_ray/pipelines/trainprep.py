@@ -501,6 +501,99 @@ def bm25_topk(ds, query=BM25_QUERY, k: int = BM25_TOPK,
 
 
 # ---------------------------------------------------------------------------
+# Length-bucketed batch assembly (curriculum / padding-efficiency
+# batching): sort docs by token count, cut the sorted stream into
+# fixed-size batches, report each batch's padding waste — the
+# pre-tokenization planning step that decides whether bucketed
+# batching is worth it for a corpus. Scale shape mirrors
+# pack_sequences' ordered pass: one distributed sort of the 16 B/doc
+# COUNT rows (never texts), then one ordered streaming scan through
+# the driver with O(stream-batch) state; the output is 1/batch_docs
+# of the count rows (spill it chunk-wise to a store if the batch
+# table itself outgrows the driver).
+# ---------------------------------------------------------------------------
+
+S7_BATCH_DOCS = 32
+
+
+def length_batches(ds, batch_docs: int = S7_BATCH_DOCS,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   stream_batch: int = 1 << 20):
+    """Per-batch padding stats under length-sorted batching: docs
+    ordered by (token count, id), cut into batches of ``batch_docs``;
+    each batch pads to its own max, so waste_ppm =
+    (n·max − Σntok)·1e6 // (n·max) — exact integer arithmetic."""
+    def count_batch(b: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = _words_flat(b[text_col])
+        return pa.table({
+            id_col: b[id_col],
+            "ntok": pa.array(
+                np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+            ),
+        })
+
+    counts = ds.map_batches(count_batch, batch_format="pyarrow")
+    out_bid: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
+    out_mx: list[np.ndarray] = []
+    out_sm: list[np.ndarray] = []
+    rank = 0
+    cur = None  # carry state of the batch straddling a stream chunk
+    for tb in counts.sort(["ntok", id_col]).iter_batches(
+        batch_format="pyarrow", batch_size=stream_batch
+    ):
+        nt = tb["ntok"].to_numpy()
+        if len(nt) == 0:
+            continue
+        bids = (rank + np.arange(len(nt), dtype=np.int64)) // batch_docs
+        rank += len(nt)
+        uniq, starts = np.unique(bids, return_index=True)
+        n_of = np.diff(np.append(starts, len(nt)))
+        mx_of = np.maximum.reduceat(nt, starts)
+        sm_of = np.add.reduceat(nt, starts)
+        if cur is not None and uniq[0] == cur[0]:
+            n_of[0] += cur[1]
+            mx_of[0] = max(mx_of[0], cur[2])
+            sm_of[0] += cur[3]
+        elif cur is not None:
+            out_bid.append(np.array([cur[0]]))
+            out_n.append(np.array([cur[1]]))
+            out_mx.append(np.array([cur[2]]))
+            out_sm.append(np.array([cur[3]]))
+        cur = (int(uniq[-1]), int(n_of[-1]), int(mx_of[-1]), int(sm_of[-1]))
+        if len(uniq) > 1:
+            out_bid.append(uniq[:-1])
+            out_n.append(n_of[:-1])
+            out_mx.append(mx_of[:-1])
+            out_sm.append(sm_of[:-1])
+    if cur is not None:
+        out_bid.append(np.array([cur[0]]))
+        out_n.append(np.array([cur[1]]))
+        out_mx.append(np.array([cur[2]]))
+        out_sm.append(np.array([cur[3]]))
+    if not out_bid:
+        return rd.from_arrow(pa.table({
+            "batch_id": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "max_tokens": pa.array([], pa.int64()),
+            "sum_tokens": pa.array([], pa.int64()),
+            "waste_ppm": pa.array([], pa.int64()),
+        }))
+    bid = np.concatenate(out_bid).astype(np.int64)
+    n = np.concatenate(out_n).astype(np.int64)
+    mx = np.concatenate(out_mx).astype(np.int64)
+    sm = np.concatenate(out_sm).astype(np.int64)
+    waste = _ppm(n * mx - sm, n * mx)
+    return rd.from_arrow(pa.table({
+        "batch_id": pa.array(bid),
+        "n_docs": pa.array(n),
+        "max_tokens": pa.array(mx),
+        "sum_tokens": pa.array(sm),
+        "waste_ppm": pa.array(waste),
+    }))
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al., "Data Selection for
 # Language Models via Importance Resampling", NeurIPS 2023 — public
 # method): weight each document by the mean per-token log-ratio
@@ -862,6 +955,24 @@ P2_SEQ_LEN = 128  # packed-sequence length of the p2 composite
 def trainprep_oracle_sql() -> dict[str, str]:
     _terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
     return {
+        "s7_length_batches": rf"""
+            WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+            c AS (SELECT doc_id, len(ws) AS ntok FROM w),
+            r AS (SELECT ntok,
+                         row_number() OVER (ORDER BY ntok, doc_id) - 1 AS rn
+                  FROM c),
+            g AS (SELECT rn // {S7_BATCH_DOCS} AS batch_id,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(max(ntok) AS BIGINT) AS max_tokens,
+                         CAST(sum(ntok) AS BIGINT) AS sum_tokens
+                  FROM r GROUP BY 1)
+            SELECT batch_id, n_docs, max_tokens, sum_tokens,
+                   CASE WHEN n_docs * max_tokens > 0
+                        THEN (n_docs * max_tokens - sum_tokens) * 1000000
+                             // (n_docs * max_tokens)
+                        ELSE 0 END AS waste_ppm
+            FROM g ORDER BY batch_id
+        """,
         "t_bm25_topk": rf"""
             WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
             tok AS (SELECT doc_id, ws[t.i] AS tok

@@ -329,3 +329,27 @@ class TestTriangles:
             pa.table({"src": pa.array(left), "dst": pa.array(right)})
         )
         assert A.triangle_counts(ds).count() == 0
+
+
+class TestFuzzyLink:
+    def test_levenshtein_kernel(self):
+        cases = [("kitten", "sitting", 3), ("abc", "abc", 0),
+                 ("", "abc", 3), ("flaw", "lawn", 2),
+                 ("ab", "cd", 2), ("red bolt", "old bolt", 2)]
+        for a, b, d in cases:
+            assert A._levenshtein(a, b) == d, (a, b)
+            assert A._levenshtein(b, a) == d
+
+    def test_catchall_block_catches_short_no_shared_bigram(self, ray_session):
+        """'ab' vs 'cd' share NO bigram but are within distance 2 —
+        only the catch-all block (≤ 2·max_dist distinct bigrams) can
+        pair them. Long near-pairs must come from bigram blocks."""
+        import ray.data as rd
+
+        vals = ["ab", "cd", "warehouse", "warehoose", "unrelated-long-name"]
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals * 3)})).repartition(4)
+        out = A.fuzzy_link_pairs(ds, "v").to_pandas()
+        got = set(zip(out["name_a"], out["name_b"]))
+        assert ("ab", "cd") in got
+        assert ("warehoose", "warehouse") in got
+        assert not any("unrelated-long-name" in p for pair in got for p in pair)

@@ -190,3 +190,37 @@ class TestContamination:
             }
         )
         assert out.loc[555_001, "n_contaminated"] == n_grams
+
+
+class TestLengthBatches:
+    def test_carry_state_across_stream_chunks(self, sf_small, ray_session):
+        """Tiny stream batches force every batch-of-docs to straddle
+        chunk boundaries — results must be identical to one big chunk,
+        and to a brute-force pandas reference."""
+        out_big = TP.length_batches(_docs(sf_small)).to_pandas()
+        out_tiny = TP.length_batches(
+            _docs(sf_small), stream_batch=7
+        ).to_pandas()
+        pd.testing.assert_frame_equal(out_big, out_tiny)
+
+        docs = _docs(sf_small).to_pandas()
+        ntok = docs["text"].fillna("").str.split().map(len)
+        ref = (
+            pd.DataFrame({"doc_id": docs["doc_id"], "ntok": ntok})
+            .sort_values(["ntok", "doc_id"])
+            .reset_index(drop=True)
+        )
+        ref["batch_id"] = ref.index // TP.S7_BATCH_DOCS
+        g = ref.groupby("batch_id").agg(
+            n_docs=("ntok", "size"), max_tokens=("ntok", "max"),
+            sum_tokens=("ntok", "sum"),
+        ).reset_index()
+        merged = out_big.merge(g, on="batch_id", suffixes=("", "_ref"))
+        assert (merged["n_docs"] == merged["n_docs_ref"]).all()
+        assert (merged["max_tokens"] == merged["max_tokens_ref"]).all()
+        assert (merged["sum_tokens"] == merged["sum_tokens_ref"]).all()
+        waste = (
+            (merged["n_docs"] * merged["max_tokens"] - merged["sum_tokens"])
+            * 1_000_000 // (merged["n_docs"] * merged["max_tokens"])
+        )
+        assert (merged["waste_ppm"] == waste).all()
