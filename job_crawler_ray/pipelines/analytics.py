@@ -797,6 +797,10 @@ TRIANGLE_EDGE_MULTS = ((3, 1), (5, 2), (17, 5))
 # count). Above this, replace the broadcast with a deg⋈edges hash
 # join (two shuffles) — same orientation, no driver table.
 DEG_BROADCAST_LIMIT = 50_000_000
+# distinct (u, v) edge rows processed in one driver pass below this
+# (16 B/row ⇒ ~320 MB at the limit); above it the four-shuffle
+# distributed wedge join runs
+TRI_STREAM_DRIVER_LIMIT = 20_000_000
 
 
 def triangle_counts(edges):
@@ -830,6 +834,62 @@ def triangle_counts(edges):
         .select_columns(["u", "v"])
         .materialize()
     )
+
+    if und.count() <= TRI_STREAM_DRIVER_LIMIT:
+        # driver tier: the distinct edge list fits (16 B/row) — run
+        # orientation + wedge expansion + closure check as one
+        # in-process vectorized pass. The distributed path below costs
+        # four all-to-alls whose FIXED cost (aggregator pools sized to
+        # the cluster) dwarfs small graphs; same algorithm either way.
+        u_parts, v_parts = [], []
+        for tb in und.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            u_parts.append(tb["u"].to_numpy())
+            v_parts.append(tb["v"].to_numpy())
+        u = np.concatenate(u_parts) if u_parts else np.zeros(0, np.int64)
+        v = np.concatenate(v_parts) if v_parts else np.zeros(0, np.int64)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_triangles": pa.array([], pa.int64())})
+        if u.size == 0:
+            return rd.from_arrow(empty)
+        nodes_s, deg_s = np.unique(np.concatenate([u, v]),
+                                   return_counts=True)
+        du = deg_s[np.searchsorted(nodes_s, u)]
+        dv = deg_s[np.searchsorted(nodes_s, v)]
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        order = np.lexsort((dst, src))
+        ss, sd = src[order], dst[order]
+        new = np.empty(len(ss), dtype=bool)
+        new[0] = True
+        new[1:] = ss[1:] != ss[:-1]
+        starts = np.nonzero(new)[0]
+        grp = np.cumsum(new) - 1
+        pos = np.arange(len(ss)) - starts[grp]
+        total = int(pos.sum())
+        if total == 0:
+            return rd.from_arrow(empty)
+        rights = np.repeat(np.arange(len(ss)), pos)
+        within = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(pos)[:-1])), pos
+        )
+        lefts = np.repeat(starts[grp], pos) + within
+        apex = ss[rights]
+        wa = np.minimum(sd[lefts], sd[rights])
+        wb = np.maximum(sd[lefts], sd[rights])
+        ekey = np.sort(mix64(u.view(_u64), 101) ^ mix64(v.view(_u64), 202))
+        wkey = mix64(wa.view(_u64), 101) ^ mix64(wb.view(_u64), 202)
+        idx = np.searchsorted(ekey, wkey)
+        idx_c = np.minimum(idx, ekey.size - 1)
+        closed = ekey[idx_c] == wkey
+        corners = np.concatenate([apex[closed], wa[closed], wb[closed]])
+        if corners.size == 0:
+            return rd.from_arrow(empty)
+        ids, cnt = np.unique(corners, return_counts=True)
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_triangles": pa.array(cnt.astype(np.int64)),
+        }))
 
     def deg_partial(t: pa.Table) -> pa.Table:
         nodes = np.concatenate([t["u"].to_numpy(), t["v"].to_numpy()])

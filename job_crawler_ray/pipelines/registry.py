@@ -1056,12 +1056,15 @@ def build_queries() -> dict:
         "embedding_neardup_approx",
         "dedup_minhash", "dedup_minhash_apply",
         "crawl_pipeline",
-        # 12 representative re-checks (all driver-green in r3)
+        # 10 round-4 additions (never driver-checked; oracle-gate
+        # green in pytest) + 2 re-checks: j1 stays for the
+        # driver-timing-creep evidence VERDICT r3 asked for, a1 as the
+        # cheap classic canary
+        "w5_lead_lag", "a16_grouped_median", "a17_cube",
+        "j7_semi_join", "d7_containment", "t_bm25_topk",
+        "g4_triangles", "j8_knn_join", "j9_fuzzy_link",
+        "s7_length_batches",
         "j1_left_join_summary", "a1_status_breakdown",
-        "a6_api_performance", "m1_extract_features",
-        "m2_full_framework", "d1_dedup_exact_text",
-        "d2_upsert_last_wins", "j4_asof_join", "r1_range_join",
-        "w2_sessionize", "p2_webtext_prep", "ann_cosine_topk",
     ]
     assert all(name in q for name in front), [n for n in front if n not in q]
     return {**{name: q[name] for name in front},

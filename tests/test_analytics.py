@@ -313,11 +313,21 @@ class TestTriangles:
             pa.table({"src": pa.array(src, pa.int64()),
                       "dst": pa.array(dst, pa.int64())})
         ).repartition(8)
-        out = A.triangle_counts(ds).to_pandas().set_index("doc_id")["n_triangles"]
-        assert out[0] == n_leaf - 1          # hub in every triangle
-        assert out[1] == 1 and out[n_leaf] == 1  # path endpoints
-        assert (out.drop([0, 1, n_leaf]) == 2).all()
-        assert out.sum() == 3 * (n_leaf - 1)
+        for force_distributed in (False, True):
+            saved = A.TRI_STREAM_DRIVER_LIMIT
+            if force_distributed:
+                A.TRI_STREAM_DRIVER_LIMIT = 0
+            try:
+                out = (
+                    A.triangle_counts(ds)
+                    .to_pandas().set_index("doc_id")["n_triangles"]
+                )
+            finally:
+                A.TRI_STREAM_DRIVER_LIMIT = saved
+            assert out[0] == n_leaf - 1          # hub in every triangle
+            assert out[1] == 1 and out[n_leaf] == 1  # path endpoints
+            assert (out.drop([0, 1, n_leaf]) == 2).all()
+            assert out.sum() == 3 * (n_leaf - 1)
 
     def test_triangle_free_graph_is_empty(self, ray_session):
         """A bipartite (hence triangle-free) graph yields no rows."""
@@ -329,6 +339,12 @@ class TestTriangles:
             pa.table({"src": pa.array(left), "dst": pa.array(right)})
         )
         assert A.triangle_counts(ds).count() == 0
+        saved = A.TRI_STREAM_DRIVER_LIMIT
+        A.TRI_STREAM_DRIVER_LIMIT = 0
+        try:
+            assert A.triangle_counts(ds).count() == 0
+        finally:
+            A.TRI_STREAM_DRIVER_LIMIT = saved
 
 
 class TestFuzzyLink:
