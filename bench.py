@@ -160,6 +160,8 @@ def run_queries() -> dict[str, float]:
         "dedup_minhash",          # sketch pipeline
         "ann_cosine_topk",        # similarity search
         "p2_webtext_prep",        # full webtext prep composite
+        "d7_containment",         # n-gram containment join (round 4)
+        "j8_knn_join",            # k-NN join (round 4)
     ]
     out = {}
     for name in picks:

@@ -2247,6 +2247,16 @@ def ngram_jaccard_pairs(ds, n: int = 2,
 
 
 NGRAM_CONTAINMENT_THRESHOLD = 0.6
+# dense driver tier: when BOTH the doc count and the distinct-gram
+# vocabulary fit these caps, the corpus is the prefix filter's worst
+# case (tiny vocabulary ⇒ every gram is hot ⇒ prefixes prune nothing
+# and candidates go quadratic), while the doc × gram 0/1 matrix is
+# small — one chunked BLAS matmul yields EXACT intersection counts.
+# Sparse corpora (real text: vocabulary ≫ these caps) take the
+# prefix-filtered path where it actually prunes.
+CONTAIN_DENSE_DOCS_LIMIT = 16_384
+CONTAIN_DENSE_VOCAB_LIMIT = 16_384
+CONTAIN_DENSE_CHUNK = 2_048
 
 _EMPTY_CONTAIN_PAIRS = pa.table(
     {
@@ -2255,6 +2265,44 @@ _EMPTY_CONTAIN_PAIRS = pa.table(
         "containment": pa.array([], pa.float64()),
     }
 )
+
+
+def _containment_dense(ids_flat: np.ndarray, gh_flat: np.ndarray,
+                       uniq_g: np.ndarray, udocs: np.ndarray,
+                       threshold: float):
+    """Dense containment tier: EXACT |A∩B| for every pair from one
+    chunked sgemm over the (docs × distinct grams) 0/1 matrix.
+    Intersection counts are exact in float32 (≤ vocab cap < 2^24);
+    the division runs in float64 to match the SQL twin bit-for-bit."""
+    row_of = np.searchsorted(udocs, ids_flat)
+    col_of = np.searchsorted(uniq_g, gh_flat)
+    n = len(udocs)
+    B = np.zeros((n, len(uniq_g)), dtype=np.float32)
+    B[row_of, col_of] = 1.0
+    sizes = B.sum(axis=1, dtype=np.float64)  # per-doc distinct grams
+    out_a, out_b, out_c = [], [], []
+    for i0 in range(0, n, CONTAIN_DENSE_CHUNK):
+        i1 = min(i0 + CONTAIN_DENSE_CHUNK, n)
+        inter = (B[i0:i1] @ B.T).astype(np.float64)  # (chunk × n)
+        mins = np.minimum(sizes[i0:i1, None], sizes[None, :])
+        ovl = inter / mins
+        ri, ci = np.nonzero(ovl >= threshold)
+        keep = (i0 + ri) < ci  # upper triangle: id_a < id_b, no self
+        ri, ci = ri[keep], ci[keep]
+        out_a.append(udocs[i0 + ri])
+        out_b.append(udocs[ci])
+        out_c.append(ovl[ri, ci])
+    if not out_a or not sum(len(x) for x in out_a):
+        return rd.from_arrow(_EMPTY_CONTAIN_PAIRS)
+    ids_a = np.concatenate(out_a)
+    ids_b = np.concatenate(out_b)
+    ovl = np.concatenate(out_c)
+    order = np.lexsort((ids_b, ids_a))
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array(ids_a[order], type=pa.int64()),
+        "id_b": pa.array(ids_b[order], type=pa.int64()),
+        "containment": pa.array(np.round(ovl[order], 6)),
+    }))
 
 
 def _gram_pairs_prefix_any(ids_flat: np.ndarray, gh_flat: np.ndarray,
@@ -2339,6 +2387,12 @@ def ngram_containment_pairs(ds, n: int = 2,
         ids_flat = np.concatenate(id_parts)
         gh_flat = np.concatenate(g_parts)
         uniq_g, df = np.unique(gh_flat, return_counts=True)
+        udocs_all = np.unique(ids_flat)
+        if (len(udocs_all) <= CONTAIN_DENSE_DOCS_LIMIT
+                and len(uniq_g) <= CONTAIN_DENSE_VOCAB_LIMIT):
+            return _containment_dense(
+                ids_flat, gh_flat, uniq_g, udocs_all, threshold
+            )
         df_of = df[np.searchsorted(uniq_g, gh_flat)]
         pm = _ppjoin_prefix_mask(ids_flat, gh_flat, df_of, threshold)
         pm &= df_of > 1  # unshared prefix grams can't generate a pair

@@ -503,6 +503,20 @@ class TestRowsOnlyPipelines:
         c = d7_containment(sf_small).to_pandas().reset_index(drop=True)
         pd.testing.assert_frame_equal(a, c)
 
+    def test_containment_dense_equals_prefix_tier(
+        self, sf_small, ray_session, monkeypatch
+    ):
+        """The dense-bitset matmul tier (small vocab ⇒ prefix filter's
+        worst case) must produce exactly the prefix-filtered tier's
+        pairs."""
+        from job_crawler_ray.pipelines import textops as T
+        from job_crawler_ray.pipelines.registry import d7_containment
+
+        dense = d7_containment(sf_small).to_pandas().reset_index(drop=True)
+        monkeypatch.setattr(T, "CONTAIN_DENSE_DOCS_LIMIT", 0)
+        prefix = d7_containment(sf_small).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(dense, prefix)
+
     def test_containment_catches_doc_in_doc(self, sf_small, ray_session):
         """A short doc verbatim-embedded in a much longer one has low
         Jaccard but containment 1.0 — d7 must find it, d4 must not."""
