@@ -1016,6 +1016,34 @@ def g4_triangles(sf_dir: str) -> pa.Table:
     )
 
 
+# --- G5: connected components ----------------------------------------------------
+
+
+def g5_components(sf_dir: str) -> pa.Table:
+    """Per-node connected-component labels (component = min node id)
+    over a deterministic sparse chain graph — doc i links to i+1
+    unless i % 4 == 3 or i % 20 == 10, giving size-1..4 components the
+    recursive-CTE twin can chase exactly. The labels come from the
+    shared CC machinery (vectorized hash-to-min on the driver under
+    PAIR_DRIVER_LIMIT, Kiveris star contraction above it)."""
+    from job_crawler_ray.pipelines.textops import connected_component_labels
+
+    nodes = _read(sf_dir, "documents", ["doc_id"])
+    n = nodes.count()
+
+    def gen_edges(t: pa.Table) -> pa.Table:
+        s = t["doc_id"].to_numpy()
+        m = (s % 4 != 3) & (s % 20 != 10) & (s + 1 < n)
+        return pa.table({"id_a": pa.array(s[m], pa.int64()),
+                         "id_b": pa.array(s[m] + 1, pa.int64())})
+
+    pairs = nodes.map_batches(gen_edges, batch_format="pyarrow")
+    out = connected_component_labels(nodes, pairs).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 # --- J9: fuzzy record-linkage join -----------------------------------------------
 
 FUZZY_MAX_DIST = 2  # Levenshtein threshold of the name-linkage join
@@ -1592,6 +1620,25 @@ def analytics_oracle_sql() -> dict[str, str]:
                           + {PAGERANK_DAMPING} * coalesce(s2.s, 0) AS rank
                    FROM nodes n LEFT JOIN s2 ON n.doc_id = s2.doc_id)
             SELECT doc_id, round(rank, 6) AS rank FROM r2 ORDER BY doc_id
+        """,
+        "g5_components": """
+            WITH RECURSIVE nodes AS (SELECT doc_id FROM documents),
+            e0 AS (SELECT doc_id AS u, doc_id + 1 AS v FROM nodes
+                   WHERE doc_id % 4 <> 3 AND doc_id % 20 <> 10
+                     AND doc_id + 1 < (SELECT count(*) FROM documents)),
+            edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u
+            ),
+            comp AS (SELECT u AS doc_id, least(min(v), u) AS component
+                     FROM reach GROUP BY u)
+            SELECT n.doc_id,
+                   CAST(coalesce(c.component, n.doc_id) AS BIGINT) AS component
+            FROM nodes n LEFT JOIN comp c ON n.doc_id = c.doc_id
+            ORDER BY n.doc_id
         """,
         "j9_fuzzy_link": f"""
             WITH n AS (SELECT DISTINCT p_name FROM part

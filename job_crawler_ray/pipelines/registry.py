@@ -1025,6 +1025,7 @@ def build_queries() -> dict:
             "j8_knn_join": j8_knn_join,
             "j9_fuzzy_link": A2.j9_fuzzy_link,
             "s7_length_batches": s7_length_batches,
+            "g5_components": A2.g5_components,
         }
     )
     # Round-4 rotation. The driver's CORRECTNESS record covers only the

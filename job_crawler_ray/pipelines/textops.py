@@ -2624,16 +2624,16 @@ class _IdSetFilter:
         return b.filter(pa.array(~m))
 
 
-def _star_contract_losers(pairs, id_col: str):
+def _star_contract_forest(pairs, id_col: str):
     """Distributed connected components by alternating large-star /
     small-star contraction (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14): each round re-attaches every
     node's neighbors to the neighborhood minimum via one
     hash-partitioned groupby with a fully vectorized per-partition
     kernel (no per-node Python). Converges in O(log²) rounds to a
-    forest of stars (loser → component-min root); the driver holds only
-    per-round counts/checksums. Returns a Dataset[(drop_id,)] of
-    losers."""
+    forest of stars; the driver holds only per-round counts/checksums.
+    Returns the converged star-edge Dataset[(id_a=component-min root,
+    id_b=loser)]."""
 
     def to_directed(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy()
@@ -2737,10 +2737,178 @@ def _star_contract_losers(pairs, id_col: str):
     else:
         raise RuntimeError("star contraction did not converge in 64 rounds")
 
-    # star state: every edge is (root=min, loser); losers = id_b side
-    return edges.map_batches(
+    return edges
+
+
+def _star_contract_losers(pairs, id_col: str):
+    """Losers view of :func:`_star_contract_forest`: every converged
+    star edge is (root=min, loser) — losers are the id_b side."""
+    return _star_contract_forest(pairs, id_col).map_batches(
         lambda t: pa.table({"drop_id": t["id_b"]}), batch_format="pyarrow"
     )
+
+
+class _RootAttacher:
+    """Actor-pool component-label attach against an id-bucketed
+    (loser → root) parquet store (per-actor LRU over buckets) — the
+    above-broadcast-cap path of :func:`connected_component_labels`."""
+
+    def __init__(self, frag_dir: str, id_col: str):
+        self.frag_dir = frag_dir
+        self.id_col = id_col
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _load(self, bucket: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self.cache.get(bucket)
+        if hit is None:
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            if len(self.cache) >= SIM_FRAGS:
+                self.cache.pop(next(iter(self.cache)))
+            files = glob.glob(
+                os.path.join(self.frag_dir, f"dbucket={bucket}", "*.parquet")
+            )
+            parts = [pq.read_table(f, columns=["id_b", "id_a"]) for f in files]
+            if parts:
+                t = pa.concat_tables(parts)
+                lo = t["id_b"].to_numpy()
+                ro = t["id_a"].to_numpy()
+                order = np.argsort(lo)
+                hit = (lo[order], ro[order])
+            else:
+                hit = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            self.cache[bucket] = hit
+        return hit
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b[self.id_col].to_numpy()
+        comp = ids.copy()
+        if len(ids):
+            buckets = (
+                mix64(ids.view(_u64), 505) % _u64(SIM_FRAGS)
+            ).astype(np.int64)
+            for bk in np.unique(buckets):
+                lo, ro = self._load(int(bk))
+                if lo.size == 0:
+                    continue
+                sel = buckets == bk
+                idx = np.searchsorted(lo, ids[sel])
+                in_r = idx < lo.size
+                hits = np.zeros(int(sel.sum()), dtype=bool)
+                hits[in_r] = lo[idx[in_r]] == ids[sel][in_r]
+                sub = comp[sel]
+                sub[hits] = ro[idx[hits]]
+                comp[sel] = sub
+        return pa.table({self.id_col: pa.array(ids, pa.int64()),
+                         "component": pa.array(comp, pa.int64())})
+
+
+def connected_component_labels(nodes, pairs, id_col: str = "doc_id"):
+    """Full per-node component labels (component = min node id, the
+    root every tier in this file already converges to): Dataset
+    [(id_col, component)] covering EVERY node — edge-touched nodes get
+    their component min, untouched nodes label themselves.
+
+    Tiers: pairs ≤ ``PAIR_DRIVER_LIMIT`` run the vectorized
+    hash-to-min kernel on the driver and broadcast the (node → root)
+    table (edge-touched nodes only — ≤ 2·pairs entries, not corpus-
+    sized); above it the star-contraction forest joins the node list
+    (left outer, ``coalesce(root, self)``) with no driver state."""
+    n_pairs = pairs.count()
+    if n_pairs <= PAIR_DRIVER_LIMIT:
+        a_parts, b_parts = [], []
+        for tb in pairs.select_columns(["id_a", "id_b"]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        ):
+            a_parts.append(tb["id_a"].to_numpy())
+            b_parts.append(tb["id_b"].to_numpy())
+        if a_parts:
+            ids_a = np.concatenate(a_parts)
+            ids_b = np.concatenate(b_parts)
+            touched = np.unique(np.concatenate([ids_a, ids_b]))
+            lbl = _cc_labels_vectorized(
+                np.searchsorted(touched, ids_a),
+                np.searchsorted(touched, ids_b),
+                len(touched),
+            )
+            ref = ray.put((touched, touched[lbl]))
+        else:
+            ref = ray.put((np.zeros(0, np.int64), np.zeros(0, np.int64)))
+
+        def attach(b: pa.Table) -> pa.Table:
+            tn, tr = ray.get(ref)
+            ids = b[id_col].to_numpy()
+            comp = ids.copy()
+            if tn.size:
+                idx = np.searchsorted(tn, ids)
+                in_r = idx < tn.size
+                hit = np.zeros(len(ids), dtype=bool)
+                hit[in_r] = tn[idx[in_r]] == ids[in_r]
+                comp[hit] = tr[idx[hit]]
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             "component": pa.array(comp, pa.int64())})
+
+        return nodes.map_batches(attach, batch_format="pyarrow").sort(id_col)
+
+    # (loser → root) attach WITHOUT an all-to-all join (Ray 2.49 hash
+    # joins can deadlock under constrained CPU counts — the same
+    # reason _fragment_store_verify exists). The forest is ≤ one row
+    # per edge-touched node: broadcast it sorted under
+    # LOSER_BROADCAST_LIMIT; above that, id-bucketed fragment store +
+    # actor-pool lookup (the _IdSetFilter pattern, with a value).
+    forest = _star_contract_forest(pairs, id_col).materialize()
+    if forest.count() <= LOSER_BROADCAST_LIMIT:
+        l_parts, r_parts = [], []
+        for tb in forest.iter_batches(batch_format="pyarrow",
+                                      batch_size=1 << 20):
+            l_parts.append(tb["id_b"].to_numpy())
+            r_parts.append(tb["id_a"].to_numpy())
+        losers = np.concatenate(l_parts) if l_parts else np.zeros(0, np.int64)
+        roots = np.concatenate(r_parts) if r_parts else np.zeros(0, np.int64)
+        order = np.argsort(losers)
+        ref = ray.put((losers[order], roots[order]))
+
+        def attach_forest(b: pa.Table) -> pa.Table:
+            tn, tr = ray.get(ref)
+            ids = b[id_col].to_numpy()
+            comp = ids.copy()
+            if tn.size:
+                idx = np.searchsorted(tn, ids)
+                in_r = idx < tn.size
+                hit = np.zeros(len(ids), dtype=bool)
+                hit[in_r] = tn[idx[in_r]] == ids[in_r]
+                comp[hit] = tr[idx[hit]]
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             "component": pa.array(comp, pa.int64())})
+
+        return nodes.map_batches(
+            attach_forest, batch_format="pyarrow"
+        ).sort(id_col)
+
+    frag_dir = scratch_dir("jcr_cc_roots_")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bk = (
+            mix64(t["id_b"].to_numpy().view(_u64), 505) % _u64(SIM_FRAGS)
+        ).astype(np.int64)
+        return t.append_column("dbucket", pa.array(bk))
+
+    forest.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        frag_dir, partition_cols=["dbucket"]
+    )
+    out = nodes.map_batches(
+        _RootAttacher,
+        fn_constructor_kwargs=dict(frag_dir=frag_dir, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        max_restarts=0,  # ray#53727: constructor args irrecoverable
+    ).materialize()
+    import shutil as _sh
+    _sh.rmtree(frag_dir, ignore_errors=True)
+    return out.sort(id_col)
 
 
 def neardup_keep_representatives(ds, pairs, id_col: str = "doc_id"):

@@ -369,3 +369,24 @@ class TestFuzzyLink:
         assert ("ab", "cd") in got
         assert ("warehoose", "warehouse") in got
         assert not any("unrelated-long-name" in p for pair in got for p in pair)
+
+
+class TestComponents:
+    def test_g5_tiers_agree(self, sf_small, ray_session):
+        """Driver hash-to-min, distributed star contraction with
+        broadcast attach, and the fragment-store attach must label
+        identically."""
+        from job_crawler_ray.pipelines import textops as T
+
+        base = A.g5_components(sf_small).to_pandas()
+        # sanity: labels are component minima and cover every node
+        assert (base["component"] <= base["doc_id"]).all()
+        assert base["doc_id"].is_unique
+        saved = (T.PAIR_DRIVER_LIMIT, T.LOSER_BROADCAST_LIMIT)
+        try:
+            for pl, ll in ((0, saved[1]), (0, 0)):
+                T.PAIR_DRIVER_LIMIT, T.LOSER_BROADCAST_LIMIT = pl, ll
+                got = A.g5_components(sf_small).to_pandas()
+                pd.testing.assert_frame_equal(base, got)
+        finally:
+            T.PAIR_DRIVER_LIMIT, T.LOSER_BROADCAST_LIMIT = saved
