@@ -1170,6 +1170,60 @@ def j9_fuzzy_link(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+# --- D8: fuzzy canonicalization (linkage apply) -----------------------------------
+
+
+def d8_fuzzy_canonical(sf_dir: str) -> pa.Table:
+    """Apply step of the fuzzy linkage: collapse each connected
+    component of the Levenshtein-pair graph (:func:`fuzzy_link_pairs`)
+    to its alphabetically-least member and rewrite every part row with
+    its canonical name — the standard dirty-dimension cleanup.
+
+    The pair graph and name mapping are vocabulary-sized (distinct
+    names ≪ rows); only the final attach streams the table, via the
+    broadcast (name → canonical) lookup."""
+    from job_crawler_ray.pipelines.textops import _cc_labels_vectorized
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    pairs = fuzzy_link_pairs(ds, "p_name").to_pandas()
+    if len(pairs):
+        # dense int ids in sorted-name order ⇒ component-min id IS the
+        # alphabetically-least name (matches SQL least() semantics)
+        names = np.unique(
+            np.concatenate([pairs["name_a"].to_numpy(),
+                            pairs["name_b"].to_numpy()])
+        )
+        ia = np.searchsorted(names, pairs["name_a"].to_numpy())
+        ib = np.searchsorted(names, pairs["name_b"].to_numpy())
+        lbl = _cc_labels_vectorized(ia, ib, len(names))
+        ref = ray.put((names, names[lbl]))
+    else:
+        z = np.zeros(0, dtype=object)
+        ref = ray.put((z, z))
+
+    def attach(t: pa.Table) -> pa.Table:
+        nm, canon = ray.get(ref)
+        vals = np.asarray(t["p_name"].to_pylist(), dtype=object)
+        out = vals.copy()
+        if nm.size:
+            idx = np.searchsorted(nm, vals)
+            in_r = idx < nm.size
+            hit = np.zeros(len(vals), dtype=bool)
+            hit[in_r] = nm[idx[in_r]] == vals[in_r]
+            out[hit] = canon[idx[hit]]
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "p_name": t["p_name"],
+            "canonical_name": pa.array(out, pa.string()),
+        })
+
+    out = ds.map_batches(attach, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("p_partkey").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 # --- A15: distributed correlation ------------------------------------------------
 
 
@@ -1620,6 +1674,28 @@ def analytics_oracle_sql() -> dict[str, str]:
                           + {PAGERANK_DAMPING} * coalesce(s2.s, 0) AS rank
                    FROM nodes n LEFT JOIN s2 ON n.doc_id = s2.doc_id)
             SELECT doc_id, round(rank, 6) AS rank FROM r2 ORDER BY doc_id
+        """,
+        "d8_fuzzy_canonical": f"""
+            WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part
+                                 WHERE p_name IS NOT NULL),
+            prs AS (SELECT a.p_name AS na, b.p_name AS nb
+                    FROM n a JOIN n b ON a.p_name < b.p_name
+                    WHERE levenshtein(a.p_name, b.p_name)
+                          <= {FUZZY_MAX_DIST}),
+            edges AS (SELECT na AS u, nb AS v FROM prs
+                      UNION ALL SELECT nb, na FROM prs),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u
+            ),
+            comp AS (SELECT u AS name, least(min(v), u) AS canon
+                     FROM reach GROUP BY u)
+            SELECT p.p_partkey, p.p_name,
+                   coalesce(c.canon, p.p_name) AS canonical_name
+            FROM part p LEFT JOIN comp c ON p.p_name = c.name
+            ORDER BY p_partkey
         """,
         "g5_components": """
             WITH RECURSIVE nodes AS (SELECT doc_id FROM documents),

@@ -1026,6 +1026,7 @@ def build_queries() -> dict:
             "j9_fuzzy_link": A2.j9_fuzzy_link,
             "s7_length_batches": s7_length_batches,
             "g5_components": A2.g5_components,
+            "d8_fuzzy_canonical": A2.d8_fuzzy_canonical,
         }
     )
     # Round-4 rotation. The driver's CORRECTNESS record covers only the
