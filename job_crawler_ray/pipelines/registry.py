@@ -1058,15 +1058,16 @@ def build_queries() -> dict:
         "embedding_neardup_approx",
         "dedup_minhash", "dedup_minhash_apply",
         "crawl_pipeline",
-        # 10 round-4 additions (never driver-checked; oracle-gate
-        # green in pytest) + 2 re-checks: j1 stays for the
-        # driver-timing-creep evidence VERDICT r3 asked for, a1 as the
-        # cheap classic canary
+        # 12 round-4 additions (never driver-checked; oracle-gate
+        # green in pytest). g5/d8 take the window's last two slots
+        # over the j1/a1 re-checks: j1's round-3 timing creep was
+        # root-caused off-driver (fresh-session worker-pool spawn —
+        # see BASELINE.md), so first-time correctness evidence wins.
         "w5_lead_lag", "a16_grouped_median", "a17_cube",
         "j7_semi_join", "d7_containment", "t_bm25_topk",
         "g4_triangles", "j8_knn_join", "j9_fuzzy_link",
         "s7_length_batches",
-        "j1_left_join_summary", "a1_status_breakdown",
+        "g5_components", "d8_fuzzy_canonical",
     ]
     assert all(name in q for name in front), [n for n in front if n not in q]
     return {**{name: q[name] for name in front},
