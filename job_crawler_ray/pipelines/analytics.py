@@ -1595,6 +1595,189 @@ def j7_semi_join(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- J10: broadcast interval (point-in-range) join ---------------------------
+
+# Non-overlapping, sorted price bands with a deliberate [920, 930) gap
+# so the LEFT semantics (unmatched probe rows keep a NULL band) are
+# exercised. The dim side of a production interval join (IP→geo,
+# salary bands, time buckets) is exactly this shape: tiny, static,
+# broadcast once.
+PRICE_BANDS = (
+    ("low", 900.0, 920.0),
+    ("mid", 930.0, 960.0),
+    ("high", 960.0, 1000.0),
+)
+
+
+def j10_interval_join(sf_dir: str) -> pa.Table:
+    """LEFT point-in-interval join: part.p_retailprice against a
+    broadcast band table (lo ≤ price < hi). The probe is one
+    ``np.searchsorted`` per batch against the sorted interval starts —
+    O(rows · log bands), no shuffle, dim side shipped once via the
+    task closure (bytes, not a Ray object). Requires non-overlapping
+    intervals (asserted); overlapping dims need the r1 replication
+    plan instead."""
+    names = np.asarray([b[0] for b in PRICE_BANDS], dtype=object)
+    los = np.asarray([b[1] for b in PRICE_BANDS], dtype=np.float64)
+    his = np.asarray([b[2] for b in PRICE_BANDS], dtype=np.float64)
+    assert np.all(los[1:] >= his[:-1]), "intervals must be disjoint+sorted"
+
+    def probe(t: pa.Table) -> pa.Table:
+        p = t["p_retailprice"].to_numpy(zero_copy_only=False)
+        slot = np.searchsorted(los, p, side="right") - 1
+        ok = (slot >= 0) & (p < his[np.clip(slot, 0, len(his) - 1)])
+        band = np.where(ok, names[np.clip(slot, 0, len(names) - 1)], None)
+        return t.append_column("band", pa.array(band, type=pa.string()))
+
+    out = (
+        _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    out = _round_floats(out, ["p_retailprice"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- W6: windowed dedup (first event per user per hour) ----------------------
+
+
+def w6_window_dedup(sf_dir: str) -> pa.Table:
+    """First event per (user_id, tumbling 1 h window) by (ts,
+    event_id). Per-batch partial keeps one candidate row per key
+    (blocks shrink to ≤ distinct keys before the shuffle); the global
+    winner is a plain Min aggregate over a zero-padded sortable
+    ``ts_us:event_id`` string — (min ts, then min event_id) as ONE
+    lexicographic reduction, no map_groups and no whole-group state."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        hour = df["ts"].dt.strftime("%Y-%m-%d %H")
+        ts_us = df["ts"].astype("int64")
+        key = (
+            ts_us.astype(str).str.zfill(20)
+            + ":"
+            + df["event_id"].astype(str).str.zfill(12)
+        )
+        g = pd.DataFrame(
+            {"user_id": df["user_id"], "hour": hour, "best": key}
+        ).groupby(["user_id", "hour"], sort=False, as_index=False).min()
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    win = (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Min("best", alias_name="best"))
+        .to_pandas()
+    )
+    win["first_event_id"] = (
+        win["best"].str.split(":").str[1].astype("int64")
+    )
+    out = (
+        win[["user_id", "hour", "first_event_id"]]
+        .sort_values(["user_id", "hour"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- A18: grouped HLL distinct (bound-checked like a9) ------------------------
+
+
+def a18_grouped_hll(sf_dir: str) -> pa.Table:
+    """Per-lang approximate COUNT(DISTINCT text) via grouped HLL:
+    per-batch one 4 KB register vector PER GROUP (groups-per-batch ×
+    4 KB partials, never the values), merged by a groupby over ≤
+    blocks rows per lang with an elementwise-max kernel. Like a9, the
+    estimate is ORACLE-BOUND-CHECKED: the exact grouped distinct is
+    computed distributedly next to it and the twin pins the within-5%
+    flag TRUE."""
+    import pyarrow.compute as pc
+
+    from job_crawler_ray.hashing import xxh64_array
+    from job_crawler_ray.pipelines import textops as T
+
+    m = 1 << T.HLL_P
+
+    def partial(t: pa.Table) -> pa.Table:
+        df_lang = pc.fill_null(t["lang"], "").to_numpy(zero_copy_only=False)
+        h = xxh64_array(pc.fill_null(t["text"], ""), seed=4242)
+        idx = (h >> _u64(64 - T.HLL_P)).astype(np.int64)
+        w = h << _u64(T.HLL_P)
+        rank = np.where(
+            w == 0, 64 - T.HLL_P + 1, 64 - T._bit_length_u64(w) + 1
+        ).astype(np.uint8)
+        langs, inv = np.unique(df_lang, return_inverse=True)
+        regs = np.zeros((len(langs), m), dtype=np.uint8)
+        np.maximum.at(regs, (inv, idx), rank)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "regs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(regs.reshape(-1)), m
+                ),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        regs = np.stack([np.asarray(r, dtype=np.uint8) for r in group["regs"]])
+        est = T.hll_merge_estimate(regs.max(axis=0))
+        return pd.DataFrame(
+            {"lang": [group["lang"].iloc[0]], "est": [est]}
+        )
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    est_df = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    exact_df = (
+        docs.map_batches(
+            lambda t: strip_meta(
+                pa.table(
+                    {
+                        "lang": pc.fill_null(t["lang"], ""),
+                        # int64 VIEW of the u64 hash: Ray's shuffle
+                        # round-trips blocks through Python ints and
+                        # errors on values above 2^63-1
+                        "h": pa.array(
+                            xxh64_array(
+                                pc.fill_null(t["text"], ""), seed=99
+                            ).view(np.int64)
+                        ),
+                    }
+                ).group_by(["lang", "h"]).aggregate([])
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["lang", "h"])
+        .count()
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .size()
+        .rename(columns={"size": "exact_distinct_texts"})
+    )
+    out = exact_df.merge(est_df, on="lang", how="left")
+    out["within_bound"] = (
+        (out["est"] - out["exact_distinct_texts"]).abs()
+        / out["exact_distinct_texts"].clip(lower=1)
+    ) <= HLL_GROUPED_REL_ERR_BOUND
+    out = (
+        out[["lang", "exact_distinct_texts", "within_bound"]]
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["exact_distinct_texts"] = out["exact_distinct_texts"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+HLL_GROUPED_REL_ERR_BOUND = 0.05  # ~3σ for 2^12 registers
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -1604,6 +1787,39 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "j10_interval_join": f"""
+            WITH bands(band, lo, hi) AS (VALUES {", ".join(
+                f"('{n}', {lo}, {hi})" for n, lo, hi in PRICE_BANDS)})
+            SELECT p.p_partkey, round(p.p_retailprice, 6) AS p_retailprice,
+                   b.band
+            FROM part p LEFT JOIN bands b
+              ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+            ORDER BY p_partkey
+        """,
+        "w6_window_dedup": """
+            SELECT user_id, hour, first_event_id
+            FROM (SELECT user_id,
+                         strftime(ts, '%Y-%m-%d %H') AS hour,
+                         event_id AS first_event_id,
+                         row_number() OVER (
+                             PARTITION BY user_id,
+                                          strftime(ts, '%Y-%m-%d %H')
+                             ORDER BY ts, event_id
+                         ) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id, hour
+        """,
+        # exact side only (the HLL estimate is approximate by design);
+        # the within-bound flag is pinned TRUE like a9. The Ray side
+        # counts distinct xxh64(text) — a 64-bit-collision-free proxy
+        # at any realistic corpus size (documented, like d1's keys)
+        "a18_grouped_hll": """
+            SELECT coalesce(lang, '') AS lang,
+                   CAST(count(DISTINCT coalesce(text, '')) AS BIGINT)
+                       AS exact_distinct_texts,
+                   TRUE AS within_bound
+            FROM documents GROUP BY coalesce(lang, '') ORDER BY lang
+        """,
         "a16_grouped_median": """
             SELECT o_orderpriority,
                    quantile_disc(o_totalprice, 0.5) AS median_val

@@ -401,6 +401,16 @@ def s4_mixture_sample(sf_dir: str):
     return TP.mixture_sample(ds)
 
 
+def s8_train_val_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split assignment
+    (md5-prefix bucketing — pure per-row, leakage-stable as the
+    corpus grows)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).repartition(16)
+    return TP.train_val_test_split(ds)
+
+
 def s5_importance_resample(sf_dir: str):
     """DSIR-style importance resampling (Xie et al. 2023): per-doc
     mean unigram log-ratio vs the lang='en' target slice (add-1
@@ -1027,6 +1037,12 @@ def build_queries() -> dict:
             "s7_length_batches": s7_length_batches,
             "g5_components": A2.g5_components,
             "d8_fuzzy_canonical": A2.d8_fuzzy_canonical,
+            # registered after the round-4 rotation window closed;
+            # pytest-oracle-gated now, driver-checked next round
+            "j10_interval_join": A2.j10_interval_join,
+            "w6_window_dedup": A2.w6_window_dedup,
+            "a18_grouped_hll": A2.a18_grouped_hll,
+            "s8_train_val_split": s8_train_val_split,
         }
     )
     # Round-4 rotation. The driver's CORRECTNESS record covers only the

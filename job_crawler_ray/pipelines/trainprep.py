@@ -936,6 +936,37 @@ def mixture_sample(ds, id_col: str = "doc_id", source_col: str = "source",
     return out.sort(id_col) if sort else out
 
 
+# train/val/test thresholds as fixed-width lowercase hex: string order
+# ≡ integer order, so the Python int compare and the SQL string
+# compare are the same predicate. 0.8 → floor(0.8·2^32) = 0xcccccccc,
+# 0.9 → floor(0.9·2^32) = 0xe6666666.
+SPLIT_TRAIN_HEX = "cccccccc"
+SPLIT_VAL_HEX = "e6666666"
+
+
+def train_val_test_split(ds, id_col: str = "doc_id"):
+    """Deterministic 80/10/10 split assignment: bucket by the first 8
+    hex chars of ``md5(str(id))``. A pure per-row function — the split
+    is identical under re-partitioning, retries, resume, and across
+    engines (the DuckDB twin compares the same hex prefix), and needs
+    no global shuffle or stored assignment table. The classic leakage
+    guard: a doc's split never changes when the corpus grows."""
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        k8 = np.asarray([h[:8] for h in _md5_hex(ids.astype(str))],
+                        dtype=object)
+        split = np.where(
+            k8 < SPLIT_TRAIN_HEX, "train",
+            np.where(k8 < SPLIT_VAL_HEX, "val", "test"),
+        )
+        return pa.table(
+            {id_col: b[id_col], "split": pa.array(split, type=pa.string())}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort(id_col)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins (driver oracle_sql entries) — every fraction is integer
 # ppm and every hash key is md5 hex, so the comparisons are exact
@@ -955,6 +986,15 @@ P2_SEQ_LEN = 128  # packed-sequence length of the p2 composite
 def trainprep_oracle_sql() -> dict[str, str]:
     _terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
     return {
+        "s8_train_val_split": f"""
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '{SPLIT_TRAIN_HEX}' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '{SPLIT_VAL_HEX}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
+        """,
         "s7_length_batches": rf"""
             WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
             c AS (SELECT doc_id, len(ws) AS ntok FROM w),
