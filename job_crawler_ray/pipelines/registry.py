@@ -546,7 +546,33 @@ def io4_schema_drift(sf_dir: str):
     return out
 
 
+def io5_ipc_roundtrip(sf_dir: str):
+    """documents → custom Arrow-IPC Datasink → custom Datasource →
+    projection: the §2.1 EXTENSION point — a from-scratch Ray
+    ``FileBasedDatasource``/``BlockBasedFileDatasink`` pair for the
+    streaming IPC format Ray ships no reader for (stages/ipcio.py).
+    Lossless by construction (Arrow→Arrow, no serialization boundary);
+    the twin reads the original parquet."""
+    from job_crawler_ray.stages.ipcio import read_ipc, write_ipc
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).repartition(4)
+    out_dir = scratch_dir("jcr_ipc_")
+    write_ipc(ds, out_dir)
+    back = read_ipc(out_dir)
+    out = back.select_columns(
+        ["doc_id", "text", "lang", "source"]
+    ).sort("doc_id").materialize()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
 IO_ORACLE_SQL = {
+    "io5_ipc_roundtrip": """
+        SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
+    """,
     "io1_jsonl_roundtrip": """
         SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
     """,
@@ -1039,6 +1065,7 @@ def build_queries() -> dict:
             "d8_fuzzy_canonical": A2.d8_fuzzy_canonical,
             # registered after the round-4 rotation window closed;
             # pytest-oracle-gated now, driver-checked next round
+            "io5_ipc_roundtrip": io5_ipc_roundtrip,
             "j10_interval_join": A2.j10_interval_join,
             "w6_window_dedup": A2.w6_window_dedup,
             "a18_grouped_hll": A2.a18_grouped_hll,
