@@ -686,6 +686,21 @@ PAGERANK_EDGE_MULTS = ((31, 7), (57, 13), (91, 23))
 # cpus // 2; fixed per-partition aggregator cost dominates tiny inputs,
 # so the floor keeps the 500-node test graph from over-partitioning)
 PAGERANK_PARTITIONS = 2
+# edge rows per join partition: partitions scale with DATA first
+# (edges / this), then cap at 4× cluster width — a width-derived
+# fan-out alone made the sf0.01 dry run pay 16 partitions × 4 joins of
+# pure per-partition aggregator setup (29 s for 1,500 edges)
+PAGERANK_ROWS_PER_PARTITION = 2_000_000
+# node count under which the rank vector is broadcast (ray.put of two
+# n-length arrays, ~80 MB at the cap) and each iteration is ONE
+# map_batches over edges + a shrunken dst-groupby — no hash join.
+# Above it, rank state never leaves the object store and each
+# iteration pays the two shuffle joins (the 10^9-node tier).
+PAGERANK_BROADCAST_NODES = 5_000_000
+# edge count under which the whole graph fits the driver and the
+# iteration loop is pure numpy (no per-iteration distributed fixed
+# costs at all — the minhash-style whole-cascade fast path)
+PAGERANK_DRIVER_EDGES = 2_000_000
 
 
 def pagerank(nodes, edges, n: int, out_degree: int, n_iter: int,
@@ -707,9 +722,17 @@ def pagerank(nodes, edges, n: int, out_degree: int, n_iter: int,
     PAGERANK_PARTITIONS when the cluster is tiny)."""
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(PAGERANK_PARTITIONS, cpus // 2)
+        by_data = -(-(n * out_degree) // PAGERANK_ROWS_PER_PARTITION)
+        num_partitions = int(
+            min(max(PAGERANK_PARTITIONS, by_data), max(2, 4 * cpus))
+        )
     nodes = nodes.materialize()  # joined against every iteration
     edges = edges.materialize()  # likewise; never re-derive per round
+    if n * out_degree <= PAGERANK_DRIVER_EDGES:
+        return _pagerank_driver(nodes, edges, n, out_degree, n_iter, damping)
+    if n <= PAGERANK_BROADCAST_NODES:
+        return _pagerank_broadcast(nodes, edges, n, out_degree, n_iter,
+                                   damping)
     ranks = nodes.map_batches(
         lambda t: pa.table(
             {
@@ -758,12 +781,87 @@ def pagerank(nodes, edges, n: int, out_degree: int, n_iter: int,
     return ranks
 
 
+def _pagerank_driver(nodes, edges, n: int, out_degree: int, n_iter: int,
+                     damping: float):
+    """Whole-graph driver tier (edges ≤ PAGERANK_DRIVER_EDGES): one
+    collect of the edge list, then the iteration loop is two numpy
+    gathers per round — zero per-iteration distributed fixed cost.
+    Tier equality with the distributed paths is pinned by test."""
+    node_ids = np.sort(nodes.to_pandas()["doc_id"].to_numpy())
+    edf = edges.to_pandas()
+    src = edf["src"].to_numpy()
+    dst = edf["dst"].to_numpy()
+    spos = np.clip(np.searchsorted(node_ids, src), 0, n - 1)
+    dpos = np.clip(np.searchsorted(node_ids, dst), 0, n - 1)
+    s_ok = node_ids[spos] == src
+    ok = s_ok & (node_ids[dpos] == dst)
+    spos, dpos = spos[ok], dpos[ok]
+    rank_vec = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        s = np.zeros(n)
+        np.add.at(s, dpos, rank_vec[spos] / out_degree)
+        rank_vec = base + damping * s
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(node_ids, pa.int64()),
+                  "rank": pa.array(rank_vec)})
+    )
+
+
+def _pagerank_broadcast(nodes, edges, n: int, out_degree: int, n_iter: int,
+                        damping: float):
+    """Broadcast-rank tier (n ≤ PAGERANK_BROADCAST_NODES): the rank
+    vector is two sorted n-length arrays shipped once per iteration
+    via ``ray.put``; each iteration is one vectorized map_batches over
+    the edge set (searchsorted src → rank, per-batch dst rollup) plus
+    a dst groupby of the SHRUNKEN partials, merged onto the node ids
+    on the driver. No hash join — at tiny and mid scale the join
+    fixed costs dominate the actual compute (sf0.01: 15 s → <2 s).
+    Edges whose src is not a known node contribute nothing (mask, not
+    misindex)."""
+    node_ids = np.sort(nodes.to_pandas()["doc_id"].to_numpy())
+    rank_vec = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        ref = ray.put((node_ids, rank_vec))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            ids, rk = ray.get(ref)
+            src = t["src"].to_numpy()
+            pos = np.clip(np.searchsorted(ids, src), 0, ids.size - 1)
+            ok = ids[pos] == src
+            c = np.where(ok, rk[pos] / out_degree, 0.0)
+            g = (
+                pd.DataFrame({"dst": t["dst"].to_numpy(), "s": c})
+                .groupby("dst", as_index=False)
+                .agg(s=("s", "sum"))
+            )
+            return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+        sums = (
+            edges.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("s", alias_name="s"))
+            .to_pandas()
+        )
+        s = np.zeros(n)
+        dst = sums["dst"].to_numpy()
+        pos = np.clip(np.searchsorted(node_ids, dst), 0, n - 1)
+        ok = node_ids[pos] == dst
+        np.add.at(s, pos[ok], sums["s"].to_numpy()[ok])
+        rank_vec = base + damping * s
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(node_ids, pa.int64()),
+                  "rank": pa.array(rank_vec)})
+    )
+
+
 def g3_pagerank(sf_dir: str) -> pa.Table:
     """2-iteration PageRank over a deterministic synthetic link graph
     (3 modular-arithmetic out-links per doc — derivable identically in
     SQL, so the unrolled-CTE twin hash-checks the whole iteration)."""
-    nodes = _read(sf_dir, "documents", ["doc_id"])
-    n = nodes.count()
+    nodes = _read(sf_dir, "documents", ["doc_id"]).materialize()
+    n = nodes.count()  # free on the materialized node set
 
     def gen_edges(t: pa.Table) -> pa.Table:
         s = t["doc_id"].to_numpy()
@@ -998,8 +1096,8 @@ def g4_triangles(sf_dir: str) -> pa.Table:
     """Per-node triangle counts over the deterministic synthetic link
     graph (3 modular out-links per doc — SQL-derivable, so the twin
     counts the identical triangles)."""
-    nodes = _read(sf_dir, "documents", ["doc_id"])
-    n = nodes.count()
+    nodes = _read(sf_dir, "documents", ["doc_id"]).materialize()
+    n = nodes.count()  # free on the materialized node set
 
     def gen_edges(t: pa.Table) -> pa.Table:
         s = t["doc_id"].to_numpy()
@@ -1028,8 +1126,8 @@ def g5_components(sf_dir: str) -> pa.Table:
     PAIR_DRIVER_LIMIT, Kiveris star contraction above it)."""
     from job_crawler_ray.pipelines.textops import connected_component_labels
 
-    nodes = _read(sf_dir, "documents", ["doc_id"])
-    n = nodes.count()
+    nodes = _read(sf_dir, "documents", ["doc_id"]).materialize()
+    n = nodes.count()  # free on the materialized node set
 
     def gen_edges(t: pa.Table) -> pa.Table:
         s = t["doc_id"].to_numpy()

@@ -206,6 +206,19 @@ class TestEdgeCases:
         # mass stays 1 at every iteration
         assert abs(out["rank"].sum() - 1.0) < 1e-6
 
+    def test_pagerank_tiers_agree(self, ray_session):
+        """Driver-numpy, broadcast-rank, and shuffle-join tiers must
+        produce identical ranks (6-dp, the oracle rounding)."""
+        base = A.g3_pagerank("/root/testdata/sf0.001").to_pandas()
+        saved = (A.PAGERANK_DRIVER_EDGES, A.PAGERANK_BROADCAST_NODES)
+        try:
+            for de, bn in ((0, saved[1]), (0, 0)):
+                A.PAGERANK_DRIVER_EDGES, A.PAGERANK_BROADCAST_NODES = de, bn
+                got = A.g3_pagerank("/root/testdata/sf0.001").to_pandas()
+                pd.testing.assert_frame_equal(base, got)
+        finally:
+            A.PAGERANK_DRIVER_EDGES, A.PAGERANK_BROADCAST_NODES = saved
+
     def test_pagerank_deep_iteration_flat_time(self, ray_session):
         """Per-iteration materialization caps plan depth: at n_iter=8
         every round must cost about the same (a lazily-chained plan
@@ -229,12 +242,19 @@ class TestEdgeCases:
             )
 
         edges = nodes.map_batches(gen_edges, batch_format="pyarrow")
-        t0 = time.time()
-        r4 = A.pagerank(nodes, edges, n, out_degree=3, n_iter=4)
-        mid = time.time()
-        r8 = A.pagerank(nodes, edges, n, out_degree=3, n_iter=8)
-        t8 = time.time() - mid
-        t4 = mid - t0
+        # force the JOIN tier — the lazy-chaining regression this test
+        # pins lives there, not in the driver/broadcast fast paths
+        saved = (A.PAGERANK_DRIVER_EDGES, A.PAGERANK_BROADCAST_NODES)
+        A.PAGERANK_DRIVER_EDGES = A.PAGERANK_BROADCAST_NODES = 0
+        try:
+            t0 = time.time()
+            r4 = A.pagerank(nodes, edges, n, out_degree=3, n_iter=4)
+            mid = time.time()
+            r8 = A.pagerank(nodes, edges, n, out_degree=3, n_iter=8)
+            t8 = time.time() - mid
+            t4 = mid - t0
+        finally:
+            A.PAGERANK_DRIVER_EDGES, A.PAGERANK_BROADCAST_NODES = saved
         assert abs(r8.to_pandas()["rank"].sum() - 1.0) < 1e-6
         assert abs(r4.to_pandas()["rank"].sum() - 1.0) < 1e-6
         # flat per-iteration cost: 8 rounds ≲ 3× the cost of 4 rounds
