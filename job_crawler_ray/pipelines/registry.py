@@ -157,6 +157,29 @@ def ann_ivf(sf_dir: str) -> pa.Table:
     return T.ann_ivf_topk(index_ds, cent, q, k=10, n_probe=6)
 
 
+def g6_kmeans(sf_dir: str) -> pa.Table:
+    """Distributed spherical k-means over the embedding column — the
+    semantic-bucketing primitive (SemDeDup-style curation: cluster,
+    then dedup/sample within buckets). Reuses the IVF Lloyd machinery:
+    deterministic seeding (smallest mix64(id) rows — no RNG state),
+    per-batch assignment + partial centroid sums in map_batches, only
+    cells × dim floats to the driver per round. Rows-only (the
+    32-dim 3-round Lloyd fixpoint has no tractable SQL twin);
+    invariants pinned by test: determinism across partitioning, and
+    every row's cluster is the argmax-cosine centroid."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).repartition(8)
+    index_ds, _cent = T.ann_ivf_index(ds, n_cells=8, n_iters=3)
+    out = (
+        index_ds.select_columns(["vec_id", "ivf_cell"])
+        .rename_columns({"ivf_cell": "cluster"})
+        .sort("vec_id")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 PACK_SEQ_LEN = 128
 PREP_MIN_TOKENS = 30
 PREP_MIN_STOP_RATIO = 0.03
@@ -1070,6 +1093,7 @@ def build_queries() -> dict:
             "w6_window_dedup": A2.w6_window_dedup,
             "a18_grouped_hll": A2.a18_grouped_hll,
             "s8_train_val_split": s8_train_val_split,
+            "g6_kmeans": g6_kmeans,
         }
     )
     # Round-4 rotation. The driver's CORRECTNESS record covers only the

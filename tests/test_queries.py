@@ -619,3 +619,34 @@ class TestIoRoundtrips:
         after = set(glob.glob("/tmp/jcr_jsonl_*") + glob.glob("/tmp/jcr_part_*")
                     + glob.glob("/tmp/jcr_drift_*"))
         assert after == before
+
+
+class TestKmeans:
+    def test_g6_deterministic_and_nearest_centroid(self, sf_small, ray_session):
+        """Clustering must be a pure function of the corpus (no RNG,
+        stable under re-partitioning) and every assignment must be the
+        argmax-cosine centroid of the final round."""
+        import ray
+
+        from job_crawler_ray.pipelines import textops as T
+        from job_crawler_ray.pipelines.registry import g6_kmeans
+        from job_crawler_ray.util import read_parquet_clean
+
+        a = g6_kmeans(sf_small).to_pandas()
+        b = g6_kmeans(sf_small).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        assert a["vec_id"].is_unique
+        assert a["cluster"].between(0, 7).all()
+        assert a["cluster"].nunique() > 1  # non-degenerate
+
+        # partitioning independence + the nearest-centroid fixpoint
+        ds = read_parquet_clean(
+            f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).repartition(3)
+        index_ds, cent = T.ann_ivf_index(ds, n_cells=8, n_iters=3)
+        idx = index_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        assert (idx["ivf_cell"].to_numpy()
+                == a.sort_values("vec_id")["cluster"].to_numpy()).all()
+        m = np.vstack(idx["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+        assert (np.argmax(m @ cent.T, axis=1) == idx["ivf_cell"].to_numpy()).all()
