@@ -2047,6 +2047,12 @@ def ngram_jaccard_pairs(ds, n: int = 2,
         ids_flat = np.concatenate(id_parts)
         gh_flat = np.concatenate(g_parts)
         uniq_g, df = np.unique(gh_flat, return_counts=True)
+        udocs_all = np.unique(ids_flat)
+        if (len(udocs_all) <= CONTAIN_DENSE_DOCS_LIMIT
+                and len(uniq_g) <= CONTAIN_DENSE_VOCAB_LIMIT):
+            return _jaccard_dense(
+                ids_flat, gh_flat, uniq_g, udocs_all, threshold
+            )
         df_of = df[np.searchsorted(uniq_g, gh_flat)]
         pm = _ppjoin_prefix_mask(ids_flat, gh_flat, df_of, threshold)
         ids_a, ids_b = _gram_pairs_from_rows(ids_flat[pm], gh_flat[pm])
@@ -2302,6 +2308,46 @@ def _containment_dense(ids_flat: np.ndarray, gh_flat: np.ndarray,
         "id_a": pa.array(ids_a[order], type=pa.int64()),
         "id_b": pa.array(ids_b[order], type=pa.int64()),
         "containment": pa.array(np.round(ovl[order], 6)),
+    }))
+
+
+def _jaccard_dense(ids_flat: np.ndarray, gh_flat: np.ndarray,
+                   uniq_g: np.ndarray, udocs: np.ndarray,
+                   threshold: float):
+    """Dense Jaccard tier (same worst case as the containment one:
+    tiny vocabulary ⇒ prefixes prune nothing ⇒ candidate quadratic
+    with a per-pair Python intersect loop — 125 s at sf0.1). One
+    chunked sgemm gives EXACT |A∩B| for every pair; J = inter /
+    (|A| + |B| − inter) in float64 to match the SQL twin."""
+    row_of = np.searchsorted(udocs, ids_flat)
+    col_of = np.searchsorted(uniq_g, gh_flat)
+    n = len(udocs)
+    B = np.zeros((n, len(uniq_g)), dtype=np.float32)
+    B[row_of, col_of] = 1.0
+    sizes = B.sum(axis=1, dtype=np.float64)
+    out_a, out_b, out_j = [], [], []
+    for i0 in range(0, n, CONTAIN_DENSE_CHUNK):
+        i1 = min(i0 + CONTAIN_DENSE_CHUNK, n)
+        inter = (B[i0:i1] @ B.T).astype(np.float64)
+        union = sizes[i0:i1, None] + sizes[None, :] - inter
+        jac = np.divide(inter, union, out=np.zeros_like(inter),
+                        where=union > 0)
+        ri, ci = np.nonzero(jac >= threshold)
+        keep = (i0 + ri) < ci  # upper triangle: id_a < id_b, no self
+        ri, ci = ri[keep], ci[keep]
+        out_a.append(udocs[i0 + ri])
+        out_b.append(udocs[ci])
+        out_j.append(jac[ri, ci])
+    if not out_a or not sum(len(x) for x in out_a):
+        return rd.from_arrow(_EMPTY_PAIRS)
+    ids_a = np.concatenate(out_a)
+    ids_b = np.concatenate(out_b)
+    jac = np.concatenate(out_j)
+    order = np.lexsort((ids_b, ids_a))
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array(ids_a[order], type=pa.int64()),
+        "id_b": pa.array(ids_b[order], type=pa.int64()),
+        "jaccard": pa.array(np.round(jac[order], 6)),
     }))
 
 

@@ -517,6 +517,21 @@ class TestRowsOnlyPipelines:
         prefix = d7_containment(sf_small).to_pandas().reset_index(drop=True)
         pd.testing.assert_frame_equal(dense, prefix)
 
+    def test_jaccard_dense_equals_prefix_tier(
+        self, sf_small, ray_session, monkeypatch
+    ):
+        """d4's dense-bitset matmul tier (ported from d7 after the
+        125 s sf0.1 outlier) must produce exactly the prefix-filtered
+        tier's pairs and values."""
+        from job_crawler_ray.pipelines import textops as T
+        from job_crawler_ray.pipelines.registry import d4_ngram_jaccard
+
+        dense = d4_ngram_jaccard(sf_small).to_pandas().reset_index(drop=True)
+        assert len(dense) > 0  # the corpus plants near-dup pairs
+        monkeypatch.setattr(T, "CONTAIN_DENSE_DOCS_LIMIT", 0)
+        prefix = d4_ngram_jaccard(sf_small).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(dense, prefix)
+
     def test_containment_catches_doc_in_doc(self, sf_small, ray_session):
         """A short doc verbatim-embedded in a much longer one has low
         Jaccard but containment 1.0 — d7 must find it, d4 must not."""
