@@ -48,7 +48,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from job_crawler_ray.corpus import mix64
 from job_crawler_ray.pipelines.relational import _read, _round_floats
-from job_crawler_ray.util import scratch_dir, strip_meta
+from job_crawler_ray.util import scratch_dir, strip_meta, time_bucket_strings
 
 _u64 = np.uint64
 
@@ -375,7 +375,7 @@ def a11_pivot(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        df["day"] = time_bucket_strings(df["ts"])
         x = pd.crosstab(df["day"], df["event_type"])
         for ty in PIVOT_TYPES:
             if ty not in x.columns:
@@ -408,7 +408,7 @@ def a13_rollup(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        df["day"] = time_bucket_strings(df["ts"])
         g = (
             df.groupby(["event_type", "day"], sort=False)
             .agg(cnt=("value", "size"), value_sum=("value", "sum"))
@@ -592,7 +592,7 @@ def a14_daily_distinct(sf_dir: str) -> pa.Table:
 
     def pair_distinct(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        df["day"] = time_bucket_strings(df["ts"])
         return strip_meta(
             pa.Table.from_pandas(
                 df[["day", "user_id"]].drop_duplicates(), preserve_index=False
@@ -1599,7 +1599,7 @@ def a17_cube(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        df["day"] = time_bucket_strings(df["ts"])
         g = (
             df.groupby(["event_type", "day"], sort=False)
             .agg(cnt=("value", "size"), value_sum=("value", "sum"))
@@ -1751,13 +1751,12 @@ def w6_window_dedup(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        hour = df["ts"].dt.strftime("%Y-%m-%d %H")
-        ts_us = df["ts"].astype("int64")
-        key = (
-            ts_us.astype(str).str.zfill(20)
-            + ":"
-            + df["event_id"].astype(str).str.zfill(12)
-        )
+        hour = time_bucket_strings(df["ts"], "h")
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        key = np.char.add(
+            np.char.add(np.char.zfill(ts_us.astype("U20"), 20), ":"),
+            np.char.zfill(df["event_id"].to_numpy().astype("U12"), 12),
+        ).astype(object)
         g = pd.DataFrame(
             {"user_id": df["user_id"], "hour": hour, "best": key}
         ).groupby(["user_id", "hour"], sort=False, as_index=False).min()

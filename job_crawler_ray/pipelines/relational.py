@@ -48,6 +48,7 @@ from job_crawler_ray.functions.extract import (
     extract_benefit_classes_batch,
     extract_features_batch,
 )
+from job_crawler_ray.util import time_bucket_strings
 
 NOW = pd.Timestamp("2002-01-01")  # deterministic "now" for M6 (orders end 2001-08)
 EVENTS_WINDOW = "2024-01-20"      # trailing-window cutoff for A2
@@ -235,7 +236,7 @@ def j1_left_join_summary(sf_dir: str):
         out = df.merge(small, left_on="o_custkey", right_on="c_custkey", how="left")
         out["customer_name"] = out["c_name"].fillna("Unknown Customer")
         out["mktsegment"] = out["c_mktsegment"].fillna("UNKNOWN")
-        out["order_date"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+        out["order_date"] = time_bucket_strings(out["o_orderdate"])
         return pa.Table.from_pandas(
             out[["o_orderkey", "customer_name", "mktsegment", "o_totalprice", "order_date"]],
             preserve_index=False,
@@ -284,7 +285,7 @@ def o1_sort_recent(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
     out = ds.sort(["o_orderdate", "o_orderkey"], descending=[True, False]).limit(100)
     df = out.to_pandas()
-    df["order_date"] = df["o_orderdate"].dt.strftime("%Y-%m-%d")
+    df["order_date"] = time_bucket_strings(df["o_orderdate"])
     return pa.Table.from_pandas(
         df[["o_orderkey", "order_date"]], preserve_index=False
     )
@@ -330,8 +331,8 @@ def m6_derived_dates(sf_dir: str):
     def fx(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         d = df["o_orderdate"]
-        df["follow_up_date"] = (d + pd.Timedelta(days=7)).dt.strftime("%Y-%m-%d")
-        df["move_on_date"] = (d + pd.Timedelta(days=30)).dt.strftime("%Y-%m-%d")
+        df["follow_up_date"] = time_bucket_strings(d + pd.Timedelta(days=7))
+        df["move_on_date"] = time_bucket_strings(d + pd.Timedelta(days=30))
         df["days_since"] = (NOW - d).dt.days.astype("int64")
         df["needs_follow_up"] = (df["days_since"] >= 7) & (df["o_orderstatus"] == "O")
         return pa.Table.from_pandas(

@@ -33,7 +33,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Mean, Sum
 
-from job_crawler_ray.util import strip_meta
+from job_crawler_ray.util import strip_meta, time_bucket_strings
 
 SESSION_GAP_MIN = 30
 RANGE_JOIN_HOURS = 1
@@ -51,7 +51,7 @@ def w1_tumbling_daily(sf_dir: str) -> pa.Table:
     ds = _events(sf_dir, ["event_type", "ts", "value"])
 
     def bucket(t: pa.Table) -> pa.Table:
-        day = t["ts"].to_pandas().dt.floor("D").dt.strftime("%Y-%m-%d")
+        day = time_bucket_strings(t["ts"].to_pandas())
         return t.append_column("day", pa.array(day, type=pa.string()))
 
     out = (
@@ -378,7 +378,7 @@ def w4_running_total(sf_dir: str) -> pa.Table:
     def daily_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         g = (
-            df.assign(day=df["ts"].dt.floor("D").dt.strftime("%Y-%m-%d"))
+            df.assign(day=time_bucket_strings(df["ts"]))
             .groupby("day", as_index=False)
             .agg(cnt=("value", "size"), value_sum=("value", "sum"))
         )

