@@ -1693,6 +1693,61 @@ def j7_semi_join(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- J11: star join (fact × N broadcast dimensions, one pass) ----------------
+
+
+def j11_star_join(sf_dir: str) -> pa.Table:
+    """OLAP star schema in ONE fact pass: lineitem resolved against
+    THREE broadcast dimensions (part → brand, supplier → nationkey,
+    nation → name) inside a single map_batches, partial-aggregated per
+    batch to (brand, nation) cells, then a tiny groupby. The fact
+    table is never shuffled and each dimension ships once per actor —
+    the shape every revenue-rollup-by-dimension query wants at
+    100 TB (dims are MBs, facts are the 100 TB)."""
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    pref = ray.put(
+        (
+            parts.set_index("p_partkey")["p_brand"],
+            dim.set_index("s_suppkey")["n_name"],
+        )
+    )
+
+    def star(t: pa.Table) -> pa.Table:
+        brand_of, nation_of = ray.get(pref)
+        df = t.to_pandas()
+        df["brand"] = brand_of.reindex(df["l_partkey"]).to_numpy()
+        df["nation"] = nation_of.reindex(df["l_suppkey"]).to_numpy()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = (
+            df.groupby(["brand", "nation"], sort=False)
+            .agg(revenue=("revenue", "sum"), cnt=("revenue", "size"))
+            .reset_index()
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(star, batch_format="pyarrow")
+        .groupby(["brand", "nation"])
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    # 2-dp rounding: float SUM at 1e8+ magnitudes flakes at 6 dp on
+    # summation order (the j6 rule)
+    out["revenue"] = out["revenue"].round(2)
+    out = out.sort_values(["brand", "nation"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- J10: broadcast interval (point-in-range) join ---------------------------
 
 # Non-overlapping, sorted price bands with a deliberate [920, 930) gap
@@ -1884,6 +1939,17 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "j11_star_join": """
+            SELECT p.p_brand AS brand, n.n_name AS nation,
+                   round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY brand, nation ORDER BY brand, nation
+        """,
         "j10_interval_join": f"""
             WITH bands(band, lo, hi) AS (VALUES {", ".join(
                 f"('{n}', {lo}, {hi})" for n, lo, hi in PRICE_BANDS)})

@@ -1094,6 +1094,7 @@ def build_queries() -> dict:
             "a18_grouped_hll": A2.a18_grouped_hll,
             "s8_train_val_split": s8_train_val_split,
             "g6_kmeans": g6_kmeans,
+            "j11_star_join": A2.j11_star_join,
         }
     )
     # Round-4 rotation. The driver's CORRECTNESS record covers only the
