@@ -41,6 +41,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -1930,6 +1931,452 @@ def a18_grouped_hll(sf_dir: str) -> pa.Table:
 HLL_GROUPED_REL_ERR_BOUND = 0.05  # ~3σ for 2^12 registers
 
 
+# --- J12: full outer join of two aggregates ----------------------------------
+
+
+def j12_full_outer(sf_dir: str) -> pa.Table:
+    """Per-minute error counts FULL OUTER JOIN per-minute purchase
+    counts — the reconciliation shape (two metric feeds, either side
+    may miss a minute; ~half the minutes are one-sided on the test
+    corpus). Each side pre-aggregates per batch, so the native hash
+    join (`Dataset.join(join_type="full_outer")`) moves only
+    |minutes|-sized tables, never raw events. Absent sides surface as
+    0 (count semantics: no rows observed), keeping the int64 columns
+    null-free for the value-hash compare.
+
+    Tiered like the other join ops (native join setup costs seconds
+    at any input size — BASELINE.md round-4 notes): both sides are
+    |minutes|-sized aggregates, so under ``J12_DRIVER_MINUTE_LIMIT``
+    the outer-merge happens on the driver; above it (years of minutes,
+    or a finer bucket) the native full-outer hash join runs. Tiers
+    pinned equal by forcing the limit to 0 in tests."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    def side(ty: str, alias: str):
+        def partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df = df[df["event_type"] == ty]
+            if df.empty:
+                return pa.table(
+                    {"minute": pa.array([], pa.string()),
+                     alias: pa.array([], pa.int64())}
+                )
+            df["minute"] = time_bucket_strings(df["ts"], unit="m")
+            g = df.groupby("minute", as_index=False).agg(**{alias: ("ts", "size")})
+            return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+        return (
+            _events(sf_dir, ["ts", "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("minute")
+            .aggregate(Sum(alias, alias_name=alias))
+        )
+
+    err = side("error", "err_cnt").materialize()
+    pur = side("purchase", "pur_cnt").materialize()
+    if max(err.count(), pur.count()) <= J12_DRIVER_MINUTE_LIMIT:
+        joined = err.to_pandas().merge(
+            pur.to_pandas(), on="minute", how="outer"
+        )
+    else:
+        joined = err.join(
+            pur.map_batches(
+                lambda t: t.rename_columns(["minute_p", "pur_cnt"]),
+                batch_format="pyarrow",
+            ),
+            "full_outer",
+            num_partitions=4,
+            on=("minute",),
+            right_on=("minute_p",),
+        ).to_pandas()
+        # Ray's join coalesces the key pair into the left name
+    out = pd.DataFrame(
+        {
+            "minute": joined["minute"],
+            "err_cnt": joined["err_cnt"].fillna(0).astype("int64"),
+            "pur_cnt": joined["pur_cnt"].fillna(0).astype("int64"),
+        }
+    ).sort_values("minute").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+J12_DRIVER_MINUTE_LIMIT = 500_000  # ~1 year of minutes; ≈12 MB on the driver
+
+
+# --- U2/U3: INTERSECT / EXCEPT set operators ----------------------------------
+
+
+def _set_op_pairs(sf_dir: str, mode: str) -> pa.Table:
+    """Shared machinery for distinct-set INTERSECT/EXCEPT over
+    (user, day) pairs: which user-days saw a purchase AND an error
+    (u2) / a purchase but NO error (u3). Per-batch dedup emits ≤ one
+    (pair, side-flags) row per batch, the single shuffle moves only
+    already-deduped pairs, and per-group state is two bits (Max of
+    each flag) — never a group's rows. Set ops at 100 TB are exactly
+    this shape: dedup locally, shuffle the key space once."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"].isin(("purchase", "error"))]
+        if df.empty:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "day": pa.array([], pa.string()),
+                 "in_a": pa.array([], pa.int64()),
+                 "in_b": pa.array([], pa.int64())}
+            )
+        df["day"] = time_bucket_strings(df["ts"])
+        df["in_a"] = (df["event_type"] == "purchase").astype("int64")
+        df["in_b"] = (df["event_type"] == "error").astype("int64")
+        g = df.groupby(["user_id", "day"], as_index=False).agg(
+            in_a=("in_a", "max"), in_b=("in_b", "max")
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    tagged = (
+        _events(sf_dir, ["user_id", "ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+    )
+    keep = (
+        (lambda t: pc.and_(pc.equal(t["in_a"], 1), pc.equal(t["in_b"], 1)))
+        if mode == "intersect"
+        else (lambda t: pc.and_(pc.equal(t["in_a"], 1), pc.equal(t["in_b"], 0)))
+    )
+    out = (
+        tagged.map_batches(
+            lambda t: t.filter(keep(t)).select(["user_id", "day"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def u2_intersect(sf_dir: str) -> pa.Table:
+    """Distinct (user, day) pairs present in BOTH event streams."""
+    return _set_op_pairs(sf_dir, "intersect")
+
+
+def u3_except(sf_dir: str) -> pa.Table:
+    """Distinct (user, day) pairs in the purchase stream and NOT the
+    error stream (EXCEPT / set difference)."""
+    return _set_op_pairs(sf_dir, "except")
+
+
+# --- W7: per-user row_number (hot-key-bounded) --------------------------------
+
+
+def w7_row_number(sf_dir: str) -> pa.Table:
+    """ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    without ever holding one user's history in one task: the w5
+    two-level plan. Level 1 groups by (user, 24 h bucket) — bounded by
+    the event rate × bucket — and emits in-bucket row numbers plus ONE
+    summary row (bucket count). Level 2 prefix-sums the per-user
+    summary rows (≤ #buckets rows per user, never raw events) into
+    per-bucket offsets, and a native hash join attaches offsets back.
+    seq = in-bucket rn + earlier-bucket offset."""
+    from job_crawler_ray.pipelines.windows import ASOF_BUCKET_HOURS, _events
+
+    bucket_ns = ASOF_BUCKET_HOURS * 3_600_000_000_000
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = t["ts"].cast(pa.int64()).to_numpy() // bucket_ns
+        return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+    def local_rn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        uid = int(g["user_id"].iloc[0])
+        bkt = int(g["_bucket"].iloc[0])
+        rows = pd.DataFrame(
+            {
+                "user_id": uid,
+                "_bucket": bkt,
+                "_kind": 1,
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+        summary = pd.DataFrame(
+            {"user_id": [uid], "_bucket": [bkt], "_kind": [0],
+             "event_id": [0], "rn": [len(g)]}
+        )
+        return pd.concat([rows, summary], ignore_index=True)
+
+    level1 = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "_bucket"])
+        .map_groups(local_rn, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_bucket")
+        off = np.concatenate(([0], np.cumsum(g["rn"].to_numpy())[:-1]))
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64").to_numpy(),
+                "_bucket_o": g["_bucket"].astype("int64").to_numpy(),
+                "offset": off.astype("int64"),
+            }
+        )
+
+    off_ds = (
+        level1.map_batches(
+            lambda t: t.filter(pc.equal(t["_kind"], 0)),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .map_groups(offsets, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.rename_columns(["user_id_o", "_bucket_o", "offset"]),
+            batch_format="pyarrow",
+        )
+    )
+    rows = level1.map_batches(
+        lambda t: t.filter(pc.equal(t["_kind"], 1)).select(
+            ["user_id", "_bucket", "event_id", "rn"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = rows.join(
+        off_ds,
+        "inner",
+        num_partitions=4,
+        on=("user_id", "_bucket"),
+        right_on=("user_id_o", "_bucket_o"),
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "event_id": joined["event_id"].astype("int64"),
+            "user_id": joined["user_id"].astype("int64"),
+            "seq": (joined["rn"] + joined["offset"]).astype("int64"),
+        }
+    ).sort_values(["user_id", "seq"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- E1: explode / unnest list column -----------------------------------------
+
+
+def e1_explode_words(sf_dir: str) -> pa.Table:
+    """Unnest each sampled document's text into (doc_id, pos, word)
+    rows — the flat_map/explode operator, done zero-copy inside one
+    Arrow batch: split_pattern → ListArray, doc_id repeated by value
+    lengths, 1-based position from a global arange minus repeated
+    list offsets. No Python loop; output fan-out is per-batch so the
+    streaming executor re-blocks as it goes."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pa.array(t["doc_id"].to_numpy() % EXPLODE_SAMPLE_MOD == 0)
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64()),
+                 "word": pa.array([], pa.string())}
+            )
+        words = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        words = words.combine_chunks()
+        offsets = words.offsets.to_numpy()
+        lengths = np.diff(offsets)
+        doc_ids = np.repeat(t["doc_id"].to_numpy(), lengths)
+        pos = np.arange(offsets[-1] - offsets[0], dtype=np.int64) - np.repeat(
+            offsets[:-1] - offsets[0], lengths
+        ) + 1
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "pos": pa.array(pos, pa.int64()),
+             "word": words.values}
+        )
+
+    out = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXPLODE_SAMPLE_MOD = 25  # bound the exploded output in the query contract
+
+
+# --- A19: ordered string_agg per group -----------------------------------------
+
+
+def a19_string_agg(sf_dir: str) -> pa.Table:
+    """Per-nation alphabetical comma-join of supplier names
+    (string_agg with ORDER BY inside the group). The group payload is
+    the whole point of the op, so the per-group bound is the contract:
+    it targets DIMENSION domains (names per nation), never fact
+    tables — the projection shuffles only (nation, name) pairs and
+    each group's task holds one nation's names."""
+    nat_df = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put(dict(zip(nat_df["n_nationkey"].astype(int), nat_df["n_name"])))
+
+    def project(t: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        names = pa.array(
+            [lut[int(k)] for k in t["s_nationkey"].to_pylist()], pa.string()
+        )
+        return pa.table({"n_name": names, "s_name": t["s_name"]})
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        names = sorted(g["s_name"].tolist())
+        return pd.DataFrame(
+            {"n_name": [g["n_name"].iloc[0]],
+             "suppliers": [",".join(names)],
+             "n_suppliers": [np.int64(len(names))]}
+        )
+
+    out = (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_name"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("n_name")
+        .map_groups(agg, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- A20: fixed-width histogram -------------------------------------------------
+
+
+HIST_WIDTH = 50_000.0
+
+
+def a20_histogram(sf_dir: str) -> pa.Table:
+    """Fixed-width histogram of order totals: per-batch np counts over
+    floor(price/width) shrink each block to |buckets| rows before the
+    tiny bucket groupby — the width_bucket profile an engine runs
+    before choosing band joins or quantile cuts. Driver never sees a
+    row, only |buckets| partials."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.floor(t["o_totalprice"].to_numpy() / HIST_WIDTH).astype(np.int64)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(uniq, pa.int64()),
+             "cnt": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["bucket"] = out["bucket"].astype("int64")
+    out["lo"] = out["bucket"].astype(float) * HIST_WIDTH
+    out["cnt"] = out["cnt"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["bucket", "lo", "cnt"]], preserve_index=False
+    )
+
+
+# --- W8: conversion funnel ------------------------------------------------------
+
+_TS_MAX = np.iinfo(np.int64).max
+_TS_MIN = np.iinfo(np.int64).min
+
+
+def w8_funnel(sf_dir: str) -> pa.Table:
+    """Per-day view→purchase conversion funnel: of the (user, day)
+    pairs that saw a view, how many later purchased that day. The
+    whole op is two mergeable aggregates — per-batch partials reduce
+    each block to its (user, day) pairs carrying (min view ts, max
+    purchase ts) as int64 sentinels, one groupby merges them with
+    Min/Max, and the day rollup is another partial+Sum pair. No
+    sessionization state, no ordered scan, hot users cost nothing
+    special: this is the funnel shape that stays an aggregation."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"].isin(("view", "purchase"))]
+        if df.empty:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "day": pa.array([], pa.string()),
+                 "first_view": pa.array([], pa.int64()),
+                 "last_purchase": pa.array([], pa.int64())}
+            )
+        df["day"] = time_bucket_strings(df["ts"])
+        ns = df["ts"].astype("int64")
+        df["first_view"] = np.where(df["event_type"] == "view", ns, _TS_MAX)
+        df["last_purchase"] = np.where(
+            df["event_type"] == "purchase", ns, _TS_MIN
+        )
+        g = df.groupby(["user_id", "day"], as_index=False).agg(
+            first_view=("first_view", "min"),
+            last_purchase=("last_purchase", "max"),
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    pairs = (
+        _events(sf_dir, ["user_id", "ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(
+            Min("first_view", alias_name="first_view"),
+            Max("last_purchase", alias_name="last_purchase"),
+        )
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["first_view"] != _TS_MAX]  # funnel base: saw a view
+        if df.empty:
+            return pa.table(
+                {"day": pa.array([], pa.string()),
+                 "with_view": pa.array([], pa.int64()),
+                 "converted": pa.array([], pa.int64())}
+            )
+        df["converted"] = (df["last_purchase"] > df["first_view"]).astype(
+            "int64"
+        )
+        g = df.groupby("day", as_index=False).agg(
+            with_view=("converted", "size"), converted=("converted", "sum")
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        pairs.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("with_view", alias_name="with_view"),
+            Sum("converted", alias_name="converted"),
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["with_view"] = out["with_view"].astype("int64")
+    out["converted"] = out["converted"].astype("int64")
+    out["rate"] = (out["converted"] / out["with_view"]).round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -2148,6 +2595,91 @@ def analytics_oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY day ORDER BY day
+        """,
+        "j12_full_outer": """
+            WITH e AS (SELECT strftime(date_trunc('minute', ts),
+                                       '%Y-%m-%d %H:%M') AS minute,
+                              CAST(count(*) AS BIGINT) AS err_cnt
+                       FROM events WHERE event_type = 'error' GROUP BY minute),
+                 p AS (SELECT strftime(date_trunc('minute', ts),
+                                       '%Y-%m-%d %H:%M') AS minute,
+                              CAST(count(*) AS BIGINT) AS pur_cnt
+                       FROM events WHERE event_type = 'purchase' GROUP BY minute)
+            SELECT coalesce(e.minute, p.minute) AS minute,
+                   coalesce(e.err_cnt, 0) AS err_cnt,
+                   coalesce(p.pur_cnt, 0) AS pur_cnt
+            FROM e FULL OUTER JOIN p ON e.minute = p.minute
+            ORDER BY minute
+        """,
+        "u2_intersect": """
+            SELECT user_id, day FROM (
+                SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+                FROM events WHERE event_type = 'purchase'
+                INTERSECT
+                SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+                FROM events WHERE event_type = 'error')
+            ORDER BY user_id, day
+        """,
+        "u3_except": """
+            SELECT user_id, day FROM (
+                SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+                FROM events WHERE event_type = 'purchase'
+                EXCEPT
+                SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+                FROM events WHERE event_type = 'error')
+            ORDER BY user_id, day
+        """,
+        "w8_funnel": """
+            WITH ud AS (
+              SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                         AS first_view,
+                     max(CASE WHEN event_type = 'purchase' THEN ts END)
+                         AS last_purchase
+              FROM events GROUP BY user_id, day)
+            SELECT day,
+                   CAST(count(*) AS BIGINT) AS with_view,
+                   CAST(count(*) FILTER (last_purchase > first_view)
+                        AS BIGINT) AS converted,
+                   round(count(*) FILTER (last_purchase > first_view)
+                         * 1.0 / count(*), 6) AS rate
+            FROM ud WHERE first_view IS NOT NULL
+            GROUP BY day ORDER BY day
+        """,
+        "w7_row_number": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS seq
+            FROM events ORDER BY user_id, seq
+        """,
+        # 1-based pos matches the Ray side's offset arithmetic; the
+        # indexed list_transform lambda is DuckDB's unnest-with-
+        # ordinality idiom (plain nested unnest(generate_subscripts)
+        # is rejected by the binder)
+        "e1_explode_words": f"""
+            SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.word
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             string_split(coalesce(text, ''), ' '),
+                             (x, i) -> struct_pack(word := x, pos := i))) AS u
+                  FROM documents
+                  WHERE doc_id % {EXPLODE_SAMPLE_MOD} = 0)
+            ORDER BY doc_id, pos
+        """,
+        "a19_string_agg": """
+            SELECT n.n_name,
+                   string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers,
+                   CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "a20_histogram": f"""
+            SELECT CAST(floor(o_totalprice / {HIST_WIDTH}) AS BIGINT) AS bucket,
+                   CAST(floor(o_totalprice / {HIST_WIDTH}) AS BIGINT)
+                       * {HIST_WIDTH} AS lo,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY bucket ORDER BY bucket
         """,
         "d6_incremental_ingest": """
             SELECT doc_id FROM documents

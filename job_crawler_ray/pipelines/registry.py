@@ -390,6 +390,22 @@ def t_bm25_topk(sf_dir: str):
     return TP.bm25_topk(_docs(sf_dir))
 
 
+def t_bpe_pairs(sf_dir: str):
+    """One BPE merge round's statistic: top adjacent char-pair counts
+    inside words (byte-kernel partials, pair-code groupby)."""
+    return TP.bpe_pair_counts(_docs(sf_dir))
+
+
+def s9_curriculum_bins(sf_dir: str):
+    """Exact global decile binning by doc length without a global
+    sort (value-histogram pass → driver boundary selection →
+    stateless assignment pass)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).repartition(16)
+    return TP.curriculum_bins(ds)
+
+
 def s7_length_batches(sf_dir: str):
     """Length-sorted batch assembly: per-batch padding-waste stats
     (the bucketed-batching planning pass)."""
@@ -1095,6 +1111,16 @@ def build_queries() -> dict:
             "s8_train_val_split": s8_train_val_split,
             "g6_kmeans": g6_kmeans,
             "j11_star_join": A2.j11_star_join,
+            "j12_full_outer": A2.j12_full_outer,
+            "u2_intersect": A2.u2_intersect,
+            "u3_except": A2.u3_except,
+            "w7_row_number": A2.w7_row_number,
+            "e1_explode_words": A2.e1_explode_words,
+            "a19_string_agg": A2.a19_string_agg,
+            "a20_histogram": A2.a20_histogram,
+            "w8_funnel": A2.w8_funnel,
+            "t_bpe_pairs": t_bpe_pairs,
+            "s9_curriculum_bins": s9_curriculum_bins,
         }
     )
     # Round-4 rotation. The driver's CORRECTNESS record covers only the

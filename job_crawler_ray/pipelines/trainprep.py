@@ -972,6 +972,162 @@ def train_val_test_split(ds, id_col: str = "doc_id"):
 # ppm and every hash key is md5 hex, so the comparisons are exact
 # ---------------------------------------------------------------------------
 
+# --- BPE merge-pair counting (tokenizer fit, one merge round) ---------------
+
+BPE_TOPK = 20
+
+
+def bpe_pair_counts(ds, text_col: str = "text", k: int = BPE_TOPK):
+    """Adjacent character-pair frequencies inside words — the
+    statistic ONE round of BPE tokenizer training maximizes (Sennrich
+    et al. 2016). Per batch the whole text column is scanned as one
+    byte buffer (pairs = buf[:-1]·256+buf[1:], masked at word
+    boundaries, np.bincount over the 64 Ki code space) — no per-word
+    Python. Each batch emits ≤ |distinct pairs| partial rows (~1 K on
+    ASCII text), the only shuffle is that pair-code groupby, and the
+    final top-k sorts |distinct pairs| rows on the driver. Non-ASCII
+    rows take a per-row char-pair fallback pinned equal by test
+    (DuckDB's substr is char-based, the byte kernel needs bytes ==
+    chars)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+        counts = np.zeros(1 << 16, dtype=np.int64)
+        a_col = col.filter(pa.array(ascii_mask))
+        if len(a_col):
+            joined = pc.binary_join(
+                pa.ListArray.from_arrays([0, len(a_col)], a_col), " "
+            )
+            buf = np.frombuffer(
+                joined[0].as_py().encode("ascii"), dtype=np.uint8
+            )
+            if buf.size >= 2:
+                codes = buf[:-1].astype(np.int64) * 256 + buf[1:]
+                space = np.int64(32)
+                valid = (buf[:-1] != space) & (buf[1:] != space)
+                counts += np.bincount(codes[valid], minlength=1 << 16)
+        extra: dict[str, int] = {}
+        if not ascii_mask.all():
+            for s in col.filter(pa.array(~ascii_mask)).to_pylist():
+                for w in s.split(" "):
+                    for i in range(len(w) - 1):
+                        p = w[i : i + 2]
+                        extra[p] = extra.get(p, 0) + 1
+        nz = np.nonzero(counts)[0]
+        pairs = [chr(c >> 8) + chr(c & 255) for c in nz]
+        cnts = counts[nz].tolist()
+        for p, c in extra.items():
+            pairs.append(p)
+            cnts.append(c)
+        return pa.table(
+            {"pair": pa.array(pairs, pa.string()),
+             "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    out = out.sort_values(
+        ["cnt", "pair"], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- curriculum binning by exact global deciles ------------------------------
+
+CURRICULUM_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+def curriculum_bins(ds, value_col: str = "n_chars"):
+    """Exact global decile binning WITHOUT a global sort — the
+    curriculum-ordering planning pass (easy→hard by length). One
+    value-histogram pass (per-batch np.unique partials over the
+    bounded distinct-value domain, one groupby) gives exact counts;
+    the driver derives quantile_disc boundaries from ≤ |distinct
+    values| rows by cumsum + the ceil(n·q)-1 index rule (pinned to
+    DuckDB empirically); a second stateless pass assigns
+    bin = 1 + #{boundaries < value} via searchsorted. Value domains
+    with unbounded cardinality (floats) would swap the exact
+    histogram for the a10 mergeable-quantile sketch — documented
+    tradeoff, not a silent cap."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def vpartial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy()
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(uniq.astype(np.int64), pa.int64()),
+             "c": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(vpartial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    vals = hist["v"].to_numpy()
+    cum = hist["c"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    # quantile_disc(q) = sorted[ceil(n*q) - 1]
+    bounds = np.array(
+        [vals[np.searchsorted(cum, int(np.ceil(n * q)))] for q in CURRICULUM_QS],
+        dtype=np.int64,
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy()
+        b = np.searchsorted(bounds, v, side="left") + 1  # #{bounds < v}+1… see note
+        # searchsorted(left) counts bounds < v only when v > bound;
+        # equal values must NOT advance the bin (bin = 1 + #{b < v})
+        return pa.table(
+            {"bin": pa.array(b.astype(np.int64), pa.int64()),
+             value_col: t[value_col]}
+        )
+
+    g = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .map_batches(
+            lambda t: strip_meta(
+                pa.Table.from_pandas(
+                    t.to_pandas()
+                    .groupby("bin", as_index=False)
+                    .agg(
+                        n_docs=(value_col, "size"),
+                        min_chars=(value_col, "min"),
+                        max_chars=(value_col, "max"),
+                    ),
+                    preserve_index=False,
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bin")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("min_chars", alias_name="min_chars"),
+            Max("max_chars", alias_name="max_chars"),
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    for c in ("bin", "n_docs", "min_chars", "max_chars"):
+        g[c] = g[c].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 _WS = (
     r"list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),"
     r" x -> x <> '')"
@@ -985,7 +1141,32 @@ P2_SEQ_LEN = 128  # packed-sequence length of the p2 composite
 
 def trainprep_oracle_sql() -> dict[str, str]:
     _terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    _qs = "[" + ", ".join(str(q) for q in CURRICULUM_QS) + "]"
     return {
+        # NOTE pair split is on the RAW text's single spaces (not the
+        # lowered _WS tokens): BPE operates on the corpus verbatim
+        "t_bpe_pairs": f"""
+            WITH words AS (
+              SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+              FROM documents),
+            pairs AS (
+              SELECT unnest(list_transform(range(1, length(w)),
+                            i -> substr(w, CAST(i AS INT), 2))) AS pair
+              FROM words WHERE length(w) >= 2)
+            SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs
+            GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT {BPE_TOPK}
+        """,
+        "s9_curriculum_bins": f"""
+            WITH bl AS (SELECT quantile_disc(n_chars, {_qs}) AS bs
+                        FROM documents)
+            SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM (SELECT n_chars,
+                         CAST(1 + length(list_filter((SELECT bs FROM bl),
+                              b -> n_chars > b)) AS BIGINT) AS bin
+                  FROM documents)
+            GROUP BY bin ORDER BY bin
+        """,
         "s8_train_val_split": f"""
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

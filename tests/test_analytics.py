@@ -410,3 +410,67 @@ class TestComponents:
                 pd.testing.assert_frame_equal(base, got)
         finally:
             T.PAIR_DRIVER_LIMIT, T.LOSER_BROADCAST_LIMIT = saved
+
+
+class TestRound4Wave3:
+    def test_j12_tiers_agree(self, sf_small, ray_session):
+        """Driver outer-merge and native full_outer join tiers must
+        produce identical reconciliation tables."""
+        base = A.j12_full_outer(sf_small).to_pandas()
+        assert (base[["err_cnt", "pur_cnt"]].to_numpy() >= 0).all()
+        # a full outer join is only interesting if both one-sided
+        # kinds actually occur on the corpus
+        assert (base["err_cnt"] == 0).any() and (base["pur_cnt"] == 0).any()
+        saved = A.J12_DRIVER_MINUTE_LIMIT
+        try:
+            A.J12_DRIVER_MINUTE_LIMIT = 0
+            got = A.j12_full_outer(sf_small).to_pandas()
+            pd.testing.assert_frame_equal(base, got)
+        finally:
+            A.J12_DRIVER_MINUTE_LIMIT = saved
+
+    def test_set_ops_partition_universe(self, sf_small, ray_session):
+        """INTERSECT ∪ EXCEPT = the purchase-side distinct set, and
+        they are disjoint (the set-algebra invariant)."""
+        both = A.u2_intersect(sf_small).to_pandas()
+        only_a = A.u3_except(sf_small).to_pandas()
+        k_both = set(zip(both["user_id"], both["day"]))
+        k_only = set(zip(only_a["user_id"], only_a["day"]))
+        assert not (k_both & k_only)
+        import duckdb
+
+        n_a = duckdb.sql(
+            f"""SELECT count(*) FROM (SELECT DISTINCT user_id,
+                strftime(ts, '%Y-%m-%d') FROM
+                parquet_scan('{sf_small}/events.parquet')
+                WHERE event_type = 'purchase')"""
+        ).fetchone()[0]
+        assert len(k_both) + len(k_only) == n_a
+
+    def test_w7_row_number_dense_per_user(self, sf_small, ray_session):
+        """Every user's seq must be exactly 1..n(user) — density is
+        what breaks if the bucket-offset attach drops or double-counts
+        a bucket boundary."""
+        out = A.w7_row_number(sf_small).to_pandas()
+        for _, g in out.groupby("user_id"):
+            s = g["seq"].to_numpy()
+            assert s.min() == 1 and s.max() == len(s)
+            assert len(np.unique(s)) == len(s)
+
+    def test_e1_explode_reassembles(self, sf_small, ray_session):
+        """Words rejoined in pos order must reproduce the source text
+        byte-identically (split/explode loses nothing)."""
+        import duckdb
+
+        out = A.e1_explode_words(sf_small).to_pandas()
+        rebuilt = (
+            out.sort_values(["doc_id", "pos"])
+            .groupby("doc_id")["word"]
+            .agg(" ".join)
+        )
+        src = duckdb.sql(
+            f"""SELECT doc_id, coalesce(text, '') AS text FROM
+                parquet_scan('{sf_small}/documents.parquet')
+                WHERE doc_id % {A.EXPLODE_SAMPLE_MOD} = 0"""
+        ).df().set_index("doc_id")["text"]
+        assert rebuilt.to_dict() == src.to_dict()

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from job_crawler_ray.pipelines import trainprep as TP
@@ -224,3 +225,58 @@ class TestLengthBatches:
             * 1_000_000 // (merged["n_docs"] * merged["max_tokens"])
         )
         assert (merged["waste_ppm"] == waste).all()
+
+
+class TestBpePairs:
+    def test_non_ascii_fallback_pins_byte_kernel(self, ray_session):
+        """Mixed ASCII / non-ASCII corpus: results must equal a pure
+        per-row char-pair recount (the byte kernel only fires where
+        bytes == chars; the fallback must agree with it)."""
+        import collections
+
+        import ray.data as rd
+
+        texts = [
+            "hello world hello",
+            "naïve café naïve",        # non-ASCII rows → fallback path
+            "résumé résumé data",
+            "aa aa aa bb",
+            None,
+        ]
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(3)
+        got = TP.bpe_pair_counts(ds, k=1000).to_pandas()
+        want = collections.Counter()
+        for s in texts:
+            for w in (s or "").split(" "):
+                for i in range(len(w) - 1):
+                    want[w[i : i + 2]] += 1
+        got_map = dict(zip(got["pair"], got["cnt"]))
+        assert got_map == dict(want)
+
+    def test_topk_tiebreak_deterministic(self, sf_small, ray_session):
+        out = TP.bpe_pair_counts(_docs(sf_small)).to_pandas()
+        assert len(out) == TP.BPE_TOPK
+        # sorted by cnt desc, pair asc
+        key = list(zip(-out["cnt"], out["pair"]))
+        assert key == sorted(key)
+
+
+class TestCurriculumBins:
+    def test_bins_partition_corpus(self, sf_small, ray_session):
+        import duckdb
+
+        from job_crawler_ray.util import read_parquet_clean
+
+        ds = read_parquet_clean(
+            f"{sf_small}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).repartition(8)
+        out = TP.curriculum_bins(ds).to_pandas()
+        n = duckdb.sql(
+            f"SELECT count(*) FROM parquet_scan('{sf_small}/documents.parquet')"
+        ).fetchone()[0]
+        assert out["n_docs"].sum() == n
+        assert list(out["bin"]) == sorted(out["bin"])
+        # bins are ordered ranges: each bin's max <= next bin's min
+        assert (
+            out["max_chars"].to_numpy()[:-1] <= out["min_chars"].to_numpy()[1:]
+        ).all()

@@ -85,3 +85,23 @@ def test_bucket_width_invariance(skew_dir, ray_session):
         W.ASOF_BUCKET_HOURS, W.RANGE_BUCKET_HOURS = old_a, old_r
     pd.testing.assert_frame_equal(j4, base_j4)
     pd.testing.assert_frame_equal(r1, base_r1)
+
+
+def test_w7_row_number_hot_user_matches_oracle(skew_dir, ray_session):
+    """ROW_NUMBER under the same Zipf head: the two-level plan must
+    match the SQL twin without one task holding the hot user's 3000
+    events (group key includes the 24 h bucket)."""
+    import duckdb
+
+    from job_crawler_ray.pipelines import analytics as A
+
+    got = A.w7_row_number(skew_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{skew_dir}/events.parquet')"
+    )
+    want = con.execute(A.analytics_oracle_sql()["w7_row_number"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
