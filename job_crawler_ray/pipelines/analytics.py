@@ -2377,6 +2377,316 @@ def w8_funnel(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- W9: moving average over a ROWS frame --------------------------------------
+
+W9_WINDOW = 3  # preceding rows in the frame
+
+
+def w9_moving_avg(sf_dir: str) -> pa.Table:
+    """AVG(value) OVER (PARTITION BY user ORDER BY ts, event_id ROWS
+    BETWEEN 3 PRECEDING AND CURRENT ROW) — the rows-frame window, on
+    the w5 hot-key-bounded plan. Level 1 groups by (user, 24 h
+    bucket): rows with ≥3 in-bucket predecessors finish there
+    (cumsum-window, vectorized); each bucket's first ≤3 rows become
+    `pending` and its last ≤3 values a `tail` summary. Level 2 walks
+    ONE user's (tail + pending) rows — ≤6 per bucket, never raw
+    history — carrying the last-3 deque across buckets to fill the
+    pendings. No task ever holds a user's full stream."""
+    from job_crawler_ray.pipelines.windows import ASOF_BUCKET_HOURS, _events
+
+    w = W9_WINDOW
+    bucket_ns = ASOF_BUCKET_HOURS * 3_600_000_000_000
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = t["ts"].cast(pa.int64()).to_numpy() // bucket_ns
+        return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        uid = int(g["user_id"].iloc[0])
+        bkt = int(g["_bucket"].iloc[0])
+        v = g["value"].to_numpy(dtype=np.float64)
+        eid = g["event_id"].astype("int64").to_numpy()
+        n = len(v)
+        idx = np.arange(n)
+        lo = np.maximum(0, idx - w)
+        s = np.concatenate(([0.0], np.cumsum(v)))
+        mavg = (s[idx + 1] - s[lo]) / (idx + 1 - lo)
+        parts = []
+        if n > w:
+            parts.append(
+                pd.DataFrame(
+                    {"user_id": uid, "_bucket": bkt, "_kind": 1,
+                     "event_id": eid[w:], "pos": idx[w:],
+                     "value": v[w:], "mavg": mavg[w:]}
+                )
+            )
+        head = min(w, n)
+        parts.append(
+            pd.DataFrame(
+                {"user_id": uid, "_bucket": bkt, "_kind": 2,
+                 "event_id": eid[:head], "pos": idx[:head],
+                 "value": v[:head], "mavg": np.nan}
+            )
+        )
+        tail = min(w, n)
+        parts.append(
+            pd.DataFrame(
+                {"user_id": uid, "_bucket": bkt, "_kind": 0,
+                 "event_id": 0, "pos": np.arange(tail),
+                 "value": v[n - tail:], "mavg": np.nan}
+            )
+        )
+        return pd.concat(parts, ignore_index=True)
+
+    level1 = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "_bucket"])
+        .map_groups(local, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_bucket", "_kind", "pos"])  # kind0 before kind2
+        out_eid, out_uid, out_mavg = [], [], []
+        carry: list[float] = []  # last ≤w values BEFORE the current bucket
+        uid = int(g["user_id"].iloc[0])
+        for _, bg in g.groupby("_bucket", sort=True):
+            pend = bg[bg["_kind"] == 2]
+            seen: list[float] = []  # this bucket's pendings so far
+            for _, r in pend.iterrows():
+                win = (carry + seen)[-w:] + [r["value"]]
+                out_eid.append(int(r["event_id"]))
+                out_uid.append(uid)
+                out_mavg.append(float(np.mean(win)))
+                seen.append(float(r["value"]))
+            # tail = the bucket's last ≤w rows; a short bucket must
+            # NOT truncate the carry — the rest of the next window
+            # still comes from earlier buckets
+            tails = bg[bg["_kind"] == 0]
+            carry = (carry + [float(x) for x in tails["value"].to_numpy()])[-w:]
+        return pd.DataFrame(
+            {"event_id": np.array(out_eid, dtype=np.int64),
+             "user_id": np.array(out_uid, dtype=np.int64),
+             "mavg": np.array(out_mavg, dtype=np.float64)}
+        )
+
+    filled = (
+        level1.map_batches(
+            lambda t: t.filter(pc.not_equal(t["_kind"], 1)),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .map_groups(fill, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+    )
+    done = level1.map_batches(
+        lambda t: t.filter(pc.equal(t["_kind"], 1)).select(
+            ["event_id", "user_id", "mavg"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = done.union(filled).to_pandas().sort_values("event_id")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["mavg"] = out["mavg"].round(6)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+# --- J13: time-spine gap fill ----------------------------------------------------
+
+
+def j13_gapfill(sf_dir: str) -> pa.Table:
+    """Hourly purchase counts on a COMPLETE hour spine between the
+    corpus min/max (missing hours explicit as 0) — the gap-fill join
+    every time-series rollup needs before charting or diffing. The
+    counts are per-batch partials + one groupby; the spine is
+    generated on the driver from two scalar aggregates (|hours| rows:
+    a decade is <90 K) and outer-merged with the |hours|-sized count
+    table. Nothing event-sized leaves the workers."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        sub = df[df["event_type"] == "purchase"]
+        hours = (
+            pd.DataFrame({"hour": time_bucket_strings(sub["ts"], unit="h")})
+            .groupby("hour", as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        if len(df):
+            # carry the batch min/max hours (cnt 0) so the spine
+            # bounds come from THIS pass, not a second scan
+            bounds = pd.DataFrame(
+                {"hour": time_bucket_strings(
+                    pd.Series([df["ts"].min(), df["ts"].max()]), unit="h"
+                ), "cnt": [0, 0]}
+            )
+            hours = pd.concat([hours, bounds], ignore_index=True)
+            hours = hours.groupby("hour", as_index=False).agg(cnt=("cnt", "sum"))
+        return strip_meta(pa.Table.from_pandas(hours, preserve_index=False))
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    lo = pd.to_datetime(counts["hour"].min(), format="%Y-%m-%d %H")
+    hi = pd.to_datetime(counts["hour"].max(), format="%Y-%m-%d %H")
+    spine = pd.DataFrame(
+        {"hour": pd.date_range(lo, hi, freq="h").strftime("%Y-%m-%d %H")}
+    )
+    out = spine.merge(counts, on="hour", how="left")
+    out["cnt"] = out["cnt"].fillna(0).astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("hour").reset_index(drop=True), preserve_index=False
+    )
+
+
+# --- A21: unpivot / melt ---------------------------------------------------------
+
+
+def a21_unpivot(sf_dir: str) -> pa.Table:
+    """Melt the a11 day×type pivot back to long (day, event_type,
+    cnt) rows — the unpivot operator, zero-filled cells preserved.
+    The wide input is |days|×|types|; melt happens per batch (pandas
+    C kernel), so the op composes with any wide source at scale."""
+    wide = a11_pivot(sf_dir)
+    long_ = (
+        rd.from_arrow(wide)
+        .map_batches(
+            lambda t: strip_meta(
+                pa.Table.from_pandas(
+                    t.to_pandas().melt(
+                        id_vars=["day"], var_name="event_type",
+                        value_name="cnt",
+                    ),
+                    preserve_index=False,
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    long_["cnt"] = long_["cnt"].astype("int64")
+    return pa.Table.from_pandas(long_, preserve_index=False)
+
+
+# --- T: JSON property extraction --------------------------------------------------
+
+
+def t_json_extract(sf_dir: str) -> pa.Table:
+    """Parse the semi-structured `props` JSON column ('{"k": N}') and
+    roll up k per event type — the schema-on-read projection every
+    log pipeline runs. Extraction is one vectorized regex per batch
+    (C, no json.loads-per-row); the rollup is partial+Sum."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        k = (
+            df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+            .astype("float64")
+        )
+        df["k"] = k
+        g = df.dropna(subset=["k"]).groupby("event_type", as_index=False).agg(
+            k_sum=("k", "sum"), cnt=("k", "size")
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k_sum", alias_name="k_sum"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    out["avg_k"] = (out["k_sum"] / out["cnt"]).round(6)
+    return pa.Table.from_pandas(
+        out[["event_type", "cnt", "avg_k"]], preserve_index=False
+    )
+
+
+# --- D9: dedup keeping the BEST replica --------------------------------------------
+
+D9_MIRROR_MOD = 7  # which docs get a second, mirrored copy
+D9_SRC_PAD = 24    # fixed-width source field in the lexicographic key
+
+
+def d9_keep_best(sf_dir: str) -> pa.Table:
+    """Exact-text dedup that keeps the PREFERRED replica — ordered by
+    (source, doc_id) — instead of first-arrival (d1's rule): replica
+    selection by source priority, the canonical-copy step of a
+    multi-source ingest. The corpus is documents plus a deterministic
+    'mirror' copy of every doc_id %% 7 == 0 row (doc_id + 10000), so
+    dup groups genuinely exist; 'mirror' sorts before 'src*' and must
+    win them. One lexicographic Min over zero-padded (source, doc_id)
+    keys per text-hash group — the w6 trick: no map_groups, per-group
+    state is one key + one count."""
+    from job_crawler_ray.hashing import xxh64_array
+    from job_crawler_ray.util import read_parquet_clean
+
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).repartition(8)
+
+    def mirror(t: pa.Table) -> pa.Table:
+        keep = t["doc_id"].to_numpy() % D9_MIRROR_MOD == 0
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    sub["doc_id"].to_numpy() + 10_000, pa.int64()
+                ),
+                "text": sub["text"],
+                "source": pa.array(["mirror"] * sub.num_rows, pa.string()),
+            }
+        )
+
+    corpus = base.union(base.map_batches(mirror, batch_format="pyarrow"))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = xxh64_array(pc.fill_null(t["text"], ""), seed=7).view(np.int64)
+        src = t["source"].to_pylist()
+        did = t["doc_id"].to_numpy()
+        key = pa.array(
+            [f"{s:<{D9_SRC_PAD}}{d:012d}" for s, d in zip(src, did)],
+            pa.string(),
+        )
+        return pa.table(
+            {"h": pa.array(h, pa.int64()), "key": key,
+             "n": pa.array(np.ones(len(did), np.int64), pa.int64())}
+        )
+
+    g = (
+        corpus.map_batches(keyed, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("key", alias_name="key"), Sum("n", alias_name="n_copies"))
+        .to_pandas()
+    )
+    g["source"] = g["key"].str[:D9_SRC_PAD].str.rstrip()
+    g["doc_id"] = g["key"].str[D9_SRC_PAD:].astype("int64")
+    g["n_copies"] = g["n_copies"].astype("int64")
+    out = (
+        g[["doc_id", "source", "n_copies"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -2464,6 +2774,60 @@ def analytics_oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    {pivot_cols}
             FROM events GROUP BY day ORDER BY day
+        """,
+        "w9_moving_avg": f"""
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {W9_WINDOW} PRECEDING AND CURRENT ROW
+                   ), 6) AS mavg
+            FROM events ORDER BY event_id
+        """,
+        "j13_gapfill": """
+            WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                              date_trunc('hour', max(ts)) AS hi FROM events),
+            s AS (SELECT unnest(generate_series((SELECT lo FROM b),
+                         (SELECT hi FROM b), INTERVAL 1 HOUR)) AS h),
+            c AS (SELECT date_trunc('hour', ts) AS h,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM events WHERE event_type = 'purchase' GROUP BY h)
+            SELECT strftime(s.h, '%Y-%m-%d %H') AS hour,
+                   coalesce(c.cnt, 0) AS cnt
+            FROM s LEFT JOIN c USING (h) ORDER BY hour
+        """,
+        "a21_unpivot": f"""
+            WITH p AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                              {pivot_cols}
+                       FROM events GROUP BY day)
+            {" UNION ALL ".join(
+                f"SELECT day, '{ty}' AS event_type, {ty} AS cnt FROM p"
+                for ty in PIVOT_TYPES)}
+            ORDER BY day, event_type
+        """,
+        "t_json_extract": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                   round(avg(CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)), 6) AS avg_k
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "d9_keep_best": f"""
+            WITH corpus AS (
+              SELECT doc_id, coalesce(text, '') AS text, source
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, coalesce(text, ''), 'mirror'
+              FROM documents WHERE doc_id % {D9_MIRROR_MOD} = 0),
+            ranked AS (
+              SELECT doc_id, source,
+                     CAST(count(*) OVER (PARTITION BY text) AS BIGINT)
+                         AS n_copies,
+                     row_number() OVER (
+                         PARTITION BY text ORDER BY source, doc_id) AS rn
+              FROM corpus)
+            SELECT doc_id, source, n_copies
+            FROM ranked WHERE rn = 1 ORDER BY doc_id
         """,
         "a13_rollup": """
             SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt,

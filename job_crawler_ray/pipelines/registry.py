@@ -1121,6 +1121,11 @@ def build_queries() -> dict:
             "w8_funnel": A2.w8_funnel,
             "t_bpe_pairs": t_bpe_pairs,
             "s9_curriculum_bins": s9_curriculum_bins,
+            "w9_moving_avg": A2.w9_moving_avg,
+            "j13_gapfill": A2.j13_gapfill,
+            "a21_unpivot": A2.a21_unpivot,
+            "t_json_extract": A2.t_json_extract,
+            "d9_keep_best": A2.d9_keep_best,
         }
     )
     # Round-4 rotation. The driver's CORRECTNESS record covers only the

@@ -474,3 +474,13 @@ class TestRound4Wave3:
                 WHERE doc_id % {A.EXPLODE_SAMPLE_MOD} = 0"""
         ).df().set_index("doc_id")["text"]
         assert rebuilt.to_dict() == src.to_dict()
+
+    def test_d9_mirror_priority_wins_dup_groups(self, sf_small, ray_session):
+        """Every duplicated text group must be represented by its
+        'mirror' replica (lexicographically-first source), never the
+        original src* copy — the keep-BEST rule d1 can't express."""
+        out = A.d9_keep_best(sf_small).to_pandas()
+        dups = out[out["n_copies"] == 2]
+        assert len(dups) > 0
+        assert (dups["source"] == "mirror").all()
+        assert (dups["doc_id"] >= 10_000).all()

@@ -35,6 +35,7 @@ def skew_dir(tmp_path_factory):
             "user_id": user,
             "event_type": etype,
             "ts": pd.to_datetime(ts),
+            "value": np.round(rng.uniform(0, 100, size=n), 2),
         }
     ).sample(frac=1.0, random_state=3).reset_index(drop=True)
     d = tmp_path_factory.mktemp("skew_events")
@@ -102,6 +103,25 @@ def test_w7_row_number_hot_user_matches_oracle(skew_dir, ray_session):
         f"read_parquet('{skew_dir}/events.parquet')"
     )
     want = con.execute(A.analytics_oracle_sql()["w7_row_number"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+
+
+def test_w9_moving_avg_hot_user_matches_oracle(skew_dir, ray_session):
+    """ROWS-frame moving average under the Zipf head: level-2 state is
+    ≤6 rows per (user, bucket), never the hot user's 3000 events."""
+    import duckdb
+
+    from job_crawler_ray.pipelines import analytics as A
+
+    got = A.w9_moving_avg(skew_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{skew_dir}/events.parquet')"
+    )
+    want = con.execute(A.analytics_oracle_sql()["w9_moving_avg"]).df()
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want, check_dtype=False
     )
