@@ -2687,6 +2687,277 @@ def d9_keep_best(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- W10: watermark / late-data classification -----------------------------------
+
+W10_DELAY_DAYS = 7
+W10_BUCKET_HEX = 2   # md5-prefix arrival buckets (16^2 = 256, uniform)
+_NS_DAY = 86_400_000_000_000
+
+
+def w10_late_data(sf_dir: str) -> pa.Table:
+    """Streaming watermark semantics over a deterministic arrival
+    order: events "arrive" in md5(event_id) order (the house s3
+    reproducible-shuffle key — the corpus is stored time-ordered, so
+    event time and arrival order must be decoupled for the op to mean
+    anything). The high watermark before an event is the max event
+    time seen strictly earlier in arrival order; an event is LATE iff
+    its ts < watermark − 7 days — the classification a streaming sink
+    runs to route updates into already-closed windows. Output: per
+    event-time day, late vs on-time counts.
+
+    Plan (two-level prefix-max over ARRIVAL order, the w5 pattern):
+    md5-prefix bucket (256 uniform buckets, skew-free by
+    construction) → in-bucket sort + exclusive prefix-max emits
+    per-row in-bucket watermarks plus ONE summary row per bucket; the
+    driver cum-maxes the 256 summaries into exclusive per-bucket
+    carries (broadcast back); a final map_batches resolves each row's
+    watermark = max(carry, in-bucket prefix) and rolls the late flag
+    up per day (partial + Sum). No global sort; no task holds more
+    than corpus/256 rows; driver state is 256 summary rows."""
+    from job_crawler_ray.pipelines.trainprep import _md5_hex
+    from job_crawler_ray.pipelines.windows import _events
+
+    delay_ns = W10_DELAY_DAYS * _NS_DAY
+    ds = _events(sf_dir, ["event_id", "ts"])
+
+    def key(t: pa.Table) -> pa.Table:
+        hexes = _md5_hex(t["event_id"].to_numpy().astype(str))
+        t = t.append_column("k", pa.array(hexes, pa.string()))
+        return t.append_column(
+            "bucket",
+            pa.array([h[:W10_BUCKET_HEX] for h in hexes], pa.string()),
+        )
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "event_id"], kind="mergesort")
+        ns = g["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+        pm = np.maximum.accumulate(ns)
+        excl = np.concatenate(([_TS_MIN], pm[:-1]))
+        bkt = g["bucket"].iloc[0]
+        rows = pd.DataFrame(
+            {"bucket": bkt, "_kind": 1, "ts": ns, "wm_in": excl}
+        )
+        summary = pd.DataFrame(
+            {"bucket": [bkt], "_kind": [0], "ts": [int(pm[-1])],
+             "wm_in": [_TS_MIN]}
+        )
+        return pd.concat([rows, summary], ignore_index=True)
+
+    level1 = (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(local, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .materialize()
+    )
+
+    summaries = (
+        level1.map_batches(
+            lambda t: t.filter(pc.equal(t["_kind"], 0)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    # exclusive cross-bucket carry: max ts over all STRICTLY earlier buckets
+    cum = np.concatenate(
+        ([_TS_MIN], np.maximum.accumulate(summaries["ts"].to_numpy())[:-1])
+    )
+    carry_ref = ray.put(dict(zip(summaries["bucket"], cum.tolist())))
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        carry = ray.get(carry_ref)
+        df = t.to_pandas()
+        df = df[df["_kind"] == 1]
+        if df.empty:
+            return pa.table(
+                {"day": pa.array([], pa.string()),
+                 "late": pa.array([], pa.int64()),
+                 "ontime": pa.array([], pa.int64())}
+            )
+        ts = df["ts"].to_numpy(dtype=np.int64)
+        wm = np.maximum(
+            df["wm_in"].to_numpy(dtype=np.int64),
+            np.asarray([carry[b] for b in df["bucket"]], dtype=np.int64),
+        )
+        late = np.zeros(len(ts), dtype=bool)
+        m = wm > _TS_MIN  # sentinel: nothing arrived earlier → on-time
+        late[m] = ts[m] < wm[m] - delay_ns
+        g = (
+            pd.DataFrame(
+                {"day": time_bucket_strings(ts.astype("datetime64[ns]")),
+                 "late": late.astype("int64"),
+                 "ontime": (~late).astype("int64")}
+            )
+            .groupby("day", as_index=False)
+            .agg(late=("late", "sum"), ontime=("ontime", "sum"))
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        level1.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("late", alias_name="late"),
+                   Sum("ontime", alias_name="ontime"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["late"] = out["late"].astype("int64")
+    out["ontime"] = out["ontime"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- A22: exact interpolated percentiles (PERCENTILE_CONT) ------------------------
+
+A22_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def a22_percentile_cont(sf_dir: str) -> pa.Table:
+    """Exact PERCENTILE_CONT / quantile_cont for four q's AT ONCE:
+    linear interpolation between the floor/ceil order statistics at
+    h = (n−1)·q — multi-rank histogram selection on the a16
+    machinery, generalized from one rank per group to a rank SET over
+    one distribution. One stats pass (n, lo, hi), one 4096-bin
+    histogram pass serving ALL eight needed ranks, then a single
+    filtered collect of the union of target bins (≈ ranks × n/4096
+    rows) picks the order statistics exactly; refinement rounds only
+    when a bin exceeds the collect cap (needs ~8G rows in one bin).
+    Versus a global sort: two narrow passes + a KB-sized collect."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    val = "o_totalprice"
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        v = t[val].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"n": [len(v)], "lo": [float(v.min())],
+                         "hi": [float(v.max())]})
+
+    st = ds.map_batches(stat_partial, batch_format="pyarrow").to_pandas()
+    n = int(st["n"].sum())
+    glo, ghi = float(st["lo"].min()), float(st["hi"].max())
+
+    # ranks (0-based order statistics) needed by the interpolation
+    hs = {q: (n - 1) * q for q in A22_QS}
+    ks = sorted({int(np.floor(h)) for h in hs.values()}
+                | {int(np.ceil(h)) for h in hs.values()})
+    result: dict[int, float] = {}
+    states: dict[int, dict] = {}
+    for k in ks:
+        if glo == ghi:
+            result[k] = glo
+        else:
+            states[k] = {"k": k, "lo": glo, "hi": ghi}
+
+    def bin_of(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        w = (hi - lo) / SELECT_BINS
+        return np.clip(((v - lo) / w).astype(np.int64), 0, SELECT_BINS - 1)
+
+    while states:
+        live_ref = ray.put(dict(states))
+
+        def hist_partial(t: pa.Table) -> pa.Table:
+            bounds = ray.get(live_ref)
+            raw = t[val].to_numpy(zero_copy_only=False)
+            raw = raw[~np.isnan(raw)]
+            parts = []
+            # distinct (range, parent-bin) regions shared by many
+            # ranks get ONE bincount, not one per rank
+            seen: dict[tuple, np.ndarray] = {}
+            for rk, s in bounds.items():
+                region = (s["lo"], s["hi"], s.get("bin"),
+                          s.get("plo"), s.get("phi"))
+                if region not in seen:
+                    v = raw
+                    if "bin" in s:
+                        v = v[(v >= s["plo"]) & (v <= s["phi"])]
+                        v = v[bin_of(v, s["plo"], s["phi"]) == s["bin"]]
+                    else:
+                        v = v[(v >= s["lo"]) & (v <= s["hi"])]
+                    seen[region] = (
+                        np.bincount(bin_of(v, s["lo"], s["hi"]),
+                                    minlength=SELECT_BINS)
+                        if len(v) else np.zeros(SELECT_BINS, np.int64)
+                    )
+                cnt = seen[region]
+                nz = np.nonzero(cnt)[0]
+                if len(nz):
+                    parts.append(pd.DataFrame(
+                        {"rk": rk, "bin": nz, "cnt": cnt[nz]}))
+            if not parts:
+                return pa.table({"rk": pa.array([], pa.int64()),
+                                 "bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return strip_meta(pa.Table.from_pandas(
+                pd.concat(parts, ignore_index=True), preserve_index=False))
+
+        hist = (
+            ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["rk", "bin"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        collect = {}
+        for rk, s in list(states.items()):
+            h = hist[hist["rk"] == rk].sort_values("bin")
+            cum = h["cnt"].cumsum().to_numpy()
+            i = int(np.searchsorted(cum, s["k"] + 1, side="left"))
+            b = int(h["bin"].iloc[i])
+            before = int(cum[i - 1]) if i else 0
+            in_bin = int(h["cnt"].iloc[i])
+            w = (s["hi"] - s["lo"]) / SELECT_BINS
+            blo = s["lo"] + b * w
+            bhi = s["hi"] if b == SELECT_BINS - 1 else s["lo"] + (b + 1) * w
+            s2 = {"k": s["k"] - before, "lo": blo, "hi": bhi,
+                  "bin": b, "plo": s["lo"], "phi": s["hi"]}
+            if in_bin <= SELECT_COLLECT_LIMIT or blo == bhi:
+                collect[rk] = s2
+                del states[rk]
+            else:
+                states[rk] = s2
+
+        if collect:
+            col_ref = ray.put(collect)
+
+            def in_bin_vals(t: pa.Table) -> pa.Table:
+                bounds = ray.get(col_ref)
+                raw = t[val].to_numpy(zero_copy_only=False)
+                raw = raw[~np.isnan(raw)]
+                parts = []
+                for rk, s in bounds.items():
+                    v = raw[(raw >= s["plo"]) & (raw <= s["phi"])]
+                    if len(v):
+                        v = v[bin_of(v, s["plo"], s["phi"]) == s["bin"]]
+                    if len(v):
+                        parts.append(pd.DataFrame({"rk": rk, "v": v}))
+                if not parts:
+                    return pa.table({"rk": pa.array([], pa.int64()),
+                                     "v": pa.array([], pa.float64())})
+                return strip_meta(pa.Table.from_pandas(
+                    pd.concat(parts, ignore_index=True),
+                    preserve_index=False))
+
+            got = ds.map_batches(in_bin_vals, batch_format="pyarrow").to_pandas()
+            for rk, s in collect.items():
+                v = np.sort(got.loc[got["rk"] == rk, "v"].to_numpy())
+                result[rk] = float(v[s["k"]])
+
+    pct = []
+    for q in A22_QS:
+        h = hs[q]
+        lo_k, hi_k = int(np.floor(h)), int(np.ceil(h))
+        frac = h - lo_k
+        pct.append(result[lo_k] + frac * (result[hi_k] - result[lo_k]))
+    out = pd.DataFrame({"q": np.asarray(A22_QS, dtype=np.float64),
+                        "pct": np.round(np.asarray(pct), 6)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -2696,6 +2967,33 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "w10_late_data": f"""
+            WITH arr AS (
+                SELECT ts, md5(CAST(event_id AS VARCHAR)) AS k, event_id
+                FROM events
+            ), wm AS (
+                SELECT ts,
+                       max(ts) OVER (
+                           ORDER BY k, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS m
+                FROM arr
+            )
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(sum(CASE WHEN m IS NOT NULL
+                                  AND ts < m - INTERVAL {W10_DELAY_DAYS} DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS late,
+                   CAST(sum(CASE WHEN m IS NULL
+                                  OR ts >= m - INTERVAL {W10_DELAY_DAYS} DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS ontime
+            FROM wm GROUP BY day ORDER BY day
+        """,
+        "a22_percentile_cont": "\nUNION ALL\n".join(
+            f"""SELECT CAST({q} AS DOUBLE) AS q,
+                       round(quantile_cont(o_totalprice, {q}), 6) AS pct
+                FROM orders"""
+            for q in A22_QS
+        ) + "\nORDER BY q",
         "j11_star_join": """
             SELECT p.p_brand AS brand, n.n_name AS nation,
                    round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)

@@ -1126,6 +1126,8 @@ def build_queries() -> dict:
             "a21_unpivot": A2.a21_unpivot,
             "t_json_extract": A2.t_json_extract,
             "d9_keep_best": A2.d9_keep_best,
+            "w10_late_data": A2.w10_late_data,
+            "a22_percentile_cont": A2.a22_percentile_cont,
         }
     )
     # Round-4 rotation. The driver's CORRECTNESS record covers only the
