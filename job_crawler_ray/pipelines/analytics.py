@@ -2958,6 +2958,319 @@ def a22_percentile_cont(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- A23: per-entity mode (most frequent value) -----------------------------------
+
+_MODE_PAD = 10**12 - 1  # cnt pad: counts per (entity, value) fit 12 digits
+
+
+def a23_mode(sf_dir: str) -> pa.Table:
+    """Per-user MODAL event type (most frequent; ties → smallest
+    type) — the categorical mode aggregate. Two mergeable groupbys,
+    no map_groups: (user, type) partial counts Sum-merge, then the
+    d9/w6 lexicographic-Min trick turns argmax-with-tie-break into
+    one Min over ``pad(MAX−cnt)|type`` keys per user — per-group
+    state is one string, the driver only sees |users| result rows."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["user_id", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        inv = (_MODE_PAD - df["cnt"].to_numpy(np.int64)).astype("U12")
+        key = np.char.add(np.char.zfill(inv, 12),
+                          np.char.add("|", df["event_type"].to_numpy("U")))
+        return pa.table({"user_id": pa.array(df["user_id"], pa.int64()),
+                         "key": pa.array(key.astype(object), pa.string())})
+
+    g = (
+        pairs.map_batches(encode, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("key", alias_name="key"))
+        .to_pandas()
+    )
+    g["modal_type"] = g["key"].str[13:]
+    g["cnt"] = (_MODE_PAD - g["key"].str[:12].astype("int64")).astype("int64")
+    out = (
+        g[["user_id", "modal_type", "cnt"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- W11: FIRST_VALUE / LAST_VALUE per partition -----------------------------------
+
+
+def w11_first_last(sf_dir: str) -> pa.Table:
+    """FIRST_VALUE and LAST_VALUE of `value` per user over (ts,
+    event_id) order — the deterministic arg_min/arg_max window pair.
+    The carried value is ENCODED INTO the order key (zero-padded ts
+    ns | event_id | %.17g value — fixed-width prefixes make string
+    order ≡ numeric order, and %.17g round-trips float64 exactly), so
+    one Min + one Max groupby aggregate replaces any per-user ordered
+    scan: mergeable, hot-key-immune, per-group state two strings."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ns = df["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+        eid = df["event_id"].to_numpy(np.int64)
+        key = [
+            f"{t_:019d}|{e:012d}|{v:.17g}"
+            for t_, e, v in zip(ns, eid, df["value"].to_numpy())
+        ]
+        return pa.table({"user_id": pa.array(df["user_id"], pa.int64()),
+                         "key": pa.array(key, pa.string())})
+
+    g = (
+        ds.map_batches(encode, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("key", alias_name="kmin"),
+                   Max("key", alias_name="kmax"))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    g["first_value"] = (
+        g["kmin"].str.split("|").str[2].astype("float64").round(6)
+    )
+    g["last_value"] = (
+        g["kmax"].str.split("|").str[2].astype("float64").round(6)
+    )
+    g["user_id"] = g["user_id"].astype("int64")
+    return pa.Table.from_pandas(
+        g[["user_id", "first_value", "last_value"]], preserve_index=False
+    )
+
+
+# --- A25: grouped sample stddev / variance -----------------------------------------
+
+
+def a25_grouped_stddev(sf_dir: str) -> pa.Table:
+    """Sample stddev + variance of `value` per event type in one
+    pass: per-batch (n, Σx, Σxx) partials — three numbers per (block,
+    group) — Sum-merged by one groupby, moments finished on the
+    driver (a15's co-moment shape, grouped)."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        v = df["value"].to_numpy(np.float64)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "x": v,
+                          "xx": v * v})
+            .groupby("event_type", as_index=False)
+            .agg(n=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum"))
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sxx", alias_name="sxx"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    n = g["n"].to_numpy(np.float64)
+    var = (g["sxx"].to_numpy() - g["sx"].to_numpy() ** 2 / n) / (n - 1)
+    g["n"] = g["n"].astype("int64")
+    g["var_samp"] = np.round(var, 6)
+    g["stddev_samp"] = np.round(np.sqrt(var), 6)
+    return pa.Table.from_pandas(
+        g[["event_type", "n", "var_samp", "stddev_samp"]],
+        preserve_index=False,
+    )
+
+
+# --- J15: SCD2 point-in-time dimension join ----------------------------------------
+
+SCD2_EPOCH = "1995-01-01"
+SCD2_SPREAD_DAYS = 2400  # cutover dates span the order-date range
+
+
+def j15_scd2_pit(sf_dir: str) -> pa.Table:
+    """Point-in-time join against a slowly-changing (SCD type-2)
+    dimension: each customer's market segment has two versions —
+    seg_a before a per-customer cutover date, seg_b (the next
+    distinct segment in sorted order, wrapped) after — and every
+    order resolves the version VALID AT ITS ORDER DATE, then rolls up
+    revenue per effective segment. The dimension (custkey → seg_a,
+    seg_b, cutover) is built in one pass and broadcast via ray.put
+    (j1's map-side pattern; above a broadcast cap the id-bucketed
+    fragment-store tier applies, analytics.py:169); the fact pass
+    resolves validity vectorized (searchsorted custkey lookup + one
+    np.where on the date) and pre-aggregates per batch, so the only
+    shuffle is |segments| partial rows."""
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    segs = sorted(cust["c_mktsegment"].unique())
+    nxt = {s: segs[(i + 1) % len(segs)] for i, s in enumerate(segs)}
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    seg_a = cust["c_mktsegment"].to_numpy()
+    seg_b = np.asarray([nxt[s] for s in seg_a], dtype=object)
+    epoch_ns = np.datetime64(SCD2_EPOCH, "ns").astype("int64")
+    cut_ns = epoch_ns + (ck % SCD2_SPREAD_DAYS) * _NS_DAY
+    dim_ref = ray.put((ck, seg_a, seg_b, cut_ns))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def resolve(t: pa.Table) -> pa.Table:
+        ck_, seg_a_, seg_b_, cut_ = ray.get(dim_ref)
+        df = t.to_pandas()
+        idx = np.searchsorted(ck_, df["o_custkey"].to_numpy(np.int64))
+        od = df["o_orderdate"].to_numpy().astype("datetime64[ns]").astype("int64")
+        eff = np.where(od >= cut_[idx], seg_b_[idx], seg_a_[idx])
+        g = (
+            pd.DataFrame({"segment": eff,
+                          "o_totalprice": df["o_totalprice"].to_numpy()})
+            .groupby("segment", as_index=False)
+            .agg(n_orders=("o_totalprice", "size"),
+                 revenue=("o_totalprice", "sum"))
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        ds.map_batches(resolve, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+        .sort_values("segment")
+        .reset_index(drop=True)
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    # float SUM ~1e8+: 2-dp rounding (summation-order bound, see j6)
+    out["revenue"] = out["revenue"].round(2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- T: overlapping text chunking (RAG / context-window prep) ----------------------
+
+CHUNK_WIDTH = 200
+CHUNK_STRIDE = 150
+
+
+def t_chunk_overlap(sf_dir: str) -> pa.Table:
+    """Overlapping fixed-width character chunks per document (width
+    200, stride 150) — the context-window / RAG chunking pass.
+    Chunk k of every doc shares the same (start, stop) offsets, so
+    the kernel loops over CHUNK INDICES (≤ maxlen/stride, a handful),
+    not rows: one vectorized pandas str.slice over the docs that
+    reach chunk k. Emits (doc_id, chunk_id, chunk_len, head); chunk
+    count = 1 if len ≤ width else 1 + ceil((len − width)/stride)."""
+    from job_crawler_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(strip_meta, batch_format="pyarrow").repartition(8)
+
+    def chunks(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        txt = df["text"].fillna("")
+        ln = txt.str.len().to_numpy(np.int64)
+        n_chunks = np.where(
+            ln <= CHUNK_WIDTH,
+            1,
+            1 + np.ceil((ln - CHUNK_WIDTH) / CHUNK_STRIDE).astype(np.int64),
+        )
+        parts = []
+        for k in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            m = n_chunks > k
+            sub = txt[m].str.slice(k * CHUNK_STRIDE,
+                                   k * CHUNK_STRIDE + CHUNK_WIDTH)
+            parts.append(pd.DataFrame(
+                {"doc_id": df.loc[m, "doc_id"].to_numpy(np.int64),
+                 "chunk_id": np.int64(k),
+                 "chunk_len": sub.str.len().to_numpy(np.int64),
+                 "head": sub.str.slice(0, 16)}))
+        if not parts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "chunk_len": pa.array([], pa.int64()),
+                             "head": pa.array([], pa.string())})
+        return strip_meta(pa.Table.from_pandas(
+            pd.concat(parts, ignore_index=True), preserve_index=False))
+
+    out = (
+        ds.map_batches(chunks, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- T: sentence statistics ---------------------------------------------------------
+
+# ASCII-only boundary (shared definition with the RE2 twin — see
+# ASCII_WS_RE note): one-or-more terminators followed by spaces
+SENT_SPLIT_RE = r"[.!?]+[ ]+"
+
+
+def t_sentence_stats(sf_dir: str) -> pa.Table:
+    """Per-document sentence segmentation stats (count + mean
+    sentence length) — the mean-sentence-length quality signal
+    (Gopher-style rules). Fully vectorized: n_sent = regex match
+    count + 1; total sentence chars = len(text) with separators
+    regex-replaced away — no per-row split lists. Both sides of the
+    oracle derive the mean from the SAME two totals."""
+    from job_crawler_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(strip_meta, batch_format="pyarrow").repartition(8)
+
+    def stats(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        txt = df["text"].fillna("")
+        n_sent = txt.str.count(SENT_SPLIT_RE).to_numpy(np.int64) + 1
+        part_chars = (
+            txt.str.replace(SENT_SPLIT_RE, "", regex=True)
+            .str.len()
+            .to_numpy(np.int64)
+        )
+        return pa.table(
+            {"doc_id": pa.array(df["doc_id"], pa.int64()),
+             "n_sent": pa.array(n_sent, pa.int64()),
+             "avg_sent_len": pa.array(
+                 np.round(part_chars / n_sent, 6), pa.float64())}
+        )
+
+    out = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -2967,6 +3280,88 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "a23_mode": """
+            WITH c AS (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id, event_type AS modal_type, cnt
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY cnt DESC, event_type) AS rn
+                  FROM c)
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "w11_first_last": """
+            WITH r AS (
+                SELECT user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM events
+            )
+            SELECT user_id,
+                   round(max(CASE WHEN rn_a = 1 THEN value END), 6)
+                       AS first_value,
+                   round(max(CASE WHEN rn_d = 1 THEN value END), 6)
+                       AS last_value
+            FROM r GROUP BY user_id ORDER BY user_id
+        """,
+        "a25_grouped_stddev": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(var_samp(value), 6) AS var_samp,
+                   round(stddev_samp(value), 6) AS stddev_samp
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "j15_scd2_pit": f"""
+            WITH segl AS (
+                SELECT s, row_number() OVER (ORDER BY s) - 1 AS i
+                FROM (SELECT DISTINCT c_mktsegment AS s FROM customer)
+            ), nn AS (SELECT count(*) AS n FROM segl),
+            dim AS (
+                SELECT c.c_custkey, c.c_mktsegment AS seg_a, s2.s AS seg_b,
+                       TIMESTAMP '{SCD2_EPOCH}'
+                           + INTERVAL ((c.c_custkey % {SCD2_SPREAD_DAYS})) DAY
+                           AS cut
+                FROM customer c
+                JOIN segl s1 ON s1.s = c.c_mktsegment
+                CROSS JOIN nn
+                JOIN segl s2 ON s2.i = (s1.i + 1) % nn.n
+            )
+            SELECT CASE WHEN o.o_orderdate >= d.cut THEN d.seg_b
+                        ELSE d.seg_a END AS segment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+            GROUP BY segment ORDER BY segment
+        """,
+        "t_chunk_overlap": f"""
+            WITH ch AS (
+                SELECT doc_id, coalesce(text, '') AS txt,
+                       unnest(generate_series(0, greatest(0, CAST(ceil(
+                           (length(coalesce(text, '')) - {CHUNK_WIDTH})
+                           / {CHUNK_STRIDE}.0) AS BIGINT)))) AS chunk_id
+                FROM documents
+            )
+            SELECT doc_id, chunk_id,
+                   length(substr(txt,
+                                 1 + CAST(chunk_id AS INT) * {CHUNK_STRIDE},
+                                 {CHUNK_WIDTH})) AS chunk_len,
+                   substr(txt, 1 + CAST(chunk_id AS INT) * {CHUNK_STRIDE},
+                          16) AS head
+            FROM ch ORDER BY doc_id, chunk_id
+        """,
+        "t_sentence_stats": f"""
+            SELECT doc_id,
+                   CAST(len(string_split_regex(coalesce(text, ''),
+                        '{SENT_SPLIT_RE}')) AS BIGINT) AS n_sent,
+                   round(length(regexp_replace(coalesce(text, ''),
+                             '{SENT_SPLIT_RE}', '', 'g'))
+                         / len(string_split_regex(coalesce(text, ''),
+                               '{SENT_SPLIT_RE}')), 6) AS avg_sent_len
+            FROM documents ORDER BY doc_id
+        """,
         "w10_late_data": f"""
             WITH arr AS (
                 SELECT ts, md5(CAST(event_id AS VARCHAR)) AS k, event_id

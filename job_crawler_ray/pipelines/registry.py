@@ -1128,6 +1128,12 @@ def build_queries() -> dict:
             "d9_keep_best": A2.d9_keep_best,
             "w10_late_data": A2.w10_late_data,
             "a22_percentile_cont": A2.a22_percentile_cont,
+            "a23_mode": A2.a23_mode,
+            "w11_first_last": A2.w11_first_last,
+            "a25_grouped_stddev": A2.a25_grouped_stddev,
+            "j15_scd2_pit": A2.j15_scd2_pit,
+            "t_chunk_overlap": A2.t_chunk_overlap,
+            "t_sentence_stats": A2.t_sentence_stats,
         }
     )
     # Round-4 rotation. The driver's CORRECTNESS record covers only the
