@@ -738,6 +738,45 @@ def multimodal_pipeline(sf_dir: str):
     return ds.sort("doc_id")
 
 
+def multimodal_real_decode(sf_dir: str):
+    """REAL image pipeline, in-container: standards-conformant 24-bit
+    BMP payloads → REAL pixel-area resize (block-sum // f², actual
+    pixels, functions/codecs.py) → REAL header+pixel decode — the
+    production counterpart of multimodal_pipeline's stub kernels,
+    proving the injectable-codec seam carries a true codec end to end
+    (same actor-pool stages, zero edits to them)."""
+    from job_crawler_ray.functions.codecs import bmp_codec, bmp_resize
+
+    ds = _docs(sf_dir)
+    ds = ds.map_batches(T.synth_bmp_payloads, batch_format="pyarrow")
+    ds = ds.map_batches(
+        T.BinaryResizer,
+        fn_constructor_kwargs=dict(factor=2, resize_fn=bmp_resize),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 2),
+    )
+    ds = ds.map_batches(
+        T.BinaryDecoder, fn_constructor_kwargs=dict(codec=bmp_codec),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 2),
+    )
+    return ds.sort("doc_id")
+
+
+def multimodal_audio_features(sf_dir: str):
+    """REAL audio pipeline, in-container: PCM-16 RIFF/WAVE payloads →
+    chunk-walking decode → (sample_rate, n_samples, duration, RMS)
+    features. Same actor-pool plumbing contract as the image chain;
+    heavier decoders inject via decode_fn."""
+    from job_crawler_ray.functions.codecs import WavFeatureExtractor
+
+    ds = _docs(sf_dir)
+    ds = ds.map_batches(T.synth_wav_payloads, batch_format="pyarrow")
+    ds = ds.map_batches(
+        WavFeatureExtractor,
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 2),
+    )
+    return ds.sort("doc_id")
+
+
 def multimodal_frame_sample(sf_dir: str):
     """Video frame sampling: synth payloads → every-4th-frame
     explosion (one row per kept frame) → per-frame byte features —
@@ -1078,6 +1117,8 @@ def build_queries() -> dict:
             "multimodal_decode": multimodal_decode,
             "multimodal_pipeline": multimodal_pipeline,
             "multimodal_frame_sample": multimodal_frame_sample,
+            "multimodal_real_decode": multimodal_real_decode,
+            "multimodal_audio_features": multimodal_audio_features,
             "doc_fingerprints": doc_fingerprints,
             "ann_lsh": ann_lsh,
             "ann_lsh_store": ann_lsh_store,

@@ -17,8 +17,11 @@ vectorized numpy inside ``map_batches``, and mergeable across batches:
   brute-force ANN top-k + LSH persisted index + IVF cells
 - language-ID (4-language stopword heuristic), quality scoring,
   whitespace + BPE-ish token counts, rolling-hash fingerprints
-- multimodal binary decode plumbing (decode kernel STUBBED — no image
-  libs in this sandbox; the Ray-side schema/actor/batch plumbing is real)
+- multimodal binary decode plumbing (injectable kernels: the DEFAULT
+  header-parse stub stands in for codec-library formats, while
+  functions/codecs.py provides REAL in-container BMP decode/resize and
+  PCM-WAV decode — no external libs; the Ray-side schema/actor/batch
+  plumbing is identical either way)
 
 Scale notes: signatures are fixed-width vectors per doc (shuffle moves
 k×8 bytes, not documents); LSH candidate generation is bucketed over
@@ -4042,5 +4045,49 @@ def synth_binary_payloads(batch: pa.Table, text_col: str = "text") -> pa.Table:
         + t.encode()
         for wi, hi, t in zip(w, h, texts)
     ]
+    keep = batch.select([c for c in batch.column_names if c != text_col])
+    return keep.append_column("payload", pa.array(payloads, type=pa.binary()))
+
+
+def synth_bmp_payloads(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic REAL 24-bit BMP payloads (gradient pixels derived
+    from mix64(doc_id)) — actual standards-conformant image files, so
+    the decode/resize chain runs REAL pixel kernels in-container
+    (functions/codecs.py), not header stubs. Dims 8–39 px: multimodal
+    batches stay small by payload size, not row count."""
+    from job_crawler_ray.functions.codecs import encode_bmp
+
+    ids = batch["doc_id"].to_numpy()
+    w = (mix64(ids.astype(_u64), 511) % _u64(32)).astype(np.int64) + 8
+    h = (mix64(ids.astype(_u64), 512) % _u64(24)).astype(np.int64) + 8
+    payloads = []
+    for i, wi, hi in zip(ids, w, h):
+        yy, xx = np.mgrid[0:hi, 0:wi].astype(np.uint32)
+        base = int(mix64(np.array([i], dtype=_u64), 513)[0] % _u64(251))
+        px = np.stack(
+            [(xx * 3 + yy * 7 + base) % 256,
+             (xx * 5 + yy * 2 + base) % 256,
+             (xx + yy * 11 + base) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        payloads.append(encode_bmp(px))
+    keep = batch.select([c for c in batch.column_names if c != text_col])
+    return keep.append_column("payload", pa.array(payloads, type=pa.binary()))
+
+
+def synth_wav_payloads(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic REAL PCM-16 WAV payloads (integer sawtooth at a
+    doc-derived period — integer arithmetic, so bit-identical across
+    platforms) for the audio feature stage."""
+    from job_crawler_ray.functions.codecs import encode_wav
+
+    ids = batch["doc_id"].to_numpy()
+    n = (mix64(ids.astype(_u64), 514) % _u64(1600)).astype(np.int64) + 400
+    period = (mix64(ids.astype(_u64), 515) % _u64(120)).astype(np.int64) + 8
+    payloads = []
+    for ni, pi in zip(n, period):
+        t = np.arange(ni, dtype=np.int64)
+        samples = (((t % pi) * 2000 // pi) - 1000).astype(np.int16)
+        payloads.append(encode_wav(samples, rate=8000))
     keep = batch.select([c for c in batch.column_names if c != text_col])
     return keep.append_column("payload", pa.array(payloads, type=pa.binary()))

@@ -1,0 +1,164 @@
+"""Real multimodal codecs (functions/codecs.py): BMP/WAV roundtrips,
+deterministic resize arithmetic, and the end-to-end real pipelines
+(multimodal_real_decode / multimodal_audio_features) checked against
+direct local recomputation — the injected kernels must produce exactly
+what the codec produces outside Ray."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from job_crawler_ray.functions.codecs import (
+    WavFeatureExtractor,
+    bmp_codec,
+    bmp_resize,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+)
+
+
+class TestBmpCodec:
+    def test_roundtrip_with_padding(self):
+        rng = np.random.default_rng(3)
+        for h, w in [(1, 1), (5, 3), (7, 10), (16, 16), (24, 33)]:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            w2, h2, back = decode_bmp(encode_bmp(px))
+            assert (w2, h2) == (w, h)
+            assert np.array_equal(back, px)
+
+    def test_resize_is_integer_block_mean(self):
+        px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        w2, h2, small = decode_bmp(bmp_resize(encode_bmp(px), 2))
+        exp = (
+            px.astype(np.uint32).reshape(4, 2, 4, 2, 3).sum((1, 3)) // 4
+        ).astype(np.uint8)
+        assert (w2, h2) == (4, 4)
+        assert np.array_equal(small, exp)
+
+    def test_odd_dims_crop_to_factor_multiple(self):
+        px = np.zeros((7, 9, 3), dtype=np.uint8)
+        w2, h2, _ = decode_bmp(bmp_resize(encode_bmp(px), 2))
+        assert (w2, h2) == (4, 3)
+
+    def test_degrades_on_garbage(self):
+        for bad in [None, b"", b"JUNKJUNKJUNKJUNK" * 8]:
+            with pytest.raises(NotImplementedError):
+                decode_bmp(bad)
+        assert bmp_resize(b"NOTABMP" * 20, 2) is None
+
+    def test_codec_adapter(self):
+        px = np.full((6, 4, 3), 9, dtype=np.uint8)
+        w, h, nbytes = bmp_codec(encode_bmp(px))
+        assert (w, h, nbytes) == (4, 6, 6 * 4 * 3)
+
+
+class TestWavCodec:
+    def test_roundtrip(self):
+        s = (np.sin(np.linspace(0, 20, 1000)) * 3000).astype(np.int16)
+        rate, back = decode_wav(encode_wav(s, 8000))
+        assert rate == 8000
+        assert np.array_equal(back, s)
+
+    def test_extra_chunk_tolerated(self):
+        import struct
+
+        s = np.arange(100, dtype=np.int16)
+        raw = encode_wav(s, 8000)
+        # splice a LIST chunk between fmt and data
+        extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        patched = raw[:36] + extra + raw[36:]
+        patched = patched[:4] + (len(patched) - 8).to_bytes(4, "little") \
+            + patched[8:]
+        rate, back = decode_wav(patched)
+        assert rate == 8000
+        assert np.array_equal(back, s)
+
+    def test_degrades_on_garbage(self):
+        for bad in [None, b"", b"RIFFxxxxJUNK"]:
+            with pytest.raises(NotImplementedError):
+                decode_wav(bad)
+
+    def test_extractor_batch(self):
+        s = np.full(800, 100, dtype=np.int16)
+        t = pa.table(
+            {"doc_id": pa.array([1, 2], pa.int64()),
+             "payload": pa.array([encode_wav(s, 8000), b"JUNK"],
+                                 pa.binary())}
+        )
+        out = WavFeatureExtractor()(t).to_pandas().set_index("doc_id")
+        assert bool(out.loc[1, "decoded_ok"]) and not bool(
+            out.loc[2, "decoded_ok"]
+        )
+        assert out.loc[1, "n_samples"] == 800
+        assert out.loc[1, "duration_s"] == 0.1
+        assert out.loc[1, "rms"] == 100.0
+
+
+class TestRealPipelines:
+    def test_real_decode_matches_local_recompute(self, sf_small, ray_session):
+        from job_crawler_ray.pipelines.registry import multimodal_real_decode
+        from job_crawler_ray.pipelines.textops import synth_bmp_payloads
+        from job_crawler_ray.util import read_parquet_clean
+
+        out = (
+            multimodal_real_decode(sf_small)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        docs = (
+            read_parquet_clean(
+                f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        local = synth_bmp_payloads(
+            pa.Table.from_pandas(docs, preserve_index=False)
+        )
+        ids = local["doc_id"].to_pylist()
+        for doc_id, p in zip(ids[:50], local["payload"].to_pylist()[:50]):
+            w, h, px = decode_bmp(bmp_resize(p, 2))
+            row = out.loc[doc_id]
+            assert (row["width"], row["height"]) == (w, h)
+            assert row["body_bytes"] == px.nbytes
+            assert bool(row["decoded_ok"])
+        assert out["decoded_ok"].all()
+
+    def test_audio_features_match_local_recompute(self, sf_small, ray_session):
+        from job_crawler_ray.pipelines.registry import (
+            multimodal_audio_features,
+        )
+        from job_crawler_ray.pipelines.textops import synth_wav_payloads
+        from job_crawler_ray.util import read_parquet_clean
+
+        out = (
+            multimodal_audio_features(sf_small)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        docs = (
+            read_parquet_clean(
+                f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        local = synth_wav_payloads(
+            pa.Table.from_pandas(docs, preserve_index=False)
+        )
+        ids = local["doc_id"].to_pylist()
+        for doc_id, p in zip(ids[:50], local["payload"].to_pylist()[:50]):
+            rate, s = decode_wav(p)
+            row = out.loc[doc_id]
+            assert row["sample_rate"] == rate
+            assert row["n_samples"] == len(s)
+            assert row["rms"] == round(
+                float(np.sqrt((s.astype(np.float64) ** 2).mean())), 6
+            )
+        assert out["decoded_ok"].all()
