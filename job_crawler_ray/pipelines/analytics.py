@@ -3271,6 +3271,235 @@ def t_sentence_stats(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- G7: bounded multi-source BFS -------------------------------------------------
+
+BFS_EDGE_MULTS = ((7, 3), (13, 11), (29, 17))  # independent of g3/g4/g5
+BFS_SEED_MOD = 16
+BFS_MAX_HOPS = 4
+# whole-edge-list driver tier below this; broadcast-frontier tier above
+BFS_DRIVER_EDGES = 2_000_000
+
+
+def _bfs_edges(sf_dir: str):
+    nodes = _read(sf_dir, "documents", ["doc_id"]).materialize()
+    n = nodes.count()
+
+    def gen(t: pa.Table) -> pa.Table:
+        s = t["doc_id"].to_numpy()
+        src = np.concatenate([s] * len(BFS_EDGE_MULTS))
+        dst = np.concatenate([(s * a + b) % n for a, b in BFS_EDGE_MULTS])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return nodes, nodes.map_batches(gen, batch_format="pyarrow"), n
+
+
+def g7_bfs(sf_dir: str) -> pa.Table:
+    """Multi-source BFS hop counts (≤ 4 hops) from the seed set
+    doc_id % 16 == 0 over a deterministic synthetic link graph — the
+    frontier-expansion traversal (crawl reachability, account-link
+    rings). Recursive-CTE min-hop twin.
+
+    Tiers (the pagerank pattern): below BFS_DRIVER_EDGES the edge
+    list BFS's in numpy on the driver; above it each round is one
+    map_batches over the EDGE dataset with the frontier+visited
+    broadcast as sorted node arrays (node-sized state, never
+    edge-sized; ray.put once per round) producing the next frontier
+    via searchsorted membership — K rounds = K edge passes, no joins,
+    no driver edge materialization."""
+    nodes, edges, n = _bfs_edges(sf_dir)
+    seeds = np.arange(0, n, BFS_SEED_MOD, dtype=np.int64)
+    n_edges = n * len(BFS_EDGE_MULTS)
+
+    if n_edges <= BFS_DRIVER_EDGES:
+        edf = edges.to_pandas()
+        src = edf["src"].to_numpy()
+        dst = edf["dst"].to_numpy()
+        order = np.argsort(src, kind="stable")
+        src_s, dst_s = src[order], dst[order]
+        hop_of = {int(s): 0 for s in seeds}
+        frontier = seeds
+        for hop in range(1, BFS_MAX_HOPS + 1):
+            lo = np.searchsorted(src_s, frontier, side="left")
+            hi = np.searchsorted(src_s, frontier, side="right")
+            nxt = np.unique(np.concatenate(
+                [dst_s[a:b] for a, b in zip(lo, hi)] or
+                [np.array([], np.int64)]))
+            fresh = np.asarray(
+                [v for v in nxt if int(v) not in hop_of], np.int64)
+            for v in fresh:
+                hop_of[int(v)] = hop
+            if not len(fresh):
+                break
+            frontier = fresh
+    else:
+        visited = np.sort(seeds)
+        hop_of = {int(s): 0 for s in seeds}
+        frontier = np.sort(seeds)
+        for hop in range(1, BFS_MAX_HOPS + 1):
+            fr_ref = ray.put(frontier)
+
+            def expand(t: pa.Table) -> pa.Table:
+                fr = ray.get(fr_ref)
+                s = t["src"].to_numpy()
+                d = t["dst"].to_numpy()
+                i = np.searchsorted(fr, s)
+                m = (i < len(fr)) & (fr[np.minimum(i, len(fr) - 1)] == s)
+                return pa.table({"dst": pa.array(np.unique(d[m]), pa.int64())})
+
+            nxt = (
+                edges.map_batches(expand, batch_format="pyarrow")
+                .unique("dst")
+            )
+            nxt = np.asarray(sorted(nxt), np.int64)
+            fresh = nxt[~np.isin(nxt, visited)]
+            for v in fresh:
+                hop_of[int(v)] = hop
+            if not len(fresh):
+                break
+            visited = np.sort(np.concatenate([visited, fresh]))
+            frontier = np.sort(fresh)
+
+    out = pd.DataFrame(
+        {"doc_id": sorted(hop_of),
+         "hop": [hop_of[k] for k in sorted(hop_of)]}
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["hop"] = out["hop"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- G8: common-neighbor similarity (link prediction) -------------------------------
+
+G8_MIN_COMMON = 2
+
+
+def g8_common_neighbors(sf_dir: str) -> pa.Table:
+    """Out-neighbor overlap between node pairs — the link-prediction
+    feature (common neighbors + Jaccard over fixed out-degree-3
+    neighborhoods). Wedge enumeration on the REVERSE edge direction:
+    group distinct edges by dst, emit the C(in-degree, 2) source
+    pairs per group (in-degree is exactly |mults| here; real graphs
+    need the g4 degree-orientation bound), then one (u, v) groupby
+    counts common neighbors. Only wedge pairs shuffle — never
+    neighborhoods."""
+    _, edges, n = _bfs_edges(sf_dir)
+    deg = len(BFS_EDGE_MULTS)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = np.unique(g["src"].to_numpy())
+        if len(srcs) < 2:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        iu, iv = np.triu_indices(len(srcs), k=1)
+        return pd.DataFrame({"u": srcs[iu], "v": srcs[iv],
+                             "cnt": np.ones(len(iu), np.int64)})
+
+    # distinct (src, dst) first: mult collisions must not double-count
+    distinct = (
+        edges.groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+    )
+    common = (
+        distinct.groupby("dst")
+        .map_groups(pairs, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Sum("cnt", alias_name="common"))
+        .to_pandas()
+    )
+    common = common[common["common"] >= G8_MIN_COMMON].copy()
+    common["common"] = common["common"].astype("int64")
+    # distinct out-neighbors per node is deg here (bijective mults);
+    # a collision (u has <deg distinct dsts) only shrinks the union
+    common["jaccard"] = (
+        common["common"] / (2 * deg - common["common"])
+    ).round(6)
+    out = (
+        common[["u", "v", "common", "jaccard"]]
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    out["u"] = out["u"].astype("int64")
+    out["v"] = out["v"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- W12: cohort retention ----------------------------------------------------------
+
+
+def w12_cohort_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention: users grouped by FIRST-ACTIVE day, distinct
+    active users per (cohort day, day offset) — the product-analytics
+    triangle. Three mergeable steps: per-batch distinct (user, day)
+    partials → one groupby dedups the pairs; a Min groupby reduces
+    them to per-user cohorts (user-sized, broadcast via ray.put —
+    above a cap this becomes a key-partitioned join, j5's tiering);
+    a final pass maps offsets and Sum-rolls the |cohorts × offsets|
+    cells. Raw events never shuffle; the distinct-pair table is the
+    largest exchanged object."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = (
+            df["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+            // _NS_DAY
+        )
+        g = (
+            pd.DataFrame({"user_id": df["user_id"], "day": day})
+            .drop_duplicates()
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .materialize()
+    )
+    cohort = (
+        pairs.groupby("user_id")
+        .aggregate(Min("day", alias_name="cohort"))
+        .to_pandas()
+    )
+    co_ref = ray.put(dict(zip(cohort["user_id"].astype("int64"),
+                              cohort["cohort"].astype("int64"))))
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        co = ray.get(co_ref)
+        df = t.to_pandas()
+        c = df["user_id"].map(co).to_numpy(np.int64)
+        g = (
+            pd.DataFrame(
+                {"cohort_day": time_bucket_strings(
+                    (c * _NS_DAY).astype("datetime64[ns]")),
+                 "offset_days": df["day"].to_numpy(np.int64) - c}
+            )
+            .groupby(["cohort_day", "offset_days"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        pairs.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["cohort_day", "offset_days"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+        .sort_values(["cohort_day", "offset_days"])
+        .reset_index(drop=True)
+    )
+    out["offset_days"] = out["offset_days"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -3280,6 +3509,52 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "g7_bfs": f"""
+            WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+            e AS ({" UNION ALL ".join(
+                f"SELECT doc_id AS src, (doc_id * {a} + {b}) % nn.n AS dst "
+                "FROM documents, nn"
+                for a, b in BFS_EDGE_MULTS)}),
+            bfs(node, hop) AS (
+                SELECT doc_id, 0 FROM documents
+                WHERE doc_id % {BFS_SEED_MOD} = 0
+                UNION ALL
+                SELECT e.dst, b.hop + 1
+                FROM bfs b JOIN e ON e.src = b.node
+                WHERE b.hop < {BFS_MAX_HOPS}
+            )
+            SELECT node AS doc_id, CAST(min(hop) AS BIGINT) AS hop
+            FROM bfs GROUP BY node ORDER BY doc_id
+        """,
+        "g8_common_neighbors": f"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e AS (SELECT DISTINCT src, dst FROM ({" UNION ALL ".join(
+                f"SELECT doc_id AS src, (doc_id * {a} + {b}) % nn.n AS dst "
+                "FROM documents, nn"
+                for a, b in BFS_EDGE_MULTS)}))
+            SELECT e1.src AS u, e2.src AS v,
+                   CAST(count(*) AS BIGINT) AS common,
+                   round(count(*) / (2.0 * {len(BFS_EDGE_MULTS)} - count(*)),
+                         6) AS jaccard
+            FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+            GROUP BY u, v HAVING count(*) >= {G8_MIN_COMMON}
+            ORDER BY u, v
+        """,
+        "w12_cohort_retention": """
+            WITH act AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                FROM events
+            ), fa AS (
+                SELECT user_id, min(d) AS c FROM act GROUP BY user_id
+            )
+            SELECT strftime(fa.c, '%Y-%m-%d') AS cohort_day,
+                   CAST(date_diff('day', fa.c, act.d) AS BIGINT)
+                       AS offset_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act JOIN fa USING (user_id)
+            GROUP BY cohort_day, offset_days
+            ORDER BY cohort_day, offset_days
+        """,
         "a23_mode": """
             WITH c AS (
                 SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt

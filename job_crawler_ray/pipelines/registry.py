@@ -608,7 +608,57 @@ def io5_ipc_roundtrip(sf_dir: str):
     return out
 
 
+IO6_PRICE_FLOOR = 400_000.0
+
+
+def io6_filter_pushdown(sf_dir: str):
+    """Predicate + projection pushdown AT THE READ: the totalprice
+    filter ships into the parquet fragment scan (pyarrow dataset
+    expression → row-group statistics skip non-matching row groups
+    before decode; only 2 of 6 columns decode at all), then a tiny
+    rollup. At 100 TB this is the difference between scanning the
+    table and scanning the ~2 % that qualifies — the 'prune at the
+    read' contract made an explicit, oracle-checked operator."""
+    import pyarrow.dataset as pads
+
+    from ray.data import read_parquet
+    from ray.data.aggregate import Sum
+
+    from job_crawler_ray.util import strip_meta
+
+    ds = read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"],
+        filter=pads.field("o_totalprice") > IO6_PRICE_FLOOR,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("o_orderstatus", as_index=False).agg(
+            n=("o_totalprice", "size"), revenue=("o_totalprice", "sum")
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n", alias_name="n"), Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    out["revenue"] = out["revenue"].round(2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 IO_ORACLE_SQL = {
+    "io6_filter_pushdown": f"""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders WHERE o_totalprice > {IO6_PRICE_FLOOR}
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "io5_ipc_roundtrip": """
         SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
     """,
@@ -1169,6 +1219,10 @@ def build_queries() -> dict:
             "d9_keep_best": A2.d9_keep_best,
             "w10_late_data": A2.w10_late_data,
             "a22_percentile_cont": A2.a22_percentile_cont,
+            "g7_bfs": A2.g7_bfs,
+            "g8_common_neighbors": A2.g8_common_neighbors,
+            "w12_cohort_retention": A2.w12_cohort_retention,
+            "io6_filter_pushdown": io6_filter_pushdown,
             "a23_mode": A2.a23_mode,
             "w11_first_last": A2.w11_first_last,
             "a25_grouped_stddev": A2.a25_grouped_stddev,

@@ -484,3 +484,30 @@ class TestRound4Wave3:
         assert len(dups) > 0
         assert (dups["source"] == "mirror").all()
         assert (dups["doc_id"] >= 10_000).all()
+
+
+class TestRound4Wave4:
+    def test_g7_bfs_tiers_agree(self, sf_small, ray_session):
+        """Driver-numpy and broadcast-frontier BFS tiers must emit the
+        identical hop table."""
+        import pandas as pd
+
+        from job_crawler_ray.pipelines import analytics as A
+
+        a = A.g7_bfs(sf_small).to_pandas()
+        orig = A.BFS_DRIVER_EDGES
+        try:
+            A.BFS_DRIVER_EDGES = 0
+            b = A.g7_bfs(sf_small).to_pandas()
+        finally:
+            A.BFS_DRIVER_EDGES = orig
+        pd.testing.assert_frame_equal(a, b)
+        assert (a["hop"] == 0).sum() == len(a[a["doc_id"] % 16 == 0])
+
+    def test_w11_value_key_roundtrip_extremes(self):
+        """%.17g must round-trip float64 exactly through the encoded
+        order key, including subnormals and high-precision values."""
+        import numpy as np
+
+        for v in [0.1, 1 / 3, 1e-310, 12345.678901234567, 0.0, 490.02]:
+            assert float(f"{np.float64(v):.17g}") == np.float64(v)
