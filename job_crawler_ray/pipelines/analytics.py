@@ -3500,6 +3500,71 @@ def w12_cohort_retention(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- W13: incremental aggregate maintenance ----------------------------------------
+
+W13_DELTA_MOD = 10  # event_id % 10 == 0 rows arrive as the late micro-batch
+
+
+def w13_incremental_update(sf_dir: str) -> pa.Table:
+    """Incremental aggregate maintenance: the daily (cnt, value_sum)
+    table is built from the BASE stream (event_id % 10 != 0), then a
+    late-arriving micro-batch (the % 10 == 0 rows) is folded in by
+    union-merging the two PARTIAL aggregate tables and re-reducing —
+    never re-reading the base data. The oracle is a full recompute
+    over everything, so the hash check pins delta-merge ≡ recompute:
+    the correctness property every incremental pipeline rests on.
+    Both sides are partial+Sum shapes; the merge shuffles only
+    |days| rows."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["event_id", "ts", "value"])
+
+    def split_partial(keep_delta: bool):
+        def partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            m = (df["event_id"].to_numpy(np.int64) % W13_DELTA_MOD == 0)
+            df = df[m] if keep_delta else df[~m]
+            if df.empty:
+                return pa.table(
+                    {"day": pa.array([], pa.string()),
+                     "cnt": pa.array([], pa.int64()),
+                     "value_sum": pa.array([], pa.float64())}
+                )
+            g = (
+                df.assign(day=time_bucket_strings(df["ts"]))
+                .groupby("day", as_index=False)
+                .agg(cnt=("value", "size"), value_sum=("value", "sum"))
+            )
+            return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+        return partial
+
+    def agg(part):
+        return (
+            ds.map_batches(part, batch_format="pyarrow")
+            .groupby("day")
+            .aggregate(Sum("cnt", alias_name="cnt"),
+                       Sum("value_sum", alias_name="value_sum"))
+        )
+
+    # base state materialized once (the standing aggregate table);
+    # the delta folds into it WITHOUT touching base rows again
+    base_state = agg(split_partial(False)).materialize()
+    delta = agg(split_partial(True))
+    out = (
+        base_state.union(delta)
+        .groupby("day")
+        .aggregate(Sum("cnt", alias_name="cnt"),
+                   Sum("value_sum", alias_name="value_sum"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    out["value_sum"] = out["value_sum"].astype(float).round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -3509,6 +3574,12 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "w13_incremental_update": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(value), 6) AS value_sum
+            FROM events GROUP BY day ORDER BY day
+        """,
         "g7_bfs": f"""
             WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
             e AS ({" UNION ALL ".join(

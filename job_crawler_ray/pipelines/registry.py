@@ -440,6 +440,23 @@ def s4_mixture_sample(sf_dir: str):
     return TP.mixture_sample(ds)
 
 
+def s12_repeat_upsample(sf_dir: str):
+    """Deterministic per-source data repetition (epoch upsampling)
+    with an explicit epoch column — the under-represented-source
+    repeat pass of a training mixture."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).repartition(16)
+    return TP.repeat_upsample(ds)
+
+
+def t_compress_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (redundancy quality signal —
+    boilerplate compresses, noise doesn't). Rows-only: no SQL twin
+    can zlib; local-recompute parity test instead."""
+    return TP.compress_ratio(_docs(sf_dir))
+
+
 def s8_train_val_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test split assignment
     (md5-prefix bucketing — pure per-row, leakage-stable as the
@@ -1219,6 +1236,9 @@ def build_queries() -> dict:
             "d9_keep_best": A2.d9_keep_best,
             "w10_late_data": A2.w10_late_data,
             "a22_percentile_cont": A2.a22_percentile_cont,
+            "w13_incremental_update": A2.w13_incremental_update,
+            "s12_repeat_upsample": s12_repeat_upsample,
+            "t_compress_ratio": t_compress_ratio,
             "g7_bfs": A2.g7_bfs,
             "g8_common_neighbors": A2.g8_common_neighbors,
             "w12_cohort_retention": A2.w12_cohort_retention,

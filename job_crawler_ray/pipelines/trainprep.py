@@ -1139,10 +1139,84 @@ _PII_PHONE_SQL = r"\d{3}-\d{3}-\d{4}"
 P2_SEQ_LEN = 128  # packed-sequence length of the p2 composite
 
 
+# --- data repetition / epoch upsampling -------------------------------------------
+
+REPEAT_MOD = 3  # per-source repeat factor = 1 + (source index % 3)
+
+
+def repeat_upsample(ds):
+    """Deterministic per-source data repetition (epoch upsampling):
+    each doc is emitted ``1 + (source_index % 3)`` times with an
+    explicit ``epoch`` column — the under-represented-source repeat
+    pass of a training mixture (the 'epochs over subsets' knob, cf.
+    the mixture literature). Pure per-row arithmetic: np.repeat +
+    cumsum-offset arange per batch, no state, no shuffle — stable
+    under re-partitioning, retries and resume."""
+
+    def rep(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        ids = b["doc_id"].to_numpy()
+        idx = np.asarray([int(s[3:]) for s in src], dtype=np.int64)
+        reps = 1 + (idx % REPEAT_MOD)
+        take = np.repeat(np.arange(len(ids)), reps)
+        # epoch = position within each row's repeat run
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        epoch = np.arange(reps.sum(), dtype=np.int64) - np.repeat(starts, reps)
+        return pa.table(
+            {"doc_id": pa.array(ids[take], pa.int64()),
+             "source": pa.array(src[take], pa.string()),
+             "epoch": pa.array(epoch, pa.int64())}
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow").sort(["doc_id", "epoch"])
+
+
+# --- compression-ratio quality signal ----------------------------------------------
+
+
+def compress_ratio(ds):
+    """Per-doc zlib compression ratio — the redundancy signal the
+    CCNet/Gopher-family filters use to catch boilerplate and keyboard
+    mash (highly compressible → repetitive; incompressible → noise).
+    zlib is stdlib C, deterministic at a fixed level, embarrassingly
+    parallel; rows-only (no SQL twin can zlib) with a local-recompute
+    parity test."""
+    import zlib
+
+    def ratio(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        raw = np.zeros(len(texts), np.int64)
+        comp = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            enc = (t or "").encode()
+            raw[i] = len(enc)
+            comp[i] = len(zlib.compress(enc, 6))
+        return pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()),
+             "raw_len": pa.array(raw, pa.int64()),
+             "comp_len": pa.array(comp, pa.int64()),
+             "ratio": pa.array(
+                 np.round(comp / np.maximum(raw, 1), 6), pa.float64())}
+        )
+
+    return ds.map_batches(ratio, batch_format="pyarrow").sort("doc_id")
+
+
 def trainprep_oracle_sql() -> dict[str, str]:
     _terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
     _qs = "[" + ", ".join(str(q) for q in CURRICULUM_QS) + "]"
     return {
+        "s12_repeat_upsample": f"""
+            WITH r AS (
+                SELECT doc_id, source,
+                       1 + (CAST(substr(source, 4) AS INT) % {REPEAT_MOD})
+                           AS reps
+                FROM documents
+            )
+            SELECT doc_id, source,
+                   unnest(generate_series(0, reps - 1)) AS epoch
+            FROM r ORDER BY doc_id, epoch
+        """,
         # NOTE pair split is on the RAW text's single spaces (not the
         # lowered _WS tokens): BPE operates on the corpus verbatim
         "t_bpe_pairs": f"""

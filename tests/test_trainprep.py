@@ -280,3 +280,35 @@ class TestCurriculumBins:
         assert (
             out["max_chars"].to_numpy()[:-1] <= out["min_chars"].to_numpy()[1:]
         ).all()
+
+
+class TestCompressRatio:
+    def test_matches_local_zlib(self, sf_small, ray_session):
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        from job_crawler_ray.pipelines.registry import t_compress_ratio
+
+        out = (
+            t_compress_ratio(sf_small)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        docs = (
+            pq.read_table(
+                f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(docs)
+        for i in range(0, len(docs), 37):
+            enc = (docs.loc[i, "text"] or "").encode()
+            assert out.loc[i, "raw_len"] == len(enc)
+            assert out.loc[i, "comp_len"] == len(zlib.compress(enc, 6))
+            assert out.loc[i, "ratio"] == round(
+                len(zlib.compress(enc, 6)) / max(len(enc), 1), 6
+            )
