@@ -450,6 +450,13 @@ def s12_repeat_upsample(sf_dir: str):
     return TP.repeat_upsample(ds)
 
 
+def s13_oov_rate(sf_dir: str):
+    """Per-doc out-of-vocabulary ppm vs the global top-50 vocab —
+    tokenizer-fit QA (vocab shuffle moves word counts only; the
+    per-doc pass is stateless with the vocab broadcast)."""
+    return TP.oov_rate(_docs(sf_dir))
+
+
 def t_compress_ratio(sf_dir: str):
     """Per-doc zlib compression ratio (redundancy quality signal —
     boilerplate compresses, noise doesn't). Rows-only: no SQL twin
@@ -1238,6 +1245,7 @@ def build_queries() -> dict:
             "a22_percentile_cont": A2.a22_percentile_cont,
             "w13_incremental_update": A2.w13_incremental_update,
             "s12_repeat_upsample": s12_repeat_upsample,
+            "s13_oov_rate": s13_oov_rate,
             "t_compress_ratio": t_compress_ratio,
             "g7_bfs": A2.g7_bfs,
             "g8_common_neighbors": A2.g8_common_neighbors,

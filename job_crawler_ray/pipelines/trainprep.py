@@ -1139,6 +1139,47 @@ _PII_PHONE_SQL = r"\d{3}-\d{3}-\d{4}"
 P2_SEQ_LEN = 128  # packed-sequence length of the p2 composite
 
 
+# --- tokenizer-fit QA: out-of-vocabulary rate --------------------------------------
+
+OOV_VOCAB_K = 50
+
+
+def oov_rate(ds, k: int = OOV_VOCAB_K, text_col: str = "text"):
+    """Per-doc out-of-vocabulary rate against the global top-k
+    vocabulary — the tokenizer-fit QA pass (how much of each doc a
+    candidate vocab covers; docs with high OOV are the ones a
+    tokenizer will shred). Two passes: the vocab_topk shuffle (word
+    counts only), then a stateless per-doc pass with the k-word vocab
+    broadcast via ray.put and membership by searchsorted on the
+    sorted array. Rates are exact integer ppm (the house _ppm
+    encoding — float-free twin)."""
+    vdf = vocab_topk(ds, k, text_col).to_pandas()
+    vocab = np.sort(np.asarray(vdf["word"], dtype=object))
+    vref = ray.put(vocab)
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        flat, doc_of, ndocs = _words_flat(b[text_col])
+        words = np.asarray(flat.to_pylist(), dtype=object)
+        if len(words):
+            i = np.searchsorted(v, words)
+            inv = (i < len(v)) & (v[np.minimum(i, len(v) - 1)] == words)
+        else:
+            inv = np.zeros(0, dtype=bool)
+        n_tok = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        n_oov = np.bincount(
+            doc_of, weights=(~inv).astype(np.float64), minlength=ndocs
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()),
+             "n_tok": pa.array(n_tok, pa.int64()),
+             "n_oov": pa.array(n_oov, pa.int64()),
+             "oov_ppm": pa.array(_ppm(n_oov, n_tok), pa.int64())}
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow").sort("doc_id")
+
+
 # --- data repetition / epoch upsampling -------------------------------------------
 
 REPEAT_MOD = 3  # per-source repeat factor = 1 + (source index % 3)
@@ -1206,6 +1247,28 @@ def trainprep_oracle_sql() -> dict[str, str]:
     _terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
     _qs = "[" + ", ".join(str(q) for q in CURRICULUM_QS) + "]"
     return {
+        "s13_oov_rate": rf"""
+            WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+            tok AS (SELECT doc_id, ws[t.i] AS word
+                    FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)),
+            v AS (SELECT word FROM (
+                    SELECT word, count(*) AS cnt FROM tok
+                    GROUP BY word ORDER BY cnt DESC, word ASC
+                    LIMIT {OOV_VOCAB_K})),
+            per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                           CAST(sum(CASE WHEN word IN (SELECT word FROM v)
+                                         THEN 0 ELSE 1 END) AS BIGINT)
+                               AS n_oov
+                    FROM tok GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tok, 0) AS BIGINT) AS n_tok,
+                   CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+                   CAST(coalesce(p.n_oov, 0) * 1000000
+                        // greatest(coalesce(p.n_tok, 0), 1) AS BIGINT)
+                       AS oov_ppm
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "s12_repeat_upsample": f"""
             WITH r AS (
                 SELECT doc_id, source,
