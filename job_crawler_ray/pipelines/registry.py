@@ -632,6 +632,73 @@ def io5_ipc_roundtrip(sf_dir: str):
     return out
 
 
+IO7_PARTS = 8
+
+
+def _io7_write_missing(ds_keyed, out_dir: str, upto: int | None = None):
+    """Write every partition whose completion marker is absent, then
+    mark it — atomic tmp+rename markers, the checkpoint.py contract.
+    ONE filtered pass writes all missing partitions together (hive
+    layout, partition_cols), so resume cost scales with the MISSING
+    data, not the finished data."""
+    done = {
+        int(f.split(".")[-1])
+        for f in os.listdir(out_dir)
+        if f.startswith("_DONE.")
+    }
+    todo = [k for k in range(IO7_PARTS) if k not in done
+            and (upto is None or k < upto)]
+    if not todo:
+        return done
+    todo_arr = np.asarray(todo, dtype=np.int64)
+    part = ds_keyed.map_batches(
+        lambda t, ta=todo_arr: t.filter(
+            pa.compute.is_in(t["part"], value_set=pa.array(ta))
+        ),
+        batch_format="pyarrow",
+    )
+    part.write_parquet(out_dir, partition_cols=["part"])
+    for k in todo:
+        tmp = os.path.join(out_dir, f"._DONE.{k}.tmp")
+        with open(tmp, "w") as f:
+            f.write("done")
+        os.replace(tmp, os.path.join(out_dir, f"_DONE.{k}"))
+    return done | set(todo)
+
+
+def io7_resumable_write(sf_dir: str):
+    """Resumable partitioned sink, demonstrated END TO END: the
+    'failed run skips finished partitions' contract the 100 TB output
+    layout exists for. Pass 1 writes partitions 0-3 of the
+    doc_id%%8 hive layout and 'crashes' (deterministic truncation);
+    pass 2 lists the atomic per-partition completion markers, filters
+    the INPUT to the 4 missing partitions only (resume cost ∝ missing
+    data) and completes the sink. The twin reads the original table —
+    equality proves a resumed sink is indistinguishable from an
+    uninterrupted one. The no-rewrite property (finished partition
+    files untouched by resume) is pinned by test."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).repartition(4)
+
+    def key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(t["doc_id"].to_numpy() % IO7_PARTS, pa.int64())
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow").materialize()
+    out_dir = scratch_dir("jcr_resume_")
+    _io7_write_missing(keyed, out_dir, upto=4)   # interrupted run
+    _io7_write_missing(keyed, out_dir)           # resume completes it
+    back = read_parquet_clean(out_dir)
+    out = back.select_columns(
+        ["doc_id", "text", "lang", "source"]
+    ).sort("doc_id").materialize()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
 IO6_PRICE_FLOOR = 400_000.0
 
 
@@ -684,6 +751,9 @@ IO_ORACLE_SQL = {
         GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "io5_ipc_roundtrip": """
+        SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
+    """,
+    "io7_resumable_write": """
         SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
     """,
     "io1_jsonl_roundtrip": """
@@ -1251,6 +1321,7 @@ def build_queries() -> dict:
             "g8_common_neighbors": A2.g8_common_neighbors,
             "w12_cohort_retention": A2.w12_cohort_retention,
             "io6_filter_pushdown": io6_filter_pushdown,
+            "io7_resumable_write": io7_resumable_write,
             "a23_mode": A2.a23_mode,
             "w11_first_last": A2.w11_first_last,
             "a25_grouped_stddev": A2.a25_grouped_stddev,

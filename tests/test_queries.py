@@ -665,3 +665,58 @@ class TestKmeans:
         m = np.vstack(idx["embedding"].to_numpy()).astype(np.float64)
         m = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
         assert (np.argmax(m @ cent.T, axis=1) == idx["ivf_cell"].to_numpy()).all()
+
+
+class TestResumableWrite:
+    def test_resume_skips_finished_partitions(self, sf_small, ray_session):
+        """After the interrupted pass, partition files 0-3 must NOT be
+        rewritten by the resume (same inode set), and the resumed sink
+        must contain every row exactly once."""
+        import os
+
+        from job_crawler_ray.pipelines.registry import (
+            IO7_PARTS,
+            _io7_write_missing,
+        )
+        from job_crawler_ray.util import read_parquet_clean, scratch_dir
+
+        import pyarrow as pa
+
+        ds = read_parquet_clean(
+            f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+        ).repartition(4)
+
+        def key(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "part",
+                pa.array(t["doc_id"].to_numpy() % IO7_PARTS, pa.int64()),
+            )
+
+        keyed = ds.map_batches(key, batch_format="pyarrow").materialize()
+        out_dir = scratch_dir("jcr_resume_test_")
+        try:
+            done1 = _io7_write_missing(keyed, out_dir, upto=4)
+            assert done1 == {0, 1, 2, 3}
+
+            def snapshot():
+                snap = {}
+                for k in range(4):
+                    pdir = os.path.join(out_dir, f"part={k}")
+                    for f in os.listdir(pdir):
+                        st = os.stat(os.path.join(pdir, f))
+                        snap[(k, f)] = (st.st_ino, st.st_mtime_ns, st.st_size)
+                return snap
+
+            before = snapshot()
+            done2 = _io7_write_missing(keyed, out_dir)
+            assert done2 == set(range(IO7_PARTS))
+            assert snapshot() == before  # finished partitions untouched
+
+            back = read_parquet_clean(out_dir).to_pandas()
+            ids = sorted(back["doc_id"])
+            want = sorted(keyed.to_pandas()["doc_id"])
+            assert ids == want  # every row exactly once
+        finally:
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
