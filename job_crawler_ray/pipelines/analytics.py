@@ -3174,6 +3174,39 @@ def j15_scd2_pit(sf_dir: str) -> pa.Table:
 
 CHUNK_WIDTH = 200
 CHUNK_STRIDE = 150
+P3_LEN_LO, P3_LEN_HI = 100, 450  # p3 composite's length-window gate
+
+
+def chunk_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, text) batch → overlapping (doc_id, chunk_id,
+    chunk_len, head) chunk rows. Chunk k of every doc shares the same
+    (start, stop) offsets, so the loop is over CHUNK INDICES (≤
+    maxlen/stride), each one vectorized pandas str.slice."""
+    df = t.to_pandas()
+    txt = df["text"].fillna("")
+    ln = txt.str.len().to_numpy(np.int64)
+    n_chunks = np.where(
+        ln <= CHUNK_WIDTH,
+        1,
+        1 + np.ceil((ln - CHUNK_WIDTH) / CHUNK_STRIDE).astype(np.int64),
+    )
+    parts = []
+    for k in range(int(n_chunks.max()) if len(n_chunks) else 0):
+        m = n_chunks > k
+        sub = txt[m].str.slice(k * CHUNK_STRIDE,
+                               k * CHUNK_STRIDE + CHUNK_WIDTH)
+        parts.append(pd.DataFrame(
+            {"doc_id": df.loc[m, "doc_id"].to_numpy(np.int64),
+             "chunk_id": np.int64(k),
+             "chunk_len": sub.str.len().to_numpy(np.int64),
+             "head": sub.str.slice(0, 16)}))
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "chunk_id": pa.array([], pa.int64()),
+                         "chunk_len": pa.array([], pa.int64()),
+                         "head": pa.array([], pa.string())})
+    return strip_meta(pa.Table.from_pandas(
+        pd.concat(parts, ignore_index=True), preserve_index=False))
 
 
 def t_chunk_overlap(sf_dir: str) -> pa.Table:
@@ -3190,35 +3223,8 @@ def t_chunk_overlap(sf_dir: str) -> pa.Table:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(strip_meta, batch_format="pyarrow").repartition(8)
 
-    def chunks(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        txt = df["text"].fillna("")
-        ln = txt.str.len().to_numpy(np.int64)
-        n_chunks = np.where(
-            ln <= CHUNK_WIDTH,
-            1,
-            1 + np.ceil((ln - CHUNK_WIDTH) / CHUNK_STRIDE).astype(np.int64),
-        )
-        parts = []
-        for k in range(int(n_chunks.max()) if len(n_chunks) else 0):
-            m = n_chunks > k
-            sub = txt[m].str.slice(k * CHUNK_STRIDE,
-                                   k * CHUNK_STRIDE + CHUNK_WIDTH)
-            parts.append(pd.DataFrame(
-                {"doc_id": df.loc[m, "doc_id"].to_numpy(np.int64),
-                 "chunk_id": np.int64(k),
-                 "chunk_len": sub.str.len().to_numpy(np.int64),
-                 "head": sub.str.slice(0, 16)}))
-        if not parts:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "chunk_id": pa.array([], pa.int64()),
-                             "chunk_len": pa.array([], pa.int64()),
-                             "head": pa.array([], pa.string())})
-        return strip_meta(pa.Table.from_pandas(
-            pd.concat(parts, ignore_index=True), preserve_index=False))
-
     out = (
-        ds.map_batches(chunks, batch_format="pyarrow")
+        ds.map_batches(chunk_batch, batch_format="pyarrow")
         .to_pandas()
         .sort_values(["doc_id", "chunk_id"])
         .reset_index(drop=True)
@@ -3574,6 +3580,35 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "p3_rag_chunk_prep": f"""
+            WITH dedup AS (
+              SELECT doc_id, coalesce(text, '') AS txt FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY coalesce(text, '')
+                                          ORDER BY doc_id) AS rnk
+                FROM documents) WHERE rnk = 1
+            ), g AS (
+              SELECT doc_id, txt FROM dedup
+              WHERE length(txt) BETWEEN {P3_LEN_LO} AND {P3_LEN_HI}
+            ), ch AS (
+              SELECT doc_id, txt,
+                     unnest(generate_series(0, greatest(0, CAST(ceil(
+                         (length(txt) - {CHUNK_WIDTH})
+                         / {CHUNK_STRIDE}.0) AS BIGINT)))) AS chunk_id
+              FROM g
+            )
+            SELECT doc_id, chunk_id,
+                   length(substr(txt,
+                                 1 + CAST(chunk_id AS INT) * {CHUNK_STRIDE},
+                                 {CHUNK_WIDTH})) AS chunk_len,
+                   substr(txt, 1 + CAST(chunk_id AS INT) * {CHUNK_STRIDE},
+                          16) AS head,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                        || CAST(chunk_id AS VARCHAR)), 1, 8)
+                             < 'cccccccc'
+                        THEN 'train' ELSE 'val' END AS split
+            FROM ch ORDER BY doc_id, chunk_id
+        """,
         "w13_incremental_update": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    CAST(count(*) AS BIGINT) AS cnt,

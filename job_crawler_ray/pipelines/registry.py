@@ -233,6 +233,55 @@ def p2_webtext_prep(sf_dir: str):
     return T.pack_sequences(sampled, seq_len=TP.P2_SEQ_LEN)
 
 
+def p3_rag_chunk_prep(sf_dir: str):
+    """End-to-end RAG-INDEX prep composite, every stage individually
+    oracle-proven and the composition value-hash-checked:
+
+      exact-text dedup (min-id) → length-window quality gate
+      (100–450 chars) → overlapping chunking (200/150) →
+      deterministic per-chunk train/val assignment (md5 hex
+      threshold, leakage-stable).
+
+    Dedup is the only shuffle; gate/chunk/split are stateless per-row
+    kernels — the chunk table streams straight to the index builder."""
+    from job_crawler_ray.stages.dedup import dedup_exact_text
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)
+    deduped = dedup_exact_text(docs).drop_columns(["text_key"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        ln = pa.compute.utf8_length(pa.compute.fill_null(t["text"], ""))
+        keep = pa.compute.and_(
+            pa.compute.greater_equal(ln, A2.P3_LEN_LO),
+            pa.compute.less_equal(ln, A2.P3_LEN_HI),
+        )
+        return t.filter(keep)
+
+    chunks = (
+        deduped.map_batches(gate, batch_format="pyarrow")
+        .map_batches(A2.chunk_batch, batch_format="pyarrow")
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        cks = t["chunk_id"].to_numpy()
+        keys = TP._md5_hex(
+            np.asarray([f"{i}:{c}" for i, c in zip(ids, cks)], dtype=object)
+        )
+        k8 = np.asarray([k[:8] for k in keys], dtype=object)
+        split = np.where(k8 < TP.SPLIT_TRAIN_HEX, "train", "val")
+        return t.append_column("split", pa.array(split, pa.string()))
+
+    out = (
+        chunks.map_batches(assign, batch_format="pyarrow")
+        .sort(["doc_id", "chunk_id"])
+        .materialize()
+    )
+    return out
+
+
 def s2_pack_sequences(sf_dir: str):
     """Training-data last mile: the corpus token stream (docs in id
     order) packed into fixed-length sequences of 128 whitespace
@@ -1222,6 +1271,7 @@ def build_queries() -> dict:
             "s2_pack_sequences": s2_pack_sequences,
             "p1_training_data_prep": p1_training_data_prep,
             "p2_webtext_prep": p2_webtext_prep,
+            "p3_rag_chunk_prep": p3_rag_chunk_prep,
             "t_token_count": t_token_count,
             "t_token_count_bpe": t_token_count_bpe,
             "t_quality_score": t_quality_score,
