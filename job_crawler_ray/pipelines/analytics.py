@@ -3571,6 +3571,105 @@ def w13_incremental_update(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- J16: spatial grid radius join ---------------------------------------------------
+
+J16_EPS = 0.05
+_J16_OFF = 1 << 20  # cell-coordinate offset so packed keys stay positive
+
+
+def j16_spatial_grid_join(sf_dir: str) -> pa.Table:
+    """All point pairs within L2 distance ε over the first two
+    embedding dims — the radius self-join (geo joins, collision
+    checks, cluster seeding), gridded: ε-sized cells, each point a
+    HOME row in its own cell and a GHOST row in the 8 neighbors, so
+    any qualifying pair co-locates in ≥1 cell. Dedup rule: a pair is
+    emitted only in the LEXICOGRAPHICALLY SMALLEST of its two home
+    cells (ghost rows carry their home-cell key), so cross-cell pairs
+    appear exactly once. Per-cell work is a numpy broadcast over
+    O(points-per-cell²) — bounded by the grid, never corpus-sized;
+    output is linear in qualifying pairs. The oracle is the naive
+    O(n²) cross join. Coordinates are f32 widened to f64 on BOTH
+    sides (exact), so distances are bit-identical to the twin's."""
+    from job_crawler_ray.util import read_parquet_clean
+
+    eps = J16_EPS
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).repartition(8)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks() if isinstance(
+            t["embedding"], pa.ChunkedArray) else t["embedding"]
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        width = len(flat) // max(t.num_rows, 1) if t.num_rows else 0
+        xy = flat.reshape(t.num_rows, width)[:, :2].astype(np.float64) \
+            if t.num_rows else np.zeros((0, 2))
+        ids = t["vec_id"].to_numpy()
+        cx = np.floor(xy[:, 0] / eps).astype(np.int64) + _J16_OFF
+        cy = np.floor(xy[:, 1] / eps).astype(np.int64) + _J16_OFF
+        home = (cx << 21) | cy
+        rows = {"cell": [], "home": [], "vec_id": [], "x": [], "y": [],
+                "is_home": []}
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cell = ((cx + dx) << 21) | (cy + dy)
+                rows["cell"].append(cell)
+                rows["home"].append(home)
+                rows["vec_id"].append(ids)
+                rows["x"].append(xy[:, 0])
+                rows["y"].append(xy[:, 1])
+                rows["is_home"].append(
+                    np.full(len(ids), dx == 0 and dy == 0))
+        return pa.table(
+            {"cell": pa.array(np.concatenate(rows["cell"]), pa.int64()),
+             "home": pa.array(np.concatenate(rows["home"]), pa.int64()),
+             "vec_id": pa.array(np.concatenate(rows["vec_id"]), pa.int64()),
+             "x": pa.array(np.concatenate(rows["x"]), pa.float64()),
+             "y": pa.array(np.concatenate(rows["y"]), pa.float64()),
+             "is_home": pa.array(np.concatenate(rows["is_home"]),
+                                 pa.bool_())}
+        )
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["cell"].iloc[0])
+        h = g[g["is_home"]]
+        if h.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="float64")})
+        hx = h["x"].to_numpy(); hy = h["y"].to_numpy()
+        hid = h["vec_id"].to_numpy(np.int64)
+        ax = g["x"].to_numpy(); ay = g["y"].to_numpy()
+        aid = g["vec_id"].to_numpy(np.int64)
+        ahome = g["home"].to_numpy(np.int64)
+        d2 = (hx[:, None] - ax[None, :]) ** 2 + (hy[:, None] - ay[None, :]) ** 2
+        ok = d2 < J16_EPS * J16_EPS
+        # same-cell pairs once (id order); cross-cell pairs only in the
+        # smaller home cell (ghost home > this cell)
+        same = ahome[None, :] == cell
+        ok &= np.where(same, hid[:, None] < aid[None, :],
+                       ahome[None, :] > cell)
+        ii, jj = np.nonzero(ok)
+        a = np.minimum(hid[ii], aid[jj])
+        b = np.maximum(hid[ii], aid[jj])
+        return pd.DataFrame(
+            {"a": a, "b": b, "dist": np.sqrt(d2[ii, jj])})
+
+    out = (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    out["dist"] = out["dist"].round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -3580,6 +3679,22 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "j16_spatial_grid_join": f"""
+            WITH p AS (
+                SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+                       CAST(embedding[2] AS DOUBLE) AS y
+                FROM embeddings
+            )
+            SELECT p1.vec_id AS a, p2.vec_id AS b,
+                   round(sqrt((p1.x - p2.x) * (p1.x - p2.x)
+                              + (p1.y - p2.y) * (p1.y - p2.y)), 6) AS dist
+            FROM p p1 JOIN p p2
+              ON p1.vec_id < p2.vec_id
+             AND (p1.x - p2.x) * (p1.x - p2.x)
+                 + (p1.y - p2.y) * (p1.y - p2.y)
+                 < {J16_EPS} * {J16_EPS}
+            ORDER BY a, b
+        """,
         "p3_rag_chunk_prep": f"""
             WITH dedup AS (
               SELECT doc_id, coalesce(text, '') AS txt FROM (

@@ -1364,6 +1364,7 @@ def build_queries() -> dict:
             "w10_late_data": A2.w10_late_data,
             "a22_percentile_cont": A2.a22_percentile_cont,
             "w13_incremental_update": A2.w13_incremental_update,
+            "j16_spatial_grid_join": A2.j16_spatial_grid_join,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
             "t_compress_ratio": t_compress_ratio,
