@@ -3670,6 +3670,71 @@ def j16_spatial_grid_join(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- U4: schema-evolution union (by name) --------------------------------------------
+
+
+def union_by_name(ds_a, ds_b):
+    """UNION two Datasets whose schemas differ in column ORDER and
+    PRESENCE (schema evolution across table generations): the union
+    schema is a's columns then b's novel ones; each side fills its
+    missing columns with typed nulls (types taken from the side that
+    has them) and reorders — per-batch Arrow ops, zero-copy for the
+    columns that exist. Ray's Dataset.union requires identical
+    schemas; this is the by-name adapter every multi-generation lake
+    read needs."""
+    sa, sb = ds_a.schema(), ds_b.schema()
+    ta = dict(zip(sa.names, sa.types))
+    tb = dict(zip(sb.names, sb.types))
+    cols = list(ta) + [c for c in tb if c not in ta]
+    types = {**tb, **ta}  # a wins where both have the column
+
+    def conform(t: pa.Table) -> pa.Table:
+        arrays = []
+        for c in cols:
+            if c in t.column_names:
+                arrays.append(t[c].cast(types[c]))
+            else:
+                arrays.append(pa.nulls(t.num_rows, type=types[c]))
+        return pa.table(dict(zip(cols, arrays)))
+
+    return ds_a.map_batches(conform, batch_format="pyarrow").union(
+        ds_b.map_batches(conform, batch_format="pyarrow")
+    )
+
+
+def u4_union_by_name(sf_dir: str) -> pa.Table:
+    """Two 'generations' of the documents table — gen1 (doc_id, text,
+    lang, source) for even ids, gen2 a REORDERED SUBSET (source,
+    doc_id, n_chars) for odd ids — unioned by name with typed-null
+    fill; the UNION ALL BY NAME twin pins the semantics."""
+    from job_crawler_ray.util import read_parquet_clean
+
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).repartition(8)
+    gen1 = base.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        ).select(["doc_id", "text", "lang", "source"]),
+        batch_format="pyarrow",
+    )
+    gen2 = base.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)
+        ).select(["source", "doc_id", "n_chars"]),
+        batch_format="pyarrow",
+    )
+    out = (
+        union_by_name(gen1, gen2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -3679,6 +3744,15 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "u4_union_by_name": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+                SELECT doc_id, text, lang, source FROM documents
+                WHERE doc_id % 2 = 0
+                UNION ALL BY NAME
+                SELECT source, doc_id, n_chars FROM documents
+                WHERE doc_id % 2 = 1
+            ) ORDER BY doc_id
+        """,
         "j16_spatial_grid_join": f"""
             WITH p AS (
                 SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,

@@ -1365,6 +1365,8 @@ def build_queries() -> dict:
             "a22_percentile_cont": A2.a22_percentile_cont,
             "w13_incremental_update": A2.w13_incremental_update,
             "j16_spatial_grid_join": A2.j16_spatial_grid_join,
+            "u4_union_by_name": A2.u4_union_by_name,
+            "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
             "t_compress_ratio": t_compress_ratio,

@@ -294,6 +294,130 @@ def j4_asof_join(sf_dir: str) -> pa.Table:
     return out
 
 
+def j17_asof_forward(sf_dir: str) -> pa.Table:
+    """FORWARD as-of join: each purchase ⟵ the same user's EARLIEST
+    click at or after it (next-touch attribution) — j4's mirror, same
+    hot-key-bounded two-level plan. In-bucket ``merge_asof
+    direction='forward'`` resolves same-bucket purchases; each bucket
+    emits ONE summary row carrying its MIN click ts, and the open
+    purchases are filled from the per-user SUFFIX-min of bucket
+    minima (a click in any LATER bucket is ≥ every ts in earlier
+    buckets). Group sizes stay ≤ #buckets + open count at any skew."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    bucket_ns = ASOF_BUCKET_HOURS * 3_600_000_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = t["ts"].cast(pa.int64()).to_numpy() // bucket_ns
+        return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+    _empty = {
+        "user_id": pd.Series([], dtype="int64"),
+        "_bucket": pd.Series([], dtype="int64"),
+        "_kind": pd.Series([], dtype="int64"),  # 0 summary, 1 resolved, 2 open
+        "purchase_id": pd.Series([], dtype="int64"),
+        "purchase_ts": pd.Series([], dtype="datetime64[ns]"),
+        "next_click_ts": pd.Series([], dtype="datetime64[ns]"),
+    }
+
+    def local_fwd(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        uid = int(g["user_id"].iloc[0])
+        bkt = int(g["_bucket"].iloc[0])
+        p = g[g["event_type"] == "purchase"]
+        c = g[g["event_type"] == "click"]
+        parts = []
+        if not c.empty:
+            parts.append(
+                pd.DataFrame(
+                    {"user_id": [uid], "_bucket": [bkt], "_kind": [0],
+                     "purchase_id": [0], "purchase_ts": [pd.NaT],
+                     "next_click_ts": [c["ts"].iloc[0]]}
+                )
+            )
+        if not p.empty:
+            merged = pd.merge_asof(
+                p[["event_id", "ts"]].rename(columns={"ts": "purchase_ts"}),
+                c[["ts"]].rename(columns={"ts": "click_ts"}),
+                left_on="purchase_ts",
+                right_on="click_ts",
+                direction="forward",
+            )
+            parts.append(
+                pd.DataFrame(
+                    {"user_id": uid, "_bucket": bkt,
+                     "_kind": np.where(merged["click_ts"].isna(), 2, 1),
+                     "purchase_id": merged["event_id"].astype("int64"),
+                     "purchase_ts": merged["purchase_ts"],
+                     "next_click_ts": merged["click_ts"]}
+                )
+            )
+        if not parts:
+            return pd.DataFrame(_empty)
+        return pd.concat(parts, ignore_index=True)
+
+    level1 = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "_bucket"])
+        .map_groups(local_fwd, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .materialize()
+    )
+    resolved = level1.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["_kind"], 1)),
+        batch_format="pyarrow",
+    )
+
+    def fill_open(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["_kind"] == 0].sort_values("_bucket")
+        o = g[g["_kind"] == 2]
+        if o.empty:
+            return pd.DataFrame(_empty)
+        filled = np.full(len(o), np.datetime64("NaT", "ns"))
+        if not s.empty:
+            sb = s["_bucket"].to_numpy()
+            mins = pd.to_datetime(s["next_click_ts"]).to_numpy()
+            sufmin = np.minimum.accumulate(mins[::-1])[::-1]
+            idx = np.searchsorted(sb, o["_bucket"].to_numpy(), side="right")
+            has = idx < len(sb)
+            filled[has] = sufmin[idx[has]]
+        return pd.DataFrame(
+            {"user_id": o["user_id"].astype("int64").to_numpy(),
+             "_bucket": o["_bucket"].astype("int64").to_numpy(),
+             "_kind": np.ones(len(o), dtype=np.int64),
+             "purchase_id": o["purchase_id"].astype("int64").to_numpy(),
+             "purchase_ts": pd.to_datetime(o["purchase_ts"]).to_numpy(),
+             "next_click_ts": filled}
+        )
+
+    filled = (
+        level1.map_batches(
+            lambda t: t.filter(pa.compute.not_equal(t["_kind"], 1)),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .map_groups(fill_open, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+    )
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        p_ts = pd.to_datetime(df["purchase_ts"])
+        c_ts = pd.to_datetime(df["next_click_ts"])
+        return pd.DataFrame(
+            {"purchase_id": df["purchase_id"].astype("int64"),
+             "user_id": df["user_id"].astype("int64"),
+             "purchase_ts": p_ts.dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+             "next_click_ts": c_ts.dt.strftime(
+                 "%Y-%m-%d %H:%M:%S.%f").fillna("")}
+        )
+
+    return (
+        resolved.union(filled)
+        .map_batches(fmt, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .sort("purchase_id")
+    )
+
+
 RANGE_BUCKET_HOURS = 6  # must be ≥ RANGE_JOIN_HOURS for ±1-bucket overlap
 
 
@@ -592,6 +716,17 @@ WINDOW_SQL = {
                     WHERE c.user_id = p.user_id AND c.event_type = 'click'
                       AND c.ts <= p.ts),
                    '%Y-%m-%d %H:%M:%S.%f'), '') AS last_click_ts
+        FROM events p WHERE p.event_type = 'purchase'
+        ORDER BY purchase_id
+    """,
+    "j17_asof_forward": """
+        SELECT p.event_id AS purchase_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               coalesce(strftime(
+                   (SELECT min(c.ts) FROM events c
+                    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                      AND c.ts >= p.ts),
+                   '%Y-%m-%d %H:%M:%S.%f'), '') AS next_click_ts
         FROM events p WHERE p.event_type = 'purchase'
         ORDER BY purchase_id
     """,

@@ -125,3 +125,11 @@ def test_w9_moving_avg_hot_user_matches_oracle(skew_dir, ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want, check_dtype=False
     )
+
+
+def test_j17_asof_forward_hot_user_matches_oracle(skew_dir, ray_session):
+    got = W.j17_asof_forward(skew_dir).to_pandas()
+    want = _oracle(skew_dir, "j17_asof_forward")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
