@@ -3735,6 +3735,93 @@ def u4_union_by_name(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- S14: dataset card --------------------------------------------------------------
+
+
+def s14_dataset_card(sf_dir: str) -> pa.Table:
+    """One-row corpus summary card — the stats block a dataset release
+    ships (docs, whitespace tokens, exact-distinct texts, languages,
+    median/p90 length, duplicate ppm). Three bounded passes:
+
+    1. scalar partials (docs, tokens) + a LENGTH HISTOGRAM as (len,
+       cnt) rows — lengths are bounded, so exact quantile_disc
+       order statistics read straight off the merged bincount (no
+       selection rounds, no sort);
+    2. distinct texts exactly, via per-batch unique xxh64 partials →
+       one hash groupby (the a18/d1 64-bit-collision-free claim);
+    3. distinct langs (a ≤ |langs| unique).
+
+    Duplicate rate is exact integer ppm of (docs − unique)/docs."""
+    from job_crawler_ray.hashing import xxh64_array
+    from job_crawler_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(strip_meta, batch_format="pyarrow").repartition(8)
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_pandas().fillna("")
+        ln = txt.str.len().to_numpy(np.int64)
+        ntok = txt.str.split().str.len().fillna(0).astype("int64").sum()
+        uniq, cnt = np.unique(ln, return_counts=True)
+        out = pd.DataFrame(
+            {"len": np.concatenate(([-1], uniq)),
+             "cnt": np.concatenate(([len(ln)], cnt)),
+             "tok": np.concatenate(([int(ntok)], np.zeros(len(uniq),
+                                                          np.int64)))}
+        )
+        return strip_meta(pa.Table.from_pandas(out, preserve_index=False))
+
+    hist = (
+        ds.map_batches(scalar_partial, batch_format="pyarrow")
+        .groupby("len")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("tok", alias_name="tok"))
+        .to_pandas()
+        .sort_values("len")
+        .reset_index(drop=True)
+    )
+    n_docs = int(hist.loc[hist["len"] == -1, "cnt"].iloc[0])
+    n_tokens = int(hist["tok"].sum())
+    lens = hist[hist["len"] >= 0]
+    cum = lens["cnt"].cumsum().to_numpy()
+
+    def qdisc(q: float) -> int:
+        k = max(0, int(np.ceil(q * n_docs)) - 1)
+        return int(lens["len"].to_numpy()[np.searchsorted(cum, k + 1)])
+
+    uniq_texts = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {"h": pc.unique(pa.array(
+                    xxh64_array(t["text"].to_pandas().fillna("")).view(
+                        np.int64)))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("h")
+        .aggregate(Count(alias_name="_m"))
+        .count()
+    )
+    n_langs = len(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"lang": pc.unique(pc.fill_null(t["lang"], ""))}
+            ),
+            batch_format="pyarrow",
+        ).unique("lang")
+    )
+    dup_ppm = int((n_docs - uniq_texts) * 1_000_000 // max(n_docs, 1))
+    return pa.table(
+        {"n_docs": pa.array([n_docs], pa.int64()),
+         "n_tokens": pa.array([n_tokens], pa.int64()),
+         "n_unique_texts": pa.array([int(uniq_texts)], pa.int64()),
+         "n_langs": pa.array([n_langs], pa.int64()),
+         "median_len": pa.array([qdisc(0.5)], pa.int64()),
+         "p90_len": pa.array([qdisc(0.9)], pa.int64()),
+         "dup_ppm": pa.array([dup_ppm], pa.int64())}
+    )
+
+
 # --- oracle twins -------------------------------------------------------------
 
 
@@ -3744,6 +3831,23 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "s14_dataset_card": r"""
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(
+                       regexp_split_to_array(text, '\s+'),
+                       x -> x <> ''))) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT coalesce(text, '')) AS BIGINT)
+                       AS n_unique_texts,
+                   CAST(count(DISTINCT coalesce(lang, '')) AS BIGINT)
+                       AS n_langs,
+                   CAST(quantile_disc(length(coalesce(text, '')), 0.5)
+                        AS BIGINT) AS median_len,
+                   CAST(quantile_disc(length(coalesce(text, '')), 0.9)
+                        AS BIGINT) AS p90_len,
+                   CAST((count(*) - count(DISTINCT coalesce(text, '')))
+                        * 1000000 // count(*) AS BIGINT) AS dup_ppm
+            FROM documents
+        """,
         "u4_union_by_name": """
             SELECT doc_id, text, lang, source, n_chars FROM (
                 SELECT doc_id, text, lang, source FROM documents
