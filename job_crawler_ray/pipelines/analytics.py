@@ -3735,6 +3735,166 @@ def u4_union_by_name(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- A24: grouped interpolated percentiles ------------------------------------------
+
+
+def a24_grouped_percentile_cont(sf_dir: str) -> pa.Table:
+    """PERCENTILE_CONT over GROUPS for a q-set — the full
+    generalization of the selection machinery (a16: grouped, one
+    discrete rank; a22: global, rank set; here: |groups| × |ranks|
+    order statistics at once). Selection state is keyed (group,
+    rank); every pass is ONE corpus scan serving all live states,
+    with per-batch work deduped per distinct (group, range, bin)
+    region. Same guarantees: no global sort, driver state is
+    KB-sized, refinement only when a bin exceeds the collect cap."""
+    key, val = "o_orderpriority", "o_totalprice"
+    ds = _read(sf_dir, "orders", [key, val])
+
+    stats = (
+        ds.map_batches(
+            lambda t: strip_meta(
+                pa.Table.from_pandas(
+                    t.to_pandas().dropna(subset=[val])
+                    .groupby(key, sort=False)[val]
+                    .agg(n="size", lo="min", hi="max").reset_index(),
+                    preserve_index=False,
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="n"), Min("lo", alias_name="lo"),
+                   Max("hi", alias_name="hi"))
+        .to_pandas()
+    )
+    hs: dict[tuple, float] = {}
+    states: dict[tuple, dict] = {}
+    result: dict[tuple, float] = {}
+    group_n: dict = {}
+    for _, r in stats.iterrows():
+        g, n = r[key], int(r["n"])
+        group_n[g] = n
+        lo, hi = float(r["lo"]), float(r["hi"])
+        ks = set()
+        for q in A22_QS:
+            h = (n - 1) * q
+            hs[(g, q)] = h
+            ks |= {int(np.floor(h)), int(np.ceil(h))}
+        for k in sorted(ks):
+            if lo == hi:
+                result[(g, k)] = lo
+            else:
+                states[(g, k)] = {"k": k, "lo": lo, "hi": hi}
+
+    def bin_of(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        w = (hi - lo) / SELECT_BINS
+        return np.clip(((v - lo) / w).astype(np.int64), 0, SELECT_BINS - 1)
+
+    while states:
+        live_ref = ray.put(dict(states))
+
+        def hist_partial(t: pa.Table) -> pa.Table:
+            bounds = ray.get(live_ref)
+            df = t.to_pandas().dropna(subset=[val])
+            parts = []
+            seen: dict[tuple, np.ndarray] = {}
+            for (g, rk), s in bounds.items():
+                region = (g, s["lo"], s["hi"], s.get("bin"),
+                          s.get("plo"), s.get("phi"))
+                if region not in seen:
+                    v = df.loc[df[key] == g, val].to_numpy(np.float64)
+                    if "bin" in s:
+                        v = v[(v >= s["plo"]) & (v <= s["phi"])]
+                        v = v[bin_of(v, s["plo"], s["phi"]) == s["bin"]]
+                    else:
+                        v = v[(v >= s["lo"]) & (v <= s["hi"])]
+                    seen[region] = (
+                        np.bincount(bin_of(v, s["lo"], s["hi"]),
+                                    minlength=SELECT_BINS)
+                        if len(v) else np.zeros(SELECT_BINS, np.int64)
+                    )
+                cnt = seen[region]
+                nz = np.nonzero(cnt)[0]
+                if len(nz):
+                    parts.append(pd.DataFrame(
+                        {"g": g, "rk": rk, "bin": nz, "cnt": cnt[nz]}))
+            if not parts:
+                return pa.table({"g": pa.array([], pa.string()),
+                                 "rk": pa.array([], pa.int64()),
+                                 "bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return strip_meta(pa.Table.from_pandas(
+                pd.concat(parts, ignore_index=True), preserve_index=False))
+
+        hist = (
+            ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["g", "rk", "bin"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        collect = {}
+        for (g, rk), s in list(states.items()):
+            h = hist[(hist["g"] == g) & (hist["rk"] == rk)].sort_values("bin")
+            cum = h["cnt"].cumsum().to_numpy()
+            i = int(np.searchsorted(cum, s["k"] + 1, side="left"))
+            b = int(h["bin"].iloc[i])
+            before = int(cum[i - 1]) if i else 0
+            in_bin = int(h["cnt"].iloc[i])
+            w = (s["hi"] - s["lo"]) / SELECT_BINS
+            blo = s["lo"] + b * w
+            bhi = s["hi"] if b == SELECT_BINS - 1 else s["lo"] + (b + 1) * w
+            s2 = {"k": s["k"] - before, "lo": blo, "hi": bhi,
+                  "bin": b, "plo": s["lo"], "phi": s["hi"]}
+            if in_bin <= SELECT_COLLECT_LIMIT or blo == bhi:
+                collect[(g, rk)] = s2
+                del states[(g, rk)]
+            else:
+                states[(g, rk)] = s2
+
+        if collect:
+            col_ref = ray.put(collect)
+
+            def in_bin_vals(t: pa.Table) -> pa.Table:
+                bounds = ray.get(col_ref)
+                df = t.to_pandas().dropna(subset=[val])
+                parts = []
+                for (g, rk), s in bounds.items():
+                    v = df.loc[df[key] == g, val].to_numpy(np.float64)
+                    v = v[(v >= s["plo"]) & (v <= s["phi"])]
+                    if len(v):
+                        v = v[bin_of(v, s["plo"], s["phi"]) == s["bin"]]
+                    if len(v):
+                        parts.append(pd.DataFrame({"g": g, "rk": rk, "v": v}))
+                if not parts:
+                    return pa.table({"g": pa.array([], pa.string()),
+                                     "rk": pa.array([], pa.int64()),
+                                     "v": pa.array([], pa.float64())})
+                return strip_meta(pa.Table.from_pandas(
+                    pd.concat(parts, ignore_index=True),
+                    preserve_index=False))
+
+            got = ds.map_batches(in_bin_vals, batch_format="pyarrow").to_pandas()
+            for (g, rk), s in collect.items():
+                v = np.sort(
+                    got.loc[(got["g"] == g) & (got["rk"] == rk), "v"]
+                    .to_numpy()
+                )
+                result[(g, rk)] = float(v[s["k"]])
+
+    rows = []
+    for g in sorted(group_n):
+        for q in A22_QS:
+            h = hs[(g, q)]
+            lo_k, hi_k = int(np.floor(h)), int(np.ceil(h))
+            frac = h - lo_k
+            pct = result[(g, lo_k)] + frac * (
+                result[(g, hi_k)] - result[(g, lo_k)]
+            )
+            rows.append((g, float(q), round(pct, 6)))
+    out = pd.DataFrame(rows, columns=[key, "q", "pct"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- S14: dataset card --------------------------------------------------------------
 
 
@@ -3831,6 +3991,12 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "a24_grouped_percentile_cont": "\nUNION ALL\n".join(
+            f"""SELECT o_orderpriority, CAST({q} AS DOUBLE) AS q,
+                       round(quantile_cont(o_totalprice, {q}), 6) AS pct
+                FROM orders GROUP BY o_orderpriority"""
+            for q in A22_QS
+        ) + "\nORDER BY o_orderpriority, q",
         "s14_dataset_card": r"""
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(len(list_filter(

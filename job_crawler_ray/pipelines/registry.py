@@ -1367,6 +1367,7 @@ def build_queries() -> dict:
             "j16_spatial_grid_join": A2.j16_spatial_grid_join,
             "u4_union_by_name": A2.u4_union_by_name,
             "s14_dataset_card": A2.s14_dataset_card,
+            "a24_grouped_percentile_cont": A2.a24_grouped_percentile_cont,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,

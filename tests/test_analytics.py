@@ -511,3 +511,16 @@ class TestRound4Wave4:
 
         for v in [0.1, 1 / 3, 1e-310, 12345.678901234567, 0.0, 490.02]:
             assert float(f"{np.float64(v):.17g}") == np.float64(v)
+
+    def test_a22_refinement_rounds_agree(self, sf_mid, ray_session, monkeypatch):
+        """Force the multi-rank selection into refinement rounds (bin
+        occupancy > collect cap) — the path 8G-row corpora take — and
+        pin equality with the single-collect answer."""
+        import pandas as pd
+
+        from job_crawler_ray.pipelines import analytics as A
+
+        base = A.a22_percentile_cont(sf_mid).to_pandas()
+        monkeypatch.setattr(A, "SELECT_COLLECT_LIMIT", 2)
+        forced = A.a22_percentile_cont(sf_mid).to_pandas()
+        pd.testing.assert_frame_equal(base, forced)
