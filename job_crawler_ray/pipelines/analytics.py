@@ -3735,6 +3735,75 @@ def u4_union_by_name(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- W15: interval-overlap concurrency (sweep line) ---------------------------------
+
+W15_SESSION_MIN = 30  # each event opens a 30-minute interval
+_NS_HOUR = 3_600_000_000_000
+
+
+def w15_max_concurrency(sf_dir: str) -> pa.Table:
+    """Peak concurrent sessions per day — the sweep-line operator:
+    every event opens a half-open 30-min interval; +1/−1 marks sorted
+    by (t, delta) (−1 first on ties, so back-to-back sessions don't
+    overlap) and prefix-summed give instantaneous concurrency; the
+    answer is the per-day max. Two-level exactly like w10: hour
+    buckets compute in-bucket sorted prefix sums and emit ONE (sum,
+    max-prefix) summary row each; the driver exclusive-prefix-sums
+    the |hours| summaries (tiny) and takes per-day max of carry +
+    in-bucket max. Within-tie order is irrelevant to the max (equal
+    (t, d) runs are monotone), so the result is deterministic."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    dur_ns = W15_SESSION_MIN * 60_000_000_000
+    ds = _events(sf_dir, ["ts"])
+
+    def marks(t: pa.Table) -> pa.Table:
+        ns = t["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+        tt = np.concatenate([ns, ns + dur_ns])
+        dd = np.concatenate([np.ones(len(ns), np.int64),
+                             -np.ones(len(ns), np.int64)])
+        return pa.table(
+            {"t": pa.array(tt, pa.int64()),
+             "d": pa.array(dd, pa.int64()),
+             "hour": pa.array(tt // _NS_HOUR, pa.int64())}
+        )
+
+    def bucket_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "d"], kind="mergesort")  # -1 before +1
+        pref = g["d"].cumsum().to_numpy()
+        return pd.DataFrame(
+            {"hour": [int(g["hour"].iloc[0])],
+             "total": [int(pref[-1])],
+             "max_pref": [int(pref.max())]}
+        )
+
+    summ = (
+        ds.map_batches(marks, batch_format="pyarrow")
+        .groupby("hour")
+        .map_groups(bucket_scan, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    carry = np.concatenate(
+        ([0], np.cumsum(summ["total"].to_numpy())[:-1])
+    )
+    summ["day_peak"] = carry + summ["max_pref"].to_numpy()
+    day = time_bucket_strings(
+        (summ["hour"].to_numpy() * _NS_HOUR).astype("datetime64[ns]")
+    )
+    out = (
+        pd.DataFrame({"day": day, "max_concurrent": summ["day_peak"]})
+        .groupby("day", as_index=False)
+        .agg(max_concurrent=("max_concurrent", "max"))
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["max_concurrent"] = out["max_concurrent"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- A24: grouped interpolated percentiles ------------------------------------------
 
 
@@ -3991,6 +4060,22 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "w15_max_concurrency": f"""
+            WITH marks AS (
+                SELECT ts AS t, 1 AS d FROM events
+                UNION ALL
+                SELECT ts + INTERVAL {W15_SESSION_MIN} MINUTE, -1
+                FROM events
+            ), run AS (
+                SELECT t, sum(d) OVER (
+                    ORDER BY t, d
+                    ROWS UNBOUNDED PRECEDING) AS conc
+                FROM marks
+            )
+            SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+                   CAST(max(conc) AS BIGINT) AS max_concurrent
+            FROM run GROUP BY day ORDER BY day
+        """,
         "a24_grouped_percentile_cont": "\nUNION ALL\n".join(
             f"""SELECT o_orderpriority, CAST({q} AS DOUBLE) AS q,
                        round(quantile_cont(o_totalprice, {q}), 6) AS pct

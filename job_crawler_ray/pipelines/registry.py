@@ -1368,6 +1368,7 @@ def build_queries() -> dict:
             "u4_union_by_name": A2.u4_union_by_name,
             "s14_dataset_card": A2.s14_dataset_card,
             "a24_grouped_percentile_cont": A2.a24_grouped_percentile_cont,
+            "w15_max_concurrency": A2.w15_max_concurrency,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
