@@ -3735,6 +3735,85 @@ def u4_union_by_name(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- A26: period-over-period change --------------------------------------------------
+
+
+def a26_period_over_period(sf_dir: str) -> pa.Table:
+    """Day-over-day percent change of event counts — the BI delta
+    report. The corpus pass is the usual partial+Sum daily rollup;
+    lag/pct-change run on the |days| driver table (window functions
+    over post-agg frames are driver-cheap by construction)."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            pd.DataFrame({"day": time_bucket_strings(df["ts"])})
+            .groupby("day", as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    prev = out["cnt"].shift(1)
+    out["prev_cnt"] = prev.fillna(0).astype("int64")
+    out["pct_change"] = ((out["cnt"] - prev) / prev).round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- O4: keyset (seek) pagination -----------------------------------------------------
+
+O4_PAGE_SIZE = 100
+O4_PAGE = 2  # zero-indexed → rows 200..299 of the global order
+
+
+def o4_keyset_pagination(sf_dir: str) -> pa.Table:
+    """Page 3 of orders by (totalprice DESC, orderkey) via KEYSET
+    pagination: the boundary row (the previous page's last row — here
+    recomputed as sort+limit's tail) becomes a SEEK predicate, so the
+    page read filters map-side BEFORE any sort: rows-after-boundary
+    only, then top-page_size of that remnant. At 100 TB this is the
+    difference between a global OFFSET skip (sorts everything every
+    page) and a pruned scan; the twin is the naive LIMIT/OFFSET."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    prior = O4_PAGE * O4_PAGE_SIZE
+    boundary = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(prior)
+        .to_pandas()
+        .iloc[-1]
+    )
+    bp, bk = float(boundary["o_totalprice"]), int(boundary["o_orderkey"])
+
+    def seek(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy()
+        k = t["o_orderkey"].to_numpy()
+        return t.filter(pa.array((p < bp) | ((p == bp) & (k > bk))))
+
+    out = (
+        ds.map_batches(seek, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(O4_PAGE_SIZE)
+        .to_pandas()
+    )
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].round(6)
+    return pa.Table.from_pandas(
+        out[["o_orderkey", "o_totalprice"]], preserve_index=False
+    )
+
+
 # --- W15: interval-overlap concurrency (sweep line) ---------------------------------
 
 W15_SESSION_MIN = 30  # each event opens a 30-minute interval
@@ -4060,6 +4139,26 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "a26_period_over_period": """
+            WITH daily AS (
+                SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY day
+            )
+            SELECT day, cnt,
+                   CAST(coalesce(lag(cnt) OVER (ORDER BY day), 0) AS BIGINT)
+                       AS prev_cnt,
+                   round((cnt - lag(cnt) OVER (ORDER BY day))
+                         / CAST(lag(cnt) OVER (ORDER BY day) AS DOUBLE), 6)
+                       AS pct_change
+            FROM daily ORDER BY day
+        """,
+        "o4_keyset_pagination": f"""
+            SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT {O4_PAGE_SIZE} OFFSET {O4_PAGE * O4_PAGE_SIZE}
+        """,
         "w15_max_concurrency": f"""
             WITH marks AS (
                 SELECT ts AS t, 1 AS d FROM events

@@ -1369,6 +1369,8 @@ def build_queries() -> dict:
             "s14_dataset_card": A2.s14_dataset_card,
             "a24_grouped_percentile_cont": A2.a24_grouped_percentile_cont,
             "w15_max_concurrency": A2.w15_max_concurrency,
+            "a26_period_over_period": A2.a26_period_over_period,
+            "o4_keyset_pagination": A2.o4_keyset_pagination,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
