@@ -3735,6 +3735,51 @@ def u4_union_by_name(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- W16: trailing-window anomaly score ----------------------------------------------
+
+W16_WINDOW = 7
+W16_Z = 2.0
+
+
+def w16_anomaly_zscore(sf_dir: str) -> pa.Table:
+    """Daily-count anomaly flags: z-score of each day vs the TRAILING
+    7-day window (excluding the day itself) — the monitoring gate a
+    pipeline runs on its own metrics stream. One partial+Sum corpus
+    rollup; the rolling mean/stddev and flags run on the |days|
+    driver frame (same shape as a26). Days with <2 prior observations
+    have undefined stddev → NULL z, not-anomalous."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            pd.DataFrame({"day": time_bucket_strings(df["ts"])})
+            .groupby("day", as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    prior = out["cnt"].shift(1)
+    mean = prior.rolling(W16_WINDOW, min_periods=1).mean()
+    std = prior.rolling(W16_WINDOW, min_periods=2).std(ddof=1)
+    z = (out["cnt"] - mean) / std
+    out["z"] = z.round(6)
+    out["is_anomaly"] = z.abs().gt(W16_Z).fillna(False).astype(bool)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- A26: period-over-period change --------------------------------------------------
 
 
@@ -4139,6 +4184,26 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "w16_anomaly_zscore": f"""
+            WITH daily AS (
+                SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY day
+            ), win AS (
+                SELECT day, cnt,
+                       avg(cnt) OVER (ORDER BY day
+                           ROWS BETWEEN {W16_WINDOW} PRECEDING
+                                    AND 1 PRECEDING) AS m,
+                       stddev_samp(cnt) OVER (ORDER BY day
+                           ROWS BETWEEN {W16_WINDOW} PRECEDING
+                                    AND 1 PRECEDING) AS s
+                FROM daily
+            )
+            SELECT day, cnt, round((cnt - m) / s, 6) AS z,
+                   CASE WHEN s IS NULL OR s = 0 THEN FALSE
+                        ELSE abs((cnt - m) / s) > {W16_Z} END AS is_anomaly
+            FROM win ORDER BY day
+        """,
         "a26_period_over_period": """
             WITH daily AS (
                 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -1371,6 +1371,7 @@ def build_queries() -> dict:
             "w15_max_concurrency": A2.w15_max_concurrency,
             "a26_period_over_period": A2.a26_period_over_period,
             "o4_keyset_pagination": A2.o4_keyset_pagination,
+            "w16_anomaly_zscore": A2.w16_anomaly_zscore,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
