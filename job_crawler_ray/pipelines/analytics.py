@@ -3735,6 +3735,163 @@ def u4_union_by_name(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- D10: soft dedup (repetition-discounted weights) ---------------------------------
+
+
+def d10_soft_dedup(sf_dir: str) -> pa.Table:
+    """SOFT dedup: instead of dropping duplicate texts, every copy
+    gets sample weight 1/copies (repetition down-weighting, the
+    keep-everything alternative when exact drops are too blunt). The
+    corpus is documents plus the d9 mirror copies so dup groups
+    exist. One (hash → count) groupby moves 16-byte rows; the weight
+    attach is a broadcast dict of the |distinct texts| counts
+    (fragment-store tier above the cap, analytics.py:169)."""
+    from job_crawler_ray.hashing import xxh64_array
+    from job_crawler_ray.util import read_parquet_clean
+
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(8)
+
+    def corpus(t: pa.Table) -> pa.Table:
+        keep = t["doc_id"].to_numpy() % D9_MIRROR_MOD == 0
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {"doc_id": pa.concat_arrays(
+                [t["doc_id"].combine_chunks(),
+                 pc.add(sub["doc_id"].combine_chunks(), 10000)]),
+             "text": pa.concat_arrays(
+                 [pc.fill_null(t["text"].combine_chunks(), ""),
+                  pc.fill_null(sub["text"].combine_chunks(), "")])}
+        )
+
+    docs = base.map_batches(corpus, batch_format="pyarrow").materialize()
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = xxh64_array(t["text"]).view(np.int64)
+        g = (
+            pd.DataFrame({"h": h})
+            .groupby("h", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    counts = (
+        docs.map_batches(keyed, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cnt_ref = ray.put(dict(zip(counts["h"].astype("int64"),
+                               counts["n"].astype("int64"))))
+
+    def attach(t: pa.Table) -> pa.Table:
+        cm = ray.get(cnt_ref)
+        h = xxh64_array(t["text"]).view(np.int64)
+        copies = np.asarray([cm[int(x)] for x in h], dtype=np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()),
+             "copies": pa.array(copies, pa.int64()),
+             "weight": pa.array(np.round(1.0 / copies, 6), pa.float64())}
+        )
+
+    out = (
+        docs.map_batches(attach, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- A27: rolling sketch union (mergeable HLL over windows) --------------------------
+
+A27_WINDOW_DAYS = 7
+
+
+def a27_rolling_hll(sf_dir: str) -> pa.Table:
+    """Rolling 7-day distinct users per day via MERGEABLE HLL
+    sketches: one register vector per day (per-batch partials,
+    elementwise-max merge), then each day's rolling estimate is the
+    max-union of ≤7 day vectors — sketch mergeability is the property
+    that makes windowed distinct counts free at 100 TB (re-scanning 7
+    days of raw data per window is the alternative). Oracle-bound-
+    checked like a9: the exact rolling distinct count is computed
+    from the deduped (user, day) pairs and emitted with a within-5%
+    flag the twin pins TRUE."""
+    from job_crawler_ray.pipelines.textops import (
+        HLL_P, hll_merge_estimate, hll_partial_batch,
+    )
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["user_id", "ts"]).materialize()
+    m = 1 << HLL_P
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day"] = time_bucket_strings(df["ts"])
+        parts = []
+        for day, sub in df.groupby("day"):
+            regs = hll_partial_batch(
+                pa.table({"user_id": pa.array(sub["user_id"], pa.int64())}),
+                "user_id",
+            )
+            parts.append(
+                pa.table({"day": pa.array([day], pa.string()),
+                          "regs": regs["regs"]})
+            )
+        if not parts:
+            return pa.table({"day": pa.array([], pa.string()),
+                             "regs": pa.array([], pa.list_(pa.uint8(), m))})
+        return pa.concat_tables(parts)
+
+    per_day: dict[str, np.ndarray] = {}
+    for tb in ds.map_batches(day_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=256
+    ):
+        days = tb["day"].to_pylist()
+        regs = np.asarray(tb["regs"].combine_chunks().flatten()).reshape(
+            len(days), m
+        )
+        for d, r in zip(days, regs):
+            per_day[d] = np.maximum(per_day[d], r) if d in per_day else r.copy()
+
+    # exact side: deduped (user, day) pairs, rolling distinct on the
+    # |users × days|-bounded driver frame
+    pairs = (
+        ds.map_batches(
+            lambda t: strip_meta(pa.Table.from_pandas(
+                pd.DataFrame(
+                    {"user_id": t["user_id"].to_numpy(),
+                     "day": time_bucket_strings(t["ts"].to_pandas())}
+                ).drop_duplicates(),
+                preserve_index=False,
+            )),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_m"))
+        .to_pandas()
+    )
+    days = sorted(per_day)
+    day_idx = {d: i for i, d in enumerate(days)}
+    rows = []
+    for i, d in enumerate(days):
+        window = [dd for dd in days if 0 <= i - day_idx[dd] < A27_WINDOW_DAYS]
+        regs = np.zeros(m, dtype=np.uint8)
+        for dd in window:
+            regs = np.maximum(regs, per_day[dd])
+        est = hll_merge_estimate(regs)
+        exact = pairs.loc[pairs["day"].isin(window), "user_id"].nunique()
+        ok = abs(est - exact) / max(exact, 1) <= 0.05
+        rows.append((d, int(exact), bool(ok)))
+    out = pd.DataFrame(
+        rows, columns=["day", "exact_rolling_distinct", "within_bound"]
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- W16: trailing-window anomaly score ----------------------------------------------
 
 W16_WINDOW = 7
@@ -4184,6 +4341,33 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "d10_soft_dedup": f"""
+            WITH corpus AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, coalesce(text, '')
+              FROM documents WHERE doc_id % {D9_MIRROR_MOD} = 0)
+            SELECT doc_id,
+                   CAST(count(*) OVER (PARTITION BY text) AS BIGINT)
+                       AS copies,
+                   round(1.0 / count(*) OVER (PARTITION BY text), 6)
+                       AS weight
+            FROM corpus ORDER BY doc_id
+        """,
+        "a27_rolling_hll": f"""
+            WITH act AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                FROM events
+            ), days AS (SELECT DISTINCT d FROM act)
+            SELECT strftime(days.d, '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT a.user_id) AS BIGINT)
+                       AS exact_rolling_distinct,
+                   TRUE AS within_bound
+            FROM days JOIN act a
+              ON a.d BETWEEN days.d - INTERVAL {A27_WINDOW_DAYS - 1} DAY
+                         AND days.d
+            GROUP BY days.d ORDER BY day
+        """,
         "w16_anomaly_zscore": f"""
             WITH daily AS (
                 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -1372,6 +1372,8 @@ def build_queries() -> dict:
             "a26_period_over_period": A2.a26_period_over_period,
             "o4_keyset_pagination": A2.o4_keyset_pagination,
             "w16_anomaly_zscore": A2.w16_anomaly_zscore,
+            "d10_soft_dedup": A2.d10_soft_dedup,
+            "a27_rolling_hll": A2.a27_rolling_hll,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
