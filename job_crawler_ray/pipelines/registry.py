@@ -792,7 +792,61 @@ def io6_filter_pushdown(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def io8_nested_json(sf_dir: str):
+    """NESTED JSONL roundtrip: each doc serialized as a nested object
+    ({"doc_id", "meta": {"lang", "n_chars"}, "body": {"text"}}),
+    read back with ``read_json`` (Arrow infers struct columns), and
+    FLATTENED via ``pyarrow.compute.struct_field`` — the
+    schema-on-read projection semi-structured lakes need beyond io1's
+    flat case. The twin reads the original table: equality proves the
+    nested encode → struct infer → flatten chain is lossless."""
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang",
+                                                "n_chars"]
+    ).repartition(4)
+
+    def to_nested(t: pa.Table) -> pa.Table:
+        meta = pa.StructArray.from_arrays(
+            [t["lang"].combine_chunks(), t["n_chars"].combine_chunks()],
+            names=["lang", "n_chars"],
+        )
+        body = pa.StructArray.from_arrays(
+            [t["text"].combine_chunks()], names=["text"]
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "meta": meta, "body": body}
+        )
+
+    out_dir = scratch_dir("jcr_nested_")
+    ds.map_batches(to_nested, batch_format="pyarrow").write_json(out_dir)
+    back = rd.read_json(out_dir)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "lang": pc.struct_field(t["meta"], ["lang"]),
+             "n_chars": pc.struct_field(t["meta"], ["n_chars"]).cast(
+                 pa.int64()),
+             "text": pc.struct_field(t["body"], ["text"])}
+        )
+
+    out = (
+        back.map_batches(flatten, batch_format="pyarrow")
+        .select_columns(["doc_id", "text", "lang", "n_chars"])
+        .sort("doc_id")
+        .materialize()
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
 IO_ORACLE_SQL = {
+    "io8_nested_json": """
+        SELECT doc_id, text, lang, n_chars FROM documents ORDER BY doc_id
+    """,
     "io6_filter_pushdown": f"""
         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
                round(sum(o_totalprice), 2) AS revenue
@@ -1383,6 +1437,7 @@ def build_queries() -> dict:
             "w12_cohort_retention": A2.w12_cohort_retention,
             "io6_filter_pushdown": io6_filter_pushdown,
             "io7_resumable_write": io7_resumable_write,
+            "io8_nested_json": io8_nested_json,
             "a23_mode": A2.a23_mode,
             "w11_first_last": A2.w11_first_last,
             "a25_grouped_stddev": A2.a25_grouped_stddev,
