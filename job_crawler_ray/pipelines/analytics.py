@@ -55,6 +55,12 @@ _u64 = np.uint64
 
 # --- J5: Bloom-prefiltered anti-join ----------------------------------------
 
+# rows a driver-built broadcast lookup (dimension / cohort / count
+# attach) may hold before the op must switch to its documented
+# partitioned alternative — guarded LOUDLY (the _collect_vocab
+# contract), never silently exceeded
+ATTACH_BROADCAST_LIMIT = 50_000_000
+
 BLOOM_BITS = 1 << 20          # 128 KiB bitmap — fixed broadcast cost
 BLOOM_K = 4                   # hash probes per key
 BLOOM_SALTS = (101, 202, 303, 404)
@@ -3129,6 +3135,12 @@ def j15_scd2_pit(sf_dir: str) -> pa.Table:
         .sort_values("c_custkey")
         .reset_index(drop=True)
     )
+    if len(cust) > ATTACH_BROADCAST_LIMIT:
+        raise ValueError(
+            f"{len(cust)} dimension rows exceed ATTACH_BROADCAST_LIMIT="
+            f"{ATTACH_BROADCAST_LIMIT}; use the id-bucketed fragment-store "
+            "dimension (analytics.py:169 pattern) instead of a broadcast"
+        )
     segs = sorted(cust["c_mktsegment"].unique())
     nxt = {s: segs[(i + 1) % len(segs)] for i, s in enumerate(segs)}
     ck = cust["c_custkey"].to_numpy(np.int64)
@@ -3474,6 +3486,12 @@ def w12_cohort_retention(sf_dir: str) -> pa.Table:
         .aggregate(Min("day", alias_name="cohort"))
         .to_pandas()
     )
+    if len(cohort) > ATTACH_BROADCAST_LIMIT:
+        raise ValueError(
+            f"{len(cohort)} users exceed ATTACH_BROADCAST_LIMIT="
+            f"{ATTACH_BROADCAST_LIMIT}; replace the broadcast with a "
+            "key-partitioned join of pairs onto cohorts (j5's tiering)"
+        )
     co_ref = ray.put(dict(zip(cohort["user_id"].astype("int64"),
                               cohort["cohort"].astype("int64"))))
 
@@ -3783,6 +3801,12 @@ def d10_soft_dedup(sf_dir: str) -> pa.Table:
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    if len(counts) > ATTACH_BROADCAST_LIMIT:
+        raise ValueError(
+            f"{len(counts)} distinct texts exceed ATTACH_BROADCAST_LIMIT="
+            f"{ATTACH_BROADCAST_LIMIT}; use the id-bucketed fragment-store "
+            "attach (textops._IdSetFilter machinery) instead of a broadcast"
+        )
     cnt_ref = ray.put(dict(zip(counts["h"].astype("int64"),
                                counts["n"].astype("int64"))))
 
