@@ -3753,6 +3753,50 @@ def u4_union_by_name(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- A28: per-entity distribution entropy ---------------------------------------------
+
+
+def a28_group_entropy(sf_dir: str) -> pa.Table:
+    """Shannon entropy (log2) of each user's event-type distribution —
+    the behavioral-diversity feature. (user, type) partial counts
+    Sum-merge (the only corpus shuffle); the entropy reduce runs per
+    user over ≤ |event types| rows — group size is bounded by the
+    type-domain, not by user volume, so hot users cost nothing."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["user_id", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["cnt"].to_numpy(np.float64)
+        p = c / c.sum()
+        h = float(-(p * np.log2(p)).sum())
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "h": [round(h, 6)]})
+
+    out = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("user_id")
+        .map_groups(entropy, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- D10: soft dedup (repetition-discounted weights) ---------------------------------
 
 
@@ -4365,6 +4409,10 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "a28_group_entropy": """
+            SELECT user_id, round(entropy(event_type), 6) AS h
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         "d10_soft_dedup": f"""
             WITH corpus AS (
               SELECT doc_id, coalesce(text, '') AS text FROM documents

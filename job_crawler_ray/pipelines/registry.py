@@ -1428,6 +1428,7 @@ def build_queries() -> dict:
             "w16_anomaly_zscore": A2.w16_anomaly_zscore,
             "d10_soft_dedup": A2.d10_soft_dedup,
             "a27_rolling_hll": A2.a27_rolling_hll,
+            "a28_group_entropy": A2.a28_group_entropy,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
