@@ -3039,12 +3039,15 @@ def w11_first_last(sf_dir: str) -> pa.Table:
         df = t.to_pandas()
         ns = df["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
         eid = df["event_id"].to_numpy(np.int64)
-        key = [
-            f"{t_:019d}|{e:012d}|{v:.17g}"
-            for t_, e, v in zip(ns, eid, df["value"].to_numpy())
-        ]
+        # vectorized C printf/zfill kernels — no per-row f-strings
+        k1 = np.char.zfill(ns.astype("U20"), 19)
+        k2 = np.char.zfill(eid.astype("U12"), 12)
+        k3 = np.char.mod("%.17g", df["value"].to_numpy(np.float64))
+        key = np.char.add(
+            np.char.add(np.char.add(k1, "|"), np.char.add(k2, "|")), k3
+        )
         return pa.table({"user_id": pa.array(df["user_id"], pa.int64()),
-                         "key": pa.array(key, pa.string())})
+                         "key": pa.array(key.astype(object), pa.string())})
 
     g = (
         ds.map_batches(encode, batch_format="pyarrow")
@@ -3851,13 +3854,14 @@ def d10_soft_dedup(sf_dir: str) -> pa.Table:
             f"{ATTACH_BROADCAST_LIMIT}; use the id-bucketed fragment-store "
             "attach (textops._IdSetFilter machinery) instead of a broadcast"
         )
-    cnt_ref = ray.put(dict(zip(counts["h"].astype("int64"),
-                               counts["n"].astype("int64"))))
+    counts = counts.sort_values("h")
+    cnt_ref = ray.put((counts["h"].to_numpy(np.int64),
+                       counts["n"].to_numpy(np.int64)))
 
     def attach(t: pa.Table) -> pa.Table:
-        cm = ray.get(cnt_ref)
+        hk, hn = ray.get(cnt_ref)
         h = xxh64_array(t["text"]).view(np.int64)
-        copies = np.asarray([cm[int(x)] for x in h], dtype=np.int64)
+        copies = hn[np.searchsorted(hk, h)]
         return pa.table(
             {"doc_id": t["doc_id"].cast(pa.int64()),
              "copies": pa.array(copies, pa.int64()),
