@@ -3756,6 +3756,46 @@ def u4_union_by_name(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- A29: Gini concentration coefficient ----------------------------------------------
+
+
+def a29_gini(sf_dir: str) -> pa.Table:
+    """Gini coefficient of per-user event-volume concentration — the
+    skew metric itself as an operator (how Zipf-headed is the
+    workload the engine must shuffle?). One (user → count) groupby
+    reduces the corpus to a user-bounded frame; the Gini formula
+    (2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending counts) runs on that
+    frame. Exact integer arithmetic until the final division."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("user_id", as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    x = np.sort(counts["cnt"].to_numpy(np.int64))
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    gini = 2.0 * float((i * x).sum()) / (n * float(x.sum())) - (n + 1) / n
+    return pa.table(
+        {"n_users": pa.array([n], pa.int64()),
+         "total_events": pa.array([int(x.sum())], pa.int64()),
+         "gini": pa.array([round(gini, 6)], pa.float64())}
+    )
+
+
 # --- A28: per-entity distribution entropy ---------------------------------------------
 
 
@@ -4413,6 +4453,20 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "a29_gini": """
+            WITH c AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY user_id
+            ), r AS (
+                SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS i
+                FROM c
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(cnt) AS BIGINT) AS total_events,
+                   round(2.0 * sum(i * cnt) / (count(*) * sum(cnt))
+                         - (count(*) + 1.0) / count(*), 6) AS gini
+            FROM r
+        """,
         "a28_group_entropy": """
             SELECT user_id, round(entropy(event_type), 6) AS h
             FROM events GROUP BY user_id ORDER BY user_id

@@ -1429,6 +1429,7 @@ def build_queries() -> dict:
             "d10_soft_dedup": A2.d10_soft_dedup,
             "a27_rolling_hll": A2.a27_rolling_hll,
             "a28_group_entropy": A2.a28_group_entropy,
+            "a29_gini": A2.a29_gini,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
