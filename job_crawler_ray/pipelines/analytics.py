@@ -3756,6 +3756,112 @@ def u4_union_by_name(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- W18: conversion latency percentile ----------------------------------------------
+
+
+def w18_conversion_latency(sf_dir: str) -> pa.Table:
+    """Median seconds from a user's first view to their last purchase
+    that day, per day — the conversion-LATENCY metric on top of w8's
+    conversion-RATE machinery: the same two mergeable (user, day)
+    sentinel aggregates, then an exact per-day quantile_disc median
+    over the converted pairs via `grouped_kth_exact` (histogram
+    selection — the |users × days| pair table never sorts
+    globally)."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"].isin(("view", "purchase"))]
+        if df.empty:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "day": pa.array([], pa.string()),
+                 "first_view": pa.array([], pa.int64()),
+                 "last_purchase": pa.array([], pa.int64())}
+            )
+        df["day"] = time_bucket_strings(df["ts"])
+        ns = df["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+        df["first_view"] = np.where(df["event_type"] == "view", ns, _TS_MAX)
+        df["last_purchase"] = np.where(
+            df["event_type"] == "purchase", ns, _TS_MIN
+        )
+        g = df.groupby(["user_id", "day"], as_index=False).agg(
+            first_view=("first_view", "min"),
+            last_purchase=("last_purchase", "max"),
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    pairs = (
+        _events(sf_dir, ["user_id", "ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(
+            Min("first_view", alias_name="first_view"),
+            Max("last_purchase", alias_name="last_purchase"),
+        )
+    )
+
+    def latency(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[(df["first_view"] != _TS_MAX)
+                & (df["last_purchase"] > df["first_view"])]
+        if df.empty:
+            return pa.table({"day": pa.array([], pa.string()),
+                             "lat_s": pa.array([], pa.float64())})
+        lat = (df["last_purchase"] - df["first_view"]) / 1e9
+        return pa.table({"day": pa.array(df["day"], pa.string()),
+                         "lat_s": pa.array(lat.to_numpy(), pa.float64())})
+
+    lat_ds = pairs.map_batches(latency, batch_format="pyarrow")
+    out = grouped_kth_exact(lat_ds, "day", "lat_s", q=0.5).to_pandas()
+    out = out.rename(columns={"median_val": "median_latency_s"})
+    out["median_latency_s"] = out["median_latency_s"].round(6)
+    return pa.Table.from_pandas(
+        out.sort_values("day").reset_index(drop=True), preserve_index=False
+    )
+
+
+# --- A30: median absolute deviation ---------------------------------------------------
+
+
+def a30_mad(sf_dir: str) -> pa.Table:
+    """Median absolute deviation of order totals — the robust-scale
+    statistic, as TWO chained selection passes: quantile_disc median
+    of the values, then quantile_disc median of |x − med| (a derived
+    per-batch column, never materialized) — each pass the same
+    no-global-sort histogram selection. Completes the robust-stats
+    family next to a25's moments and a22/a24's percentiles."""
+    val = "o_totalprice"
+    ds = _read(sf_dir, "orders", [val])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(["all"] * t.num_rows,
+                                             pa.string()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    med = float(
+        grouped_kth_exact(tagged, "g", val, q=0.5)
+        .to_pandas()["median_val"].iloc[0]
+    )
+
+    def dev(t: pa.Table) -> pa.Table:
+        d = np.abs(t[val].to_numpy(zero_copy_only=False) - med)
+        return pa.table(
+            {"g": pa.array(["all"] * t.num_rows, pa.string()),
+             "dev": pa.array(d, pa.float64())}
+        )
+
+    mad = float(
+        grouped_kth_exact(
+            ds.map_batches(dev, batch_format="pyarrow"), "g", "dev", q=0.5
+        ).to_pandas()["median_val"].iloc[0]
+    )
+    return pa.table(
+        {"median_val": pa.array([round(med, 6)], pa.float64()),
+         "mad": pa.array([round(mad, 6)], pa.float64())}
+    )
+
+
 # --- A29: Gini concentration coefficient ----------------------------------------------
 
 
@@ -4453,6 +4559,32 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "w18_conversion_latency": """
+            WITH pairs AS (
+                SELECT user_id, strftime(date_trunc('day', ts),
+                                         '%Y-%m-%d') AS day,
+                       min(CASE WHEN event_type = 'view' THEN ts END)
+                           AS first_view,
+                       max(CASE WHEN event_type = 'purchase' THEN ts END)
+                           AS last_purchase
+                FROM events WHERE event_type IN ('view', 'purchase')
+                GROUP BY user_id, day
+            )
+            SELECT day,
+                   round(quantile_disc(
+                       epoch_us(last_purchase - first_view) / 1e6 * 1.0,
+                       0.5), 6) AS median_latency_s
+            FROM pairs
+            WHERE first_view IS NOT NULL AND last_purchase > first_view
+            GROUP BY day ORDER BY day
+        """,
+        "a30_mad": """
+            SELECT round(quantile_disc(o_totalprice, 0.5), 6) AS median_val,
+                   round(quantile_disc(abs(o_totalprice -
+                       (SELECT quantile_disc(o_totalprice, 0.5)
+                        FROM orders)), 0.5), 6) AS mad
+            FROM orders
+        """,
         "a29_gini": """
             WITH c AS (
                 SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

@@ -1430,6 +1430,8 @@ def build_queries() -> dict:
             "a27_rolling_hll": A2.a27_rolling_hll,
             "a28_group_entropy": A2.a28_group_entropy,
             "a29_gini": A2.a29_gini,
+            "w18_conversion_latency": A2.w18_conversion_latency,
+            "a30_mad": A2.a30_mad,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
