@@ -3756,6 +3756,60 @@ def u4_union_by_name(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- W19: gaps-and-islands (longest streak) -------------------------------------------
+
+
+def w19_streaks(sf_dir: str) -> pa.Table:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern (day − rank is constant within an
+    island). The corpus reduces to distinct (user, day-int) pairs in
+    one groupby; the island scan runs per user over ≤ |distinct days|
+    rows (bounded by the calendar domain, not user volume — a hot
+    user has at most one row per day by construction)."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = (
+            df["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+            // _NS_DAY
+        )
+        g = pd.DataFrame({"user_id": df["user_id"],
+                          "day": day}).drop_duplicates()
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+    )
+
+    def longest(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["day"].to_numpy(np.int64))
+        island = d - np.arange(len(d))  # constant within a streak
+        _, counts = np.unique(island, return_counts=True)
+        return pd.DataFrame(
+            {"user_id": [int(g["user_id"].iloc[0])],
+             "active_days": [len(d)],
+             "longest_streak": [int(counts.max())]}
+        )
+
+    out = (
+        pairs.groupby("user_id")
+        .map_groups(longest, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- W18: conversion latency percentile ----------------------------------------------
 
 
@@ -4559,6 +4613,29 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "w19_streaks": """
+            WITH act AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT)
+                           AS day
+                FROM events
+            ), isl AS (
+                SELECT user_id, day,
+                       day - row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) AS island
+                FROM act
+            ), runs AS (
+                SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+                FROM isl GROUP BY user_id, island
+            )
+            SELECT r.user_id,
+                   CAST(a.n AS BIGINT) AS active_days,
+                   CAST(max(r.len) AS BIGINT) AS longest_streak
+            FROM runs r
+            JOIN (SELECT user_id, count(*) AS n FROM act
+                  GROUP BY user_id) a USING (user_id)
+            GROUP BY r.user_id, a.n ORDER BY r.user_id
+        """,
         "w18_conversion_latency": """
             WITH pairs AS (
                 SELECT user_id, strftime(date_trunc('day', ts),
