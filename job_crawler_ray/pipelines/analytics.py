@@ -3756,6 +3756,54 @@ def u4_union_by_name(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- A31: pairwise correlation matrix --------------------------------------------------
+
+A31_FEATS = ("value", "hour", "dow")
+
+
+def a31_corr_matrix(sf_dir: str) -> pa.Table:
+    """Pearson correlation MATRIX over three event features (value,
+    hour-of-day, day-of-week) in ONE pass — a15's co-moment shape
+    extended to all pairs at once: each block reduces to n + 3 sums +
+    6 cross-sums (10 numbers regardless of rows), the driver finishes
+    every pairwise moment from the same partial table. The feature-
+    matrix profile step of any model-prep pipeline."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["ts", "value"])
+    feats = A31_FEATS
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cols = {
+            "value": df["value"].to_numpy(np.float64),
+            "hour": df["ts"].dt.hour.to_numpy(np.float64),
+            "dow": df["ts"].dt.dayofweek.to_numpy(np.float64),
+        }
+        out = {"n": [float(len(df))]}
+        for i, a in enumerate(feats):
+            out[f"s_{a}"] = [float(cols[a].sum())]
+            for b in feats[i:]:
+                out[f"s_{a}_{b}"] = [float((cols[a] * cols[b]).sum())]
+        return pa.table(out)
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n = p["n"]
+    rows = []
+    for i, a in enumerate(feats):
+        for b in feats[i + 1:]:
+            cov = p[f"s_{a}_{b}"] / n - (p[f"s_{a}"] / n) * (p[f"s_{b}"] / n)
+            va = p[f"s_{a}_{a}"] / n - (p[f"s_{a}"] / n) ** 2
+            vb = p[f"s_{b}_{b}"] / n - (p[f"s_{b}"] / n) ** 2
+            corr = cov / np.sqrt(va * vb) if va > 0 and vb > 0 else 0.0
+            rows.append((a, b, round(float(corr), 6)))
+    out = pd.DataFrame(rows, columns=["feat_a", "feat_b", "corr"])
+    return pa.Table.from_pandas(
+        out.sort_values(["feat_a", "feat_b"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 # --- W19: gaps-and-islands (longest streak) -------------------------------------------
 
 
@@ -4616,6 +4664,21 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "a31_corr_matrix": """
+            WITH f AS (
+                SELECT value,
+                       CAST(hour(ts) AS DOUBLE) AS hour,
+                       CAST(isodow(ts) - 1 AS DOUBLE) AS dow
+                FROM events
+            )
+            SELECT 'hour' AS feat_a, 'dow' AS feat_b,
+                   round(corr(hour, dow), 6) AS corr FROM f
+            UNION ALL
+            SELECT 'value', 'dow', round(corr(value, dow), 6) FROM f
+            UNION ALL
+            SELECT 'value', 'hour', round(corr(value, hour), 6) FROM f
+            ORDER BY feat_a, feat_b
+        """,
         "w19_streaks": """
             WITH act AS (
                 SELECT DISTINCT user_id,
