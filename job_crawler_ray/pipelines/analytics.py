@@ -3756,6 +3756,116 @@ def u4_union_by_name(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- W20: time-in-state accounting -----------------------------------------------------
+
+
+def w20_time_in_state(sf_dir: str) -> pa.Table:
+    """Total seconds each event TYPE is the user's current state
+    (state = latest event; an event holds the state until the user's
+    next event) — temporal state-machine accounting. Two-level
+    hot-key-bounded plan: per (user, 24 h bucket), in-bucket LEAD
+    resolves every interval except the bucket's last event, which
+    joins to the NEXT bucket's first-ts via the per-user bucket
+    summary table (≤ #buckets rows per user, never raw history).
+    Durations accumulate as exact int64 nanoseconds; one division at
+    the end — float creep can't drift the twin comparison."""
+    from job_crawler_ray.pipelines.windows import ASOF_BUCKET_HOURS, _events
+
+    bucket_ns = ASOF_BUCKET_HOURS * 3_600_000_000_000
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ns = t["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+        t = t.append_column("ns", pa.array(ns, pa.int64()))
+        return t.append_column(
+            "_bucket", pa.array(ns // bucket_ns, pa.int64())
+        )
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ns", "event_id"], kind="mergesort")
+        ns = g["ns"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        uid = int(g["user_id"].iloc[0])
+        bkt = int(g["_bucket"].iloc[0])
+        parts = []
+        if len(g) > 1:
+            dur = ns[1:] - ns[:-1]
+            agg = (
+                pd.DataFrame({"event_type": et[:-1], "dur": dur})
+                .groupby("event_type", as_index=False)
+                .agg(total_ns=("dur", "sum"), n=("dur", "size"))
+            )
+            agg["user_id"] = uid
+            agg["_bucket"] = bkt
+            agg["_kind"] = 1
+            agg["ns"] = 0
+            parts.append(agg)
+        # summary: bucket's first ts (kind 0) + open last event (kind 2)
+        parts.append(pd.DataFrame(
+            {"event_type": ["", et[-1]], "total_ns": [0, 0], "n": [0, 0],
+             "user_id": uid, "_bucket": bkt, "_kind": [0, 2],
+             "ns": [int(ns[0]), int(ns[-1])]}
+        ))
+        return pd.concat(parts, ignore_index=True)
+
+    level1 = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "_bucket"])
+        .map_groups(local, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .materialize()
+    )
+    resolved = level1.map_batches(
+        lambda t: t.filter(pc.equal(t["_kind"], 1)).select(
+            ["event_type", "total_ns", "n"]),
+        batch_format="pyarrow",
+    )
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["_kind"] == 0].sort_values("_bucket")
+        o = g[g["_kind"] == 2].sort_values("_bucket")
+        sb = s["_bucket"].to_numpy()
+        sn = s["ns"].to_numpy(np.int64)
+        idx = np.searchsorted(sb, o["_bucket"].to_numpy(), side="right")
+        has = idx < len(sb)
+        if not has.any():
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "total_ns": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        dur = sn[idx[has]] - o["ns"].to_numpy(np.int64)[has]
+        return (
+            pd.DataFrame({"event_type": o["event_type"].to_numpy()[has],
+                          "dur": dur})
+            .groupby("event_type", as_index=False)
+            .agg(total_ns=("dur", "sum"), n=("dur", "size"))
+        )
+
+    filled = (
+        level1.map_batches(
+            lambda t: t.filter(pc.not_equal(t["_kind"], 1)),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .map_groups(fill, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+    )
+    out = (
+        resolved.union(filled)
+        .groupby("event_type")
+        .aggregate(Sum("total_ns", alias_name="total_ns"),
+                   Sum("n", alias_name="n_intervals"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_intervals"] = out["n_intervals"].astype("int64")
+    out["total_seconds"] = (out["total_ns"].astype("int64") / 1e9).round(6)
+    return pa.Table.from_pandas(
+        out[["event_type", "n_intervals", "total_seconds"]],
+        preserve_index=False,
+    )
+
+
 # --- A31: pairwise correlation matrix --------------------------------------------------
 
 A31_FEATS = ("value", "hour", "dow")
@@ -4664,6 +4774,20 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "w20_time_in_state": """
+            WITH s AS (
+                SELECT user_id, event_type, ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_intervals,
+                   round(sum(epoch_us(nxt - ts)) * 1000 / 1e9, 6)
+                       AS total_seconds
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
         "a31_corr_matrix": """
             WITH f AS (
                 SELECT value,

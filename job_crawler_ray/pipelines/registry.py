@@ -1434,6 +1434,7 @@ def build_queries() -> dict:
             "a30_mad": A2.a30_mad,
             "w19_streaks": A2.w19_streaks,
             "a31_corr_matrix": A2.a31_corr_matrix,
+            "w20_time_in_state": A2.w20_time_in_state,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
