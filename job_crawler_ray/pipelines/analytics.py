@@ -3866,6 +3866,162 @@ def w20_time_in_state(sf_dir: str) -> pa.Table:
     )
 
 
+# --- W21: event-transition matrix (Markov counts) --------------------------------------
+
+
+def w21_transition_matrix(sf_dir: str) -> pa.Table:
+    """Per-user event-type transition counts (state_i → state_i+1 in
+    (ts, event_id) order), summed corpus-wide — the Markov/sequence-
+    mining profile. Same two-level plan as w20: in-bucket consecutive
+    pairs resolve locally and pre-aggregate to ≤ |types|² rows per
+    group; each bucket's LAST event pairs with the NEXT bucket's
+    FIRST event type via the per-user summary table."""
+    from job_crawler_ray.pipelines.windows import ASOF_BUCKET_HOURS, _events
+
+    bucket_ns = ASOF_BUCKET_HOURS * 3_600_000_000_000
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ns = t["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+        t = t.append_column("ns", pa.array(ns, pa.int64()))
+        return t.append_column(
+            "_bucket", pa.array(ns // bucket_ns, pa.int64())
+        )
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ns", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        uid = int(g["user_id"].iloc[0])
+        bkt = int(g["_bucket"].iloc[0])
+        parts = []
+        if len(g) > 1:
+            agg = (
+                pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+                .groupby(["from_type", "to_type"], as_index=False)
+                .size()
+                .rename(columns={"size": "cnt"})
+            )
+            agg["user_id"] = uid
+            agg["_bucket"] = bkt
+            agg["_kind"] = 1
+            parts.append(agg)
+        parts.append(pd.DataFrame(
+            {"from_type": [et[-1], ""], "to_type": ["", et[0]],
+             "cnt": [0, 0], "user_id": uid, "_bucket": bkt,
+             "_kind": [2, 0]}  # 2 = open last, 0 = first-type summary
+        ))
+        return pd.concat(parts, ignore_index=True)
+
+    level1 = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "_bucket"])
+        .map_groups(local, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .materialize()
+    )
+    resolved = level1.map_batches(
+        lambda t: t.filter(pc.equal(t["_kind"], 1)).select(
+            ["from_type", "to_type", "cnt"]),
+        batch_format="pyarrow",
+    )
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["_kind"] == 0].sort_values("_bucket")
+        o = g[g["_kind"] == 2].sort_values("_bucket")
+        sb = s["_bucket"].to_numpy()
+        first_ty = s["to_type"].to_numpy()
+        idx = np.searchsorted(sb, o["_bucket"].to_numpy(), side="right")
+        has = idx < len(sb)
+        if not has.any():
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return (
+            pd.DataFrame({"from_type": o["from_type"].to_numpy()[has],
+                          "to_type": first_ty[idx[has]]})
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+
+    filled = (
+        level1.map_batches(
+            lambda t: t.filter(pc.not_equal(t["_kind"], 1)),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .map_groups(fill, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+    )
+    out = (
+        resolved.union(filled)
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    out = out[out["cnt"] > 0]
+    out["cnt"] = out["cnt"].astype("int64")
+    return pa.Table.from_pandas(
+        out.reset_index(drop=True), preserve_index=False
+    )
+
+
+# --- A32: label centroids (vector mean-pool aggregate) ---------------------------------
+
+
+def a32_label_centroids(sf_dir: str) -> pa.Table:
+    """Element-wise MEAN of the embedding vector per label — the
+    vector aggregate (centroid / mean-pool) shape: each batch reduces
+    its rows to |labels| (sum-vector, n) partials, flattened to
+    (label, dim, s, n) rows so the groupby Sum stays scalar; the
+    division happens once per output cell. Long-form output so the
+    unnest-with-subscripts twin hashes it."""
+    from job_crawler_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    ).repartition(8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks() if isinstance(
+            t["embedding"], pa.ChunkedArray) else t["embedding"]
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        width = len(flat) // max(t.num_rows, 1) if t.num_rows else 0
+        mat = flat.reshape(t.num_rows, width).astype(np.float64) \
+            if t.num_rows else np.zeros((0, 0))
+        lab = t["label"].to_numpy()
+        parts = []
+        for lb in np.unique(lab):
+            sub = mat[lab == lb]
+            parts.append(pd.DataFrame(
+                {"label": int(lb), "dim": np.arange(width, dtype=np.int64),
+                 "s": sub.sum(axis=0), "n": np.int64(len(sub))}))
+        if not parts:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return strip_meta(pa.Table.from_pandas(
+            pd.concat(parts, ignore_index=True), preserve_index=False))
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    out["label"] = out["label"].astype("int64")
+    out["dim"] = out["dim"].astype("int64")
+    out["mean_v"] = (out["s"] / out["n"]).round(6)
+    return pa.Table.from_pandas(
+        out[["label", "dim", "mean_v"]], preserve_index=False
+    )
+
+
 # --- A31: pairwise correlation matrix --------------------------------------------------
 
 A31_FEATS = ("value", "hour", "dow")
@@ -4774,6 +4930,28 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "w21_transition_matrix": """
+            WITH s AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_type
+                FROM events
+            )
+            SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+            FROM s WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type ORDER BY from_type, to_type
+        """,
+        "a32_label_centroids": """
+            WITH u AS (
+                SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   round(sum(CAST(v AS DOUBLE)) / count(*), 6) AS mean_v
+            FROM u GROUP BY label, dim ORDER BY label, dim
+        """,
         "w20_time_in_state": """
             WITH s AS (
                 SELECT user_id, event_type, ts,
