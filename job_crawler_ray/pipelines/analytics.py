@@ -3968,6 +3968,68 @@ def w21_transition_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+# --- J18: nearest-centroid assignment (1-NN classifier eval) ---------------------------
+
+
+def j18_centroid_assign(sf_dir: str) -> pa.Table:
+    """Assign every embedding its max-cosine LABEL CENTROID and emit
+    the (true_label, assigned_label) confusion counts — the
+    centroid-classifier eval loop (and the assignment step of
+    semantic dedup / clustering audits). Centroids come from the a32
+    machinery; the assignment pass broadcasts the |labels|×dim
+    centroid matrix via ray.put and argmaxes one numpy matmul per
+    batch; the confusion rollup is a |labels|² partial+Sum. Ties
+    break to the smaller label on BOTH sides."""
+    from job_crawler_ray.util import read_parquet_clean
+
+    cents = a32_label_centroids(sf_dir).to_pandas()
+    labels = np.sort(cents["label"].unique())
+    width = cents["dim"].max() + 1
+    mat = np.zeros((len(labels), width), dtype=np.float64)
+    for i, lb in enumerate(labels):
+        sub = cents[cents["label"] == lb].sort_values("dim")
+        mat[i] = sub["mean_v"].to_numpy(np.float64)
+    cnorm = np.sqrt((mat * mat).sum(axis=1))
+    cent_ref = ray.put((labels.astype(np.int64), mat, cnorm))
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label",
+                                                 "embedding"]
+    ).repartition(8)
+
+    def assign(t: pa.Table) -> pa.Table:
+        labs, m, cn = ray.get(cent_ref)
+        emb = t["embedding"].combine_chunks() if isinstance(
+            t["embedding"], pa.ChunkedArray) else t["embedding"]
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        w = len(flat) // max(t.num_rows, 1) if t.num_rows else 0
+        x = flat.reshape(t.num_rows, w).astype(np.float64) \
+            if t.num_rows else np.zeros((0, 0))
+        xn = np.sqrt((x * x).sum(axis=1))
+        cos = (x @ m.T) / np.maximum(xn[:, None] * cn[None, :], 1e-300)
+        best = labs[np.argmax(cos, axis=1)]  # argmax: first (smallest) wins
+        g = (
+            pd.DataFrame({"true_label": t["label"].to_numpy().astype(np.int64),
+                          "assigned_label": best})
+            .groupby(["true_label", "assigned_label"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["true_label", "assigned_label"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["true_label", "assigned_label"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- A32: label centroids (vector mean-pool aggregate) ---------------------------------
 
 
@@ -4930,6 +4992,47 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "j18_centroid_assign": """
+            WITH u AS (
+                SELECT vec_id, label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings
+            ), cent AS (
+                SELECT label AS clabel, dim,
+                       round(sum(CAST(v AS DOUBLE)) / count(*), 6) AS mean_v
+                FROM u GROUP BY clabel, dim
+            ), cn AS (
+                SELECT clabel, sqrt(sum(mean_v * mean_v)) AS nrm
+                FROM cent GROUP BY clabel
+            ), xn AS (
+                SELECT vec_id,
+                       sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+                           AS nrm
+                FROM u GROUP BY vec_id
+            ), dots AS (
+                SELECT u.vec_id, c.clabel,
+                       sum(CAST(u.v AS DOUBLE) * c.mean_v) AS dot
+                FROM u JOIN cent c ON c.dim = u.dim
+                GROUP BY u.vec_id, c.clabel
+            ), cs AS (
+                SELECT d.vec_id, d.clabel,
+                       d.dot / greatest(x.nrm * n.nrm, 1e-300) AS cos
+                FROM dots d JOIN xn x USING (vec_id)
+                            JOIN cn n USING (clabel)
+            ), pick AS (
+                SELECT vec_id, clabel,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, clabel) AS rn
+                FROM cs
+            )
+            SELECT CAST(e.label AS BIGINT) AS true_label,
+                   CAST(p.clabel AS BIGINT) AS assigned_label,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM pick p JOIN embeddings e USING (vec_id)
+            WHERE p.rn = 1
+            GROUP BY true_label, assigned_label
+            ORDER BY true_label, assigned_label
+        """,
         "w21_transition_matrix": """
             WITH s AS (
                 SELECT event_type AS from_type,
