@@ -3968,6 +3968,51 @@ def w21_transition_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+# --- T: character-bigram entropy -------------------------------------------------------
+
+
+def t_char_entropy(sf_dir: str) -> pa.Table:
+    """Per-doc character-BIGRAM Shannon entropy (log2) — the
+    gibberish/boilerplate signal complementing t_compress_ratio
+    (low entropy = repetitive templates, near-max = keyboard mash).
+    Kernel: one byte-view per doc, bigrams as uint16 words, bincount
+    — C throughout, no Python string slicing. ASCII corpus contract
+    (multi-byte UTF-8 would count byte-bigrams; documented)."""
+    from job_crawler_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(strip_meta, batch_format="pyarrow").repartition(8)
+
+    def ent(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        out = np.zeros(len(texts), np.float64)
+        n_bg = np.zeros(len(texts), np.int64)
+        for i, tx in enumerate(texts):
+            b = np.frombuffer((tx or "").encode(), dtype=np.uint8)
+            if len(b) < 2:
+                continue
+            bg = b[:-1].astype(np.uint16) * 256 + b[1:]
+            cnt = np.bincount(bg)
+            cnt = cnt[cnt > 0]
+            p = cnt / cnt.sum()
+            out[i] = round(float(-(p * np.log2(p)).sum()), 6)
+            n_bg[i] = len(b) - 1
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()),
+             "n_bigrams": pa.array(n_bg, pa.int64()),
+             "bigram_entropy": pa.array(out, pa.float64())}
+        )
+
+    out = (
+        ds.map_batches(ent, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- J18: nearest-centroid assignment (1-NN classifier eval) ---------------------------
 
 
@@ -4992,6 +5037,25 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "t_char_entropy": """
+            WITH bg AS (
+                SELECT doc_id,
+                       substr(coalesce(text, ''), CAST(t.i AS INT), 2) AS b
+                FROM documents,
+                     UNNEST(generate_series(1,
+                         greatest(length(coalesce(text, '')) - 1, 0)))
+                         AS t(i)
+            ), e AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       round(entropy(b), 6) AS bigram_entropy
+                FROM bg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(e.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   coalesce(e.bigram_entropy, 0.0) AS bigram_entropy
+            FROM documents d LEFT JOIN e USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "j18_centroid_assign": """
             WITH u AS (
                 SELECT vec_id, label, unnest(embedding) AS v,

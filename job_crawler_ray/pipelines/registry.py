@@ -1438,6 +1438,7 @@ def build_queries() -> dict:
             "w21_transition_matrix": A2.w21_transition_matrix,
             "a32_label_centroids": A2.a32_label_centroids,
             "j18_centroid_assign": A2.j18_centroid_assign,
+            "t_char_entropy": A2.t_char_entropy,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
