@@ -3968,6 +3968,91 @@ def w21_transition_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+# --- A33: top-k with OTHERS bucket ------------------------------------------------------
+
+A33_K = 3
+
+
+def a33_topk_others(sf_dir: str) -> pa.Table:
+    """Top-3 busiest days by event count plus one OTHERS row rolling
+    up the rest — the chart-legend aggregation (every dashboard's
+    long-tail fold). One daily partial+Sum; the top-k split and
+    OTHERS fold run on the |days| driver frame. Ties break to the
+    earlier day."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            pd.DataFrame({"day": time_bucket_strings(df["ts"])})
+            .groupby("day", as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["cnt", "day"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    top = daily.iloc[:A33_K].copy()
+    top["bucket"] = top["day"]
+    others = pd.DataFrame(
+        {"bucket": ["OTHERS"], "cnt": [daily["cnt"].iloc[A33_K:].sum()]}
+    )
+    out = pd.concat([top[["bucket", "cnt"]], others], ignore_index=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    out = out.sort_values("bucket").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- G14: reciprocal (mutual) links -----------------------------------------------------
+
+
+def g14_reciprocal_links(sf_dir: str) -> pa.Table:
+    """Mutual-edge pairs (u→v AND v→u) in the directed synthetic
+    graph — the reciprocity detector (follow-back analysis, symmetric
+    relation mining). No join: every directed edge maps to its
+    unordered (min, max) key; a pair is mutual iff its key has BOTH
+    orientations, i.e. 2 distinct directed edges — one groupby over
+    16-byte rows."""
+    _, edges, n = _bfs_edges(sf_dir)
+
+    def orient(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        m = s != d  # self-loops can't be mutual
+        s, d = s[m], d[m]
+        g = (
+            pd.DataFrame({"u": np.minimum(s, d), "v": np.maximum(s, d),
+                          "fwd": (s < d).astype(np.int64),
+                          "rev": (s > d).astype(np.int64)})
+            .groupby(["u", "v"], as_index=False)
+            .agg(fwd=("fwd", "max"), rev=("rev", "max"))
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        edges.map_batches(orient, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Max("fwd", alias_name="fwd"), Max("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    out = out[(out["fwd"] > 0) & (out["rev"] > 0)]
+    out = (
+        out[["u", "v"]].sort_values(["u", "v"]).reset_index(drop=True)
+    )
+    out["u"] = out["u"].astype("int64")
+    out["v"] = out["v"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- T: character-bigram entropy -------------------------------------------------------
 
 
@@ -5037,6 +5122,32 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "a33_topk_others": f"""
+            WITH daily AS (
+                SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY day
+            ), ranked AS (
+                SELECT day, cnt, row_number() OVER (
+                    ORDER BY cnt DESC, day) AS rn
+                FROM daily
+            )
+            SELECT CASE WHEN rn <= {A33_K} THEN day ELSE 'OTHERS' END
+                       AS bucket,
+                   CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM ranked GROUP BY bucket ORDER BY bucket
+        """,
+        "g14_reciprocal_links": f"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e AS (SELECT DISTINCT src, dst FROM ({" UNION ALL ".join(
+                f"SELECT doc_id AS src, (doc_id * {a} + {b}) % nn.n AS dst "
+                "FROM documents, nn"
+                for a, b in BFS_EDGE_MULTS)}) WHERE src <> dst)
+            SELECT e1.src AS u, e1.dst AS v
+            FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+            WHERE e1.src < e1.dst
+            ORDER BY u, v
+        """,
         "t_char_entropy": """
             WITH bg AS (
                 SELECT doc_id,

@@ -1439,6 +1439,8 @@ def build_queries() -> dict:
             "a32_label_centroids": A2.a32_label_centroids,
             "j18_centroid_assign": A2.j18_centroid_assign,
             "t_char_entropy": A2.t_char_entropy,
+            "a33_topk_others": A2.a33_topk_others,
+            "g14_reciprocal_links": A2.g14_reciprocal_links,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
