@@ -179,3 +179,35 @@ class WavFeatureExtractor:
         out = out.append_column("duration_s", pa.array(np.round(dur, 6)))
         out = out.append_column("rms", pa.array(np.round(rms, 6)))
         return out.append_column("decoded_ok", pa.array(ok))
+
+
+# --- RAWV: uncompressed multi-frame container (video stand-in) ----------------
+
+RAWV_MAGIC = b"RAWV0001"
+
+
+def encode_rawv(frames: list[bytes]) -> bytes:
+    """Concatenate UNIFORM-SIZE frame payloads (e.g. same-dims BMPs)
+    under a minimal container header — the uncompressed analog of a
+    video file: real frame bytes, trivially seekable."""
+    fb = len(frames[0]) if frames else 0
+    assert all(len(f) == fb for f in frames), "RAWV frames must be uniform"
+    return (
+        RAWV_MAGIC
+        + len(frames).to_bytes(4, "little")
+        + fb.to_bytes(4, "little")
+        + b"".join(frames)
+    )
+
+
+def rawv_frames(payload: bytes, every_k: int):
+    """`FrameSampler(frames_fn=rawv_frames)` adapter: yields every
+    k-th REAL frame payload (each itself decodable, e.g. by
+    decode_bmp). Returns None on non-RAWV payloads (row-level
+    degradation)."""
+    if payload is None or not payload.startswith(RAWV_MAGIC):
+        return None
+    n = int.from_bytes(payload[8:12], "little")
+    fb = int.from_bytes(payload[12:16], "little")
+    body = payload[16:]
+    return ((i, body[i * fb:(i + 1) * fb]) for i in range(0, n, every_k))

@@ -1024,6 +1024,33 @@ def multimodal_audio_features(sf_dir: str):
     return ds.sort("doc_id")
 
 
+def multimodal_real_video(sf_dir: str):
+    """REAL video pipeline, in-container: RAWV containers of
+    same-dims 24-bit BMP frames → every-2nd-frame sampling (real
+    frames_fn) → REAL per-frame BMP decode — the full sample→decode
+    chain on actual decodable bytes, closing the image/audio/VIDEO
+    trio of real kernels through the same injectable seams."""
+    from job_crawler_ray.functions.codecs import bmp_codec, rawv_frames
+
+    ds = _docs(sf_dir)
+    ds = ds.map_batches(T.synth_rawv_payloads, batch_format="pyarrow")
+    ds = ds.map_batches(
+        T.FrameSampler,
+        fn_constructor_kwargs=dict(every_k=2, frames_fn=rawv_frames),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 2),
+    )
+    ds = ds.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id", "frame_idx", "payload", "frame_ok"]),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        T.BinaryDecoder, fn_constructor_kwargs=dict(codec=bmp_codec),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 2),
+    )
+    return ds.sort(["doc_id", "frame_idx"])
+
+
 def multimodal_frame_sample(sf_dir: str):
     """Video frame sampling: synth payloads → every-4th-frame
     explosion (one row per kept frame) → per-frame byte features —
@@ -1367,6 +1394,7 @@ def build_queries() -> dict:
             "multimodal_frame_sample": multimodal_frame_sample,
             "multimodal_real_decode": multimodal_real_decode,
             "multimodal_audio_features": multimodal_audio_features,
+            "multimodal_real_video": multimodal_real_video,
             "doc_fingerprints": doc_fingerprints,
             "ann_lsh": ann_lsh,
             "ann_lsh_store": ann_lsh_store,

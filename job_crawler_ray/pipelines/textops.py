@@ -4091,3 +4091,32 @@ def synth_wav_payloads(batch: pa.Table, text_col: str = "text") -> pa.Table:
         payloads.append(encode_wav(samples, rate=8000))
     keep = batch.select([c for c in batch.column_names if c != text_col])
     return keep.append_column("payload", pa.array(payloads, type=pa.binary()))
+
+
+def synth_rawv_payloads(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic REAL multi-frame payloads: 4-11 same-dims 24-bit
+    BMP frames per doc (gradient pixels shifted per frame) in a RAWV
+    container — every sampled frame decodes with the real BMP codec,
+    so the whole video chain (sample → decode → features) runs real
+    kernels in-container."""
+    from job_crawler_ray.functions.codecs import encode_bmp, encode_rawv
+
+    ids = batch["doc_id"].to_numpy()
+    payloads = []
+    for i in ids:
+        w = int(mix64(np.array([i], dtype=_u64), 521)[0] % _u64(16)) + 8
+        h = int(mix64(np.array([i], dtype=_u64), 522)[0] % _u64(12)) + 8
+        n = int(mix64(np.array([i], dtype=_u64), 523)[0] % _u64(8)) + 4
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.uint32)
+        frames = []
+        for f in range(n):
+            px = np.stack(
+                [(xx * 3 + yy * 7 + f * 11) % 256,
+                 (xx * 5 + yy * 2 + f * 17) % 256,
+                 (xx + yy * 11 + f * 23) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            frames.append(encode_bmp(px))
+        payloads.append(encode_rawv(frames))
+    keep = batch.select([c for c in batch.column_names if c != text_col])
+    return keep.append_column("payload", pa.array(payloads, type=pa.binary()))

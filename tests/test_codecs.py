@@ -162,3 +162,54 @@ class TestRealPipelines:
                 float(np.sqrt((s.astype(np.float64) ** 2).mean())), 6
             )
         assert out["decoded_ok"].all()
+
+
+class TestRealVideo:
+    def test_rawv_roundtrip_and_sampling(self):
+        from job_crawler_ray.functions.codecs import (
+            encode_bmp,
+            encode_rawv,
+            rawv_frames,
+        )
+
+        frames = [
+            encode_bmp(np.full((4, 6, 3), f * 10, dtype=np.uint8))
+            for f in range(5)
+        ]
+        payload = encode_rawv(frames)
+        got = list(rawv_frames(payload, 2))
+        assert [i for i, _ in got] == [0, 2, 4]
+        for i, fr in got:
+            w, h, px = decode_bmp(fr)
+            assert (w, h) == (6, 4) and (px == i * 10).all()
+        assert rawv_frames(b"JUNK", 2) is None
+
+    def test_real_video_pipeline_decodes_every_frame(
+        self, sf_small, ray_session
+    ):
+        from job_crawler_ray.pipelines.registry import multimodal_real_video
+        from job_crawler_ray.pipelines.textops import synth_rawv_payloads
+        from job_crawler_ray.functions.codecs import rawv_frames
+        from job_crawler_ray.util import read_parquet_clean
+
+        out = multimodal_real_video(sf_small).to_pandas()
+        assert out["decoded_ok"].all()
+        # recompute parity for a handful of docs
+        docs = (
+            read_parquet_clean(
+                f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .head(10)
+        )
+        local = synth_rawv_payloads(
+            pa.Table.from_pandas(docs, preserve_index=False)
+        )
+        for doc_id, p in zip(local["doc_id"].to_pylist(),
+                             local["payload"].to_pylist()):
+            want = [(i, *decode_bmp(fr)[:2]) for i, fr in rawv_frames(p, 2)]
+            sub = out[out["doc_id"] == doc_id].sort_values("frame_idx")
+            assert list(sub["frame_idx"]) == [i for i, _, _ in want]
+            assert list(sub["width"]) == [w for _, w, _ in want]
+            assert list(sub["height"]) == [h for _, _, h in want]
