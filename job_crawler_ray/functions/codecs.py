@@ -211,3 +211,22 @@ def rawv_frames(payload: bytes, every_k: int):
     fb = int.from_bytes(payload[12:16], "little")
     body = payload[16:]
     return ((i, body[i * fb:(i + 1) * fb]) for i in range(0, n, every_k))
+
+
+def wav_downsample(payload: bytes, factor: int = 2) -> bytes | None:
+    """`BinaryResizer(resize_fn=wav_downsample)`-shaped REAL audio
+    transform: integer-factor decimation with a box filter (mean of
+    each `factor`-sample block as integer sum // factor — exact,
+    deterministic), re-encoded as PCM WAV at rate/factor. Returns
+    None on undecodable payloads (row passes through)."""
+    try:
+        rate, s = decode_wav(payload)
+    except NotImplementedError:
+        return None
+    f = int(factor)
+    n = (len(s) // f) * f
+    if n == 0 or rate % f:
+        return None
+    blocks = s[:n].astype(np.int64).reshape(-1, f)
+    small = (blocks.sum(axis=1) // f).astype(np.int16)
+    return encode_wav(small, rate // f)

@@ -1024,6 +1024,29 @@ def multimodal_audio_features(sf_dir: str):
     return ds.sort("doc_id")
 
 
+def multimodal_audio_resample(sf_dir: str):
+    """REAL audio transform chain: PCM WAV → 2× integer-decimation
+    downsample (box filter, exact int arithmetic — the audio analog
+    of the BMP block-mean resize) → feature extraction. Rate halves,
+    duration is preserved (±1 trailing sample), all kernels real."""
+    from job_crawler_ray.functions.codecs import (
+        WavFeatureExtractor, wav_downsample,
+    )
+
+    ds = _docs(sf_dir)
+    ds = ds.map_batches(T.synth_wav_payloads, batch_format="pyarrow")
+    ds = ds.map_batches(
+        T.BinaryResizer,
+        fn_constructor_kwargs=dict(factor=2, resize_fn=wav_downsample),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 2),
+    )
+    ds = ds.map_batches(
+        WavFeatureExtractor,
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 2),
+    )
+    return ds.sort("doc_id")
+
+
 def multimodal_real_video(sf_dir: str):
     """REAL video pipeline, in-container: RAWV containers of
     same-dims 24-bit BMP frames → every-2nd-frame sampling (real
@@ -1395,6 +1418,7 @@ def build_queries() -> dict:
             "multimodal_real_decode": multimodal_real_decode,
             "multimodal_audio_features": multimodal_audio_features,
             "multimodal_real_video": multimodal_real_video,
+            "multimodal_audio_resample": multimodal_audio_resample,
             "doc_fingerprints": doc_fingerprints,
             "ann_lsh": ann_lsh,
             "ann_lsh_store": ann_lsh_store,

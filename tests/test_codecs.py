@@ -213,3 +213,29 @@ class TestRealVideo:
             assert list(sub["frame_idx"]) == [i for i, _, _ in want]
             assert list(sub["width"]) == [w for _, w, _ in want]
             assert list(sub["height"]) == [h for _, _, h in want]
+
+    def test_audio_resample_pipeline_halves_rate(self, sf_small, ray_session):
+        from job_crawler_ray.pipelines.registry import (
+            multimodal_audio_features,
+            multimodal_audio_resample,
+        )
+
+        base = (
+            multimodal_audio_features(sf_small)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        out = (
+            multimodal_audio_resample(sf_small)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out["decoded_ok"].all()
+        assert (out["sample_rate"] == 4000).all()
+        # duration preserved within one source sample (trailing crop)
+        assert (
+            (base["duration_s"] - out["duration_s"]).abs() <= 2 / 8000 + 1e-9
+        ).all()
+        assert (out["n_samples"] * 2 - base["n_samples"]).abs().max() <= 1
