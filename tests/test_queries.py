@@ -720,3 +720,33 @@ class TestResumableWrite:
             import shutil
 
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+class TestCompressedSink:
+    def test_zstd_is_smaller_than_uncompressed(self, sf_small, ray_session):
+        import os
+
+        from job_crawler_ray.util import read_parquet_clean, scratch_dir
+
+        import shutil
+
+        ds = read_parquet_clean(
+            f"{sf_small}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"],
+        ).repartition(2).materialize()
+        d_z = scratch_dir("jcr_zstd_t_")
+        d_u = scratch_dir("jcr_unc_t_")
+        try:
+            ds.write_parquet(d_z, compression="zstd", compression_level=7)
+            ds.write_parquet(d_u, compression="none")
+
+            def total(d):
+                return sum(
+                    os.path.getsize(os.path.join(d, f))
+                    for f in os.listdir(d)
+                )
+
+            assert total(d_z) < total(d_u)
+        finally:
+            shutil.rmtree(d_z, ignore_errors=True)
+            shutil.rmtree(d_u, ignore_errors=True)
