@@ -3968,6 +3968,63 @@ def w21_transition_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+# --- W23: forward fill (LOCF) over the day spine ------------------------------------------
+
+W23_SPARSE_MOD = 3  # only every 3rd day "reports" → real gaps to fill
+
+
+def w23_forward_fill(sf_dir: str) -> pa.Table:
+    """Last-observation-carried-forward imputation over a COMPLETE
+    day spine: a sparse daily metric (only days where day-int %% 3 ==
+    0 report, so gaps genuinely exist) forward-fills missing days
+    from the most recent observation — the LOCF step every
+    time-series consumer runs before modeling. The corpus pass is one
+    daily partial+Sum; spine + fill run on the |days| driver frame
+    (prefix semantics, the w4 shape). Leading unfilled days stay
+    NULL."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = (
+            df["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+            // _NS_DAY
+        )
+        g = (
+            pd.DataFrame({"day": day, "value": df["value"]})
+            .groupby("day", as_index=False)
+            .agg(value_sum=("value", "sum"), cnt=("value", "size"))
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("value_sum", alias_name="value_sum"),
+                   Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    daily["avg_value"] = daily["value_sum"] / daily["cnt"]
+    daily.loc[daily["day"] % W23_SPARSE_MOD != 0, "avg_value"] = np.nan
+    spine = pd.DataFrame(
+        {"day": np.arange(daily["day"].min(), daily["day"].max() + 1)}
+    )
+    out = spine.merge(daily[["day", "avg_value"]], on="day", how="left")
+    out["observed"] = out["avg_value"].notna()
+    out["avg_value"] = out["avg_value"].ffill().round(6)
+    out["day_str"] = time_bucket_strings(
+        (out["day"].to_numpy(np.int64) * _NS_DAY).astype("datetime64[ns]")
+    )
+    res = out[["day_str", "observed", "avg_value"]].rename(
+        columns={"day_str": "day"}
+    )
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
 # --- G15: degree assortativity -----------------------------------------------------------
 
 
@@ -5192,6 +5249,34 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "w23_forward_fill": f"""
+            WITH daily AS (
+                SELECT CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT)
+                           AS day,
+                       sum(value) / count(*) AS raw_avg
+                FROM events GROUP BY day
+            ), sparse AS (
+                SELECT day,
+                       CASE WHEN day % {W23_SPARSE_MOD} = 0
+                            THEN raw_avg END AS avg_value
+                FROM daily
+            ), spine AS (
+                SELECT unnest(generate_series(
+                    (SELECT min(day) FROM daily),
+                    (SELECT max(day) FROM daily))) AS day
+            ), j AS (
+                SELECT s.day, sp.avg_value,
+                       sp.avg_value IS NOT NULL AS observed
+                FROM spine s LEFT JOIN sparse sp USING (day)
+            )
+            SELECT strftime(CAST(to_timestamp(day * 86400) AS TIMESTAMP),
+                            '%Y-%m-%d') AS day,
+                   observed,
+                   round(last_value(avg_value IGNORE NULLS) OVER (
+                       ORDER BY day ROWS UNBOUNDED PRECEDING), 6)
+                       AS avg_value
+            FROM j ORDER BY day
+        """,
         "g15_degree_assortativity": f"""
             WITH nn AS (SELECT count(*) AS n FROM documents),
             e AS (SELECT DISTINCT src, dst FROM ({" UNION ALL ".join(
