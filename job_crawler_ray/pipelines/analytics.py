@@ -3968,6 +3968,104 @@ def w21_transition_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+# --- J19: 1-D nearest-neighbor self-join ---------------------------------------------------
+
+J19_BUCKET_W = 10_000.0
+
+
+def j19_nearest_price(sf_dir: str) -> pa.Table:
+    """For every order, the distance to the NEAREST other order's
+    total price — the 1-D nearest-neighbor self-join (sorted
+    adjacency: the nearest other value is always a sorted neighbor),
+    WITHOUT a global sort: price-range buckets sort locally and
+    resolve interior rows; each bucket's first/last rows consult the
+    previous/next non-empty bucket's max/min from the |buckets|
+    driver summary (broadcast). The j16 idea in one dimension, exact
+    over duplicates (equal prices ⇒ distance 0)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = np.floor(
+            t["o_totalprice"].to_numpy() / J19_BUCKET_W
+        ).astype(np.int64)
+        return t.append_column("_b", pa.array(b, pa.int64()))
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        p = g["o_totalprice"].to_numpy(np.float64)
+        k = g["o_orderkey"].to_numpy(np.int64)
+        n = len(p)
+        cand = np.full(n, np.inf)
+        if n > 1:
+            d_prev = np.concatenate(([np.inf], p[1:] - p[:-1]))
+            d_next = np.concatenate((p[1:] - p[:-1], [np.inf]))
+            cand = np.minimum(d_prev, d_next)
+        return pd.DataFrame(
+            {"o_orderkey": k, "price": p, "cand": cand,
+             "_b": int(g["_b"].iloc[0]),
+             "pos": np.arange(n, dtype=np.int64),
+             "last_pos": np.int64(n - 1)}
+        )
+
+    level1 = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(local, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .materialize()
+    )
+    summ = (
+        level1.map_batches(
+            lambda t: strip_meta(pa.Table.from_pandas(
+                t.to_pandas().groupby("_b", as_index=False).agg(
+                    lo=("price", "min"), hi=("price", "max")),
+                preserve_index=False)),
+            batch_format="pyarrow",
+        )
+        .groupby("_b")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+        .to_pandas()
+        .sort_values("_b")
+        .reset_index(drop=True)
+    )
+    sb = summ["_b"].to_numpy(np.int64)
+    lo = summ["lo"].to_numpy(np.float64)
+    hi = summ["hi"].to_numpy(np.float64)
+    sum_ref = ray.put((sb, lo, hi))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        sb_, lo_, hi_ = ray.get(sum_ref)
+        df = t.to_pandas()
+        cand = df["cand"].to_numpy(np.float64).copy()
+        p = df["price"].to_numpy(np.float64)
+        b = df["_b"].to_numpy(np.int64)
+        i = np.searchsorted(sb_, b)
+        first = df["pos"].to_numpy() == 0
+        if first.any():
+            has_prev = i[first] > 0
+            d = np.full(first.sum(), np.inf)
+            d[has_prev] = p[first][has_prev] - hi_[i[first][has_prev] - 1]
+            cand[first] = np.minimum(cand[first], d)
+        last = df["pos"].to_numpy() == df["last_pos"].to_numpy()
+        if last.any():
+            has_next = i[last] < len(sb_) - 1
+            d = np.full(last.sum(), np.inf)
+            d[has_next] = lo_[i[last][has_next] + 1] - p[last][has_next]
+            cand[last] = np.minimum(cand[last], d)
+        return pa.table(
+            {"o_orderkey": pa.array(df["o_orderkey"], pa.int64()),
+             "nearest_diff": pa.array(np.round(cand, 6), pa.float64())}
+        )
+
+    out = (
+        level1.map_batches(resolve, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- W23: forward fill (LOCF) over the day spine ------------------------------------------
 
 W23_SPARSE_MOD = 3  # only every 3rd day "reports" → real gaps to fill
@@ -5249,6 +5347,21 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "j19_nearest_price": """
+            WITH s AS (
+                SELECT o_orderkey, o_totalprice,
+                       lag(o_totalprice) OVER (
+                           ORDER BY o_totalprice, o_orderkey) AS prv,
+                       lead(o_totalprice) OVER (
+                           ORDER BY o_totalprice, o_orderkey) AS nxt
+                FROM orders
+            )
+            SELECT o_orderkey,
+                   round(least(coalesce(o_totalprice - prv, 1e308),
+                               coalesce(nxt - o_totalprice, 1e308)), 6)
+                       AS nearest_diff
+            FROM s ORDER BY o_orderkey
+        """,
         "w23_forward_fill": f"""
             WITH daily AS (
                 SELECT CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT)
