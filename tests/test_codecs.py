@@ -239,3 +239,75 @@ class TestRealVideo:
             (base["duration_s"] - out["duration_s"]).abs() <= 2 / 8000 + 1e-9
         ).all()
         assert (out["n_samples"] * 2 - base["n_samples"]).abs().max() <= 1
+
+
+class TestCodecProperties:
+    def test_bmp_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            h=st.integers(min_value=1, max_value=40),
+            w=st.integers(min_value=1, max_value=40),
+            seed=st.integers(min_value=0, max_value=2**31 - 1),
+        )
+        def roundtrip(h, w, seed):
+            px = np.random.default_rng(seed).integers(
+                0, 256, (h, w, 3), dtype=np.uint8
+            )
+            w2, h2, back = decode_bmp(encode_bmp(px))
+            assert (w2, h2) == (w, h)
+            assert np.array_equal(back, px)
+
+        roundtrip()
+
+    def test_wav_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            n=st.integers(min_value=0, max_value=5000),
+            rate=st.sampled_from([8000, 16000, 44100]),
+            seed=st.integers(min_value=0, max_value=2**31 - 1),
+        )
+        def roundtrip(n, rate, seed):
+            s = np.random.default_rng(seed).integers(
+                -32768, 32768, n, dtype=np.int64
+            ).astype(np.int16)
+            r, back = decode_wav(encode_wav(s, rate))
+            assert r == rate
+            assert np.array_equal(back, s)
+
+        roundtrip()
+
+    def test_bmp_resize_bounds_property(self):
+        """Resized pixels are always within the min/max of their
+        source block (integer block mean can't escape the range)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            h=st.integers(min_value=2, max_value=24),
+            w=st.integers(min_value=2, max_value=24),
+            f=st.sampled_from([2, 3]),
+            seed=st.integers(min_value=0, max_value=2**31 - 1),
+        )
+        def bounds(h, w, f, seed):
+            if h < f or w < f:
+                return
+            px = np.random.default_rng(seed).integers(
+                0, 256, (h, w, 3), dtype=np.uint8
+            )
+            out = bmp_resize(encode_bmp(px), f)
+            if out is None:
+                return
+            _, _, small = decode_bmp(out)
+            hh, ww = (h // f) * f, (w // f) * f
+            blocks = px[:hh, :ww].reshape(hh // f, f, ww // f, f, 3)
+            assert (small >= blocks.min(axis=(1, 3))).all()
+            assert (small <= blocks.max(axis=(1, 3))).all()
+
+        bounds()
