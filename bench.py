@@ -162,6 +162,8 @@ def run_queries() -> dict[str, float]:
         "p2_webtext_prep",        # full webtext prep composite
         "d7_containment",         # n-gram containment join (round 4)
         "j8_knn_join",            # k-NN join (round 4)
+        "a24_grouped_percentile_cont",  # multi-rank histogram selection
+        "p3_rag_chunk_prep",      # dedup→gate→chunk→split composite
     ]
     out = {}
     for name in picks:

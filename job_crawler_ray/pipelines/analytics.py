@@ -5147,36 +5147,39 @@ def a24_grouped_percentile_cont(sf_dir: str) -> pa.Table:
         return np.clip(((v - lo) / w).astype(np.int64), 0, SELECT_BINS - 1)
 
     while states:
-        live_ref = ray.put(dict(states))
+        # shuffle volume scales with DISTINCT REGIONS (≤ |groups| in
+        # round 1), not ranks: adjacent floor/ceil ranks share a
+        # region, so per-rank emission would multiply partial rows 8×
+        regions: dict[tuple, int] = {}
+        rank_region: dict[tuple, int] = {}
+        for (g, rk), s in states.items():
+            rkey = (g, s["lo"], s["hi"], s.get("bin"),
+                    s.get("plo"), s.get("phi"))
+            rank_region[(g, rk)] = regions.setdefault(rkey, len(regions))
+        region_list = [k for k, _ in sorted(regions.items(),
+                                            key=lambda kv: kv[1])]
+        live_ref = ray.put(region_list)
 
         def hist_partial(t: pa.Table) -> pa.Table:
-            bounds = ray.get(live_ref)
+            regs = ray.get(live_ref)
             df = t.to_pandas().dropna(subset=[val])
             parts = []
-            seen: dict[tuple, np.ndarray] = {}
-            for (g, rk), s in bounds.items():
-                region = (g, s["lo"], s["hi"], s.get("bin"),
-                          s.get("plo"), s.get("phi"))
-                if region not in seen:
-                    v = df.loc[df[key] == g, val].to_numpy(np.float64)
-                    if "bin" in s:
-                        v = v[(v >= s["plo"]) & (v <= s["phi"])]
-                        v = v[bin_of(v, s["plo"], s["phi"]) == s["bin"]]
-                    else:
-                        v = v[(v >= s["lo"]) & (v <= s["hi"])]
-                    seen[region] = (
-                        np.bincount(bin_of(v, s["lo"], s["hi"]),
-                                    minlength=SELECT_BINS)
-                        if len(v) else np.zeros(SELECT_BINS, np.int64)
-                    )
-                cnt = seen[region]
+            for ri, (g, lo_, hi_, bin_, plo, phi) in enumerate(regs):
+                v = df.loc[df[key] == g, val].to_numpy(np.float64)
+                if bin_ is not None:
+                    v = v[(v >= plo) & (v <= phi)]
+                    v = v[bin_of(v, plo, phi) == bin_]
+                else:
+                    v = v[(v >= lo_) & (v <= hi_)]
+                if not len(v):
+                    continue
+                cnt = np.bincount(bin_of(v, lo_, hi_),
+                                  minlength=SELECT_BINS)
                 nz = np.nonzero(cnt)[0]
-                if len(nz):
-                    parts.append(pd.DataFrame(
-                        {"g": g, "rk": rk, "bin": nz, "cnt": cnt[nz]}))
+                parts.append(pd.DataFrame(
+                    {"ri": ri, "bin": nz, "cnt": cnt[nz]}))
             if not parts:
-                return pa.table({"g": pa.array([], pa.string()),
-                                 "rk": pa.array([], pa.int64()),
+                return pa.table({"ri": pa.array([], pa.int64()),
                                  "bin": pa.array([], pa.int64()),
                                  "cnt": pa.array([], pa.int64())})
             return strip_meta(pa.Table.from_pandas(
@@ -5184,13 +5187,13 @@ def a24_grouped_percentile_cont(sf_dir: str) -> pa.Table:
 
         hist = (
             ds.map_batches(hist_partial, batch_format="pyarrow")
-            .groupby(["g", "rk", "bin"])
+            .groupby(["ri", "bin"])
             .aggregate(Sum("cnt", alias_name="cnt"))
             .to_pandas()
         )
         collect = {}
         for (g, rk), s in list(states.items()):
-            h = hist[(hist["g"] == g) & (hist["rk"] == rk)].sort_values("bin")
+            h = hist[hist["ri"] == rank_region[(g, rk)]].sort_values("bin")
             cum = h["cnt"].cumsum().to_numpy()
             i = int(np.searchsorted(cum, s["k"] + 1, side="left"))
             b = int(h["bin"].iloc[i])
@@ -5208,34 +5211,45 @@ def a24_grouped_percentile_cont(sf_dir: str) -> pa.Table:
                 states[(g, rk)] = s2
 
         if collect:
-            col_ref = ray.put(collect)
+            # collect too is per-REGION: floor/ceil ranks of the same
+            # q usually land in the same bin — ship its values once
+            cregions: dict[tuple, int] = {}
+            crank_region: dict[tuple, int] = {}
+            for (g, rk), s in collect.items():
+                ckey = (g, s["plo"], s["phi"], s["bin"])
+                crank_region[(g, rk)] = cregions.setdefault(
+                    ckey, len(cregions))
+            cregion_list = [k for k, _ in sorted(cregions.items(),
+                                                 key=lambda kv: kv[1])]
+            col_ref = ray.put(cregion_list)
 
             def in_bin_vals(t: pa.Table) -> pa.Table:
-                bounds = ray.get(col_ref)
+                regs = ray.get(col_ref)
                 df = t.to_pandas().dropna(subset=[val])
                 parts = []
-                for (g, rk), s in bounds.items():
+                for ri, (g, plo, phi, bin_) in enumerate(regs):
                     v = df.loc[df[key] == g, val].to_numpy(np.float64)
-                    v = v[(v >= s["plo"]) & (v <= s["phi"])]
+                    v = v[(v >= plo) & (v <= phi)]
                     if len(v):
-                        v = v[bin_of(v, s["plo"], s["phi"]) == s["bin"]]
+                        v = v[bin_of(v, plo, phi) == bin_]
                     if len(v):
-                        parts.append(pd.DataFrame({"g": g, "rk": rk, "v": v}))
+                        parts.append(pd.DataFrame({"ri": ri, "v": v}))
                 if not parts:
-                    return pa.table({"g": pa.array([], pa.string()),
-                                     "rk": pa.array([], pa.int64()),
+                    return pa.table({"ri": pa.array([], pa.int64()),
                                      "v": pa.array([], pa.float64())})
                 return strip_meta(pa.Table.from_pandas(
                     pd.concat(parts, ignore_index=True),
                     preserve_index=False))
 
             got = ds.map_batches(in_bin_vals, batch_format="pyarrow").to_pandas()
+            sorted_cache: dict[int, np.ndarray] = {}
             for (g, rk), s in collect.items():
-                v = np.sort(
-                    got.loc[(got["g"] == g) & (got["rk"] == rk), "v"]
-                    .to_numpy()
-                )
-                result[(g, rk)] = float(v[s["k"]])
+                ri = crank_region[(g, rk)]
+                if ri not in sorted_cache:
+                    sorted_cache[ri] = np.sort(
+                        got.loc[got["ri"] == ri, "v"].to_numpy()
+                    )
+                result[(g, rk)] = float(sorted_cache[ri][s["k"]])
 
     rows = []
     for g in sorted(group_n):

@@ -150,3 +150,20 @@ def test_w20_time_in_state_hot_user_matches_oracle(skew_dir, ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want, check_dtype=False
     )
+
+
+def test_w21_transition_matrix_hot_user_matches_oracle(skew_dir, ray_session):
+    import duckdb
+
+    from job_crawler_ray.pipelines import analytics as A
+
+    got = A.w21_transition_matrix(skew_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{skew_dir}/events.parquet')"
+    )
+    want = con.execute(A.analytics_oracle_sql()["w21_transition_matrix"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
