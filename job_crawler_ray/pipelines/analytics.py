@@ -3968,6 +3968,86 @@ def w21_transition_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+# --- A34: TPC-H-Q1-shaped pricing summary ---------------------------------------------------
+
+A34_CUTOFF = "1998-09-02"
+
+
+def a34_pricing_summary(sf_dir: str) -> pa.Table:
+    """The TPC-H Q1 shape over lineitem: per (returnflag, linestatus),
+    sums/averages of quantity, base price, discounted price, and
+    discounted+taxed price for rows shipped on or before the cutoff —
+    the canonical columnar-scan + partial-agg benchmark query. Every
+    aggregate is a mergeable (sum, count) pair; averages divide once
+    at the end. Money sums at 1e8+ round to 2 dp (the j6 rule)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax", "l_shipdate"],
+    )
+    cutoff = np.datetime64(A34_CUTOFF, "ns").astype("int64")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ns = df["l_shipdate"].to_numpy().astype("datetime64[ns]").astype(
+            "int64")
+        df = df[ns <= cutoff]
+        if df.empty:
+            return pa.table(
+                {c: pa.array([], ty) for c, ty in
+                 [("l_returnflag", pa.string()),
+                  ("l_linestatus", pa.string()),
+                  ("sum_qty", pa.float64()), ("sum_base", pa.float64()),
+                  ("sum_disc", pa.float64()), ("sum_charge", pa.float64()),
+                  ("sum_discount", pa.float64()), ("n", pa.int64())]}
+            )
+        disc_price = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        charge = disc_price * (1.0 + df["l_tax"])
+        g = (
+            pd.DataFrame(
+                {"l_returnflag": df["l_returnflag"],
+                 "l_linestatus": df["l_linestatus"],
+                 "sum_qty": df["l_quantity"],
+                 "sum_base": df["l_extendedprice"],
+                 "sum_disc": disc_price, "sum_charge": charge,
+                 "sum_discount": df["l_discount"]}
+            )
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty=("sum_qty", "sum"), sum_base=("sum_base", "sum"),
+                 sum_disc=("sum_disc", "sum"),
+                 sum_charge=("sum_charge", "sum"),
+                 sum_discount=("sum_discount", "sum"),
+                 n=("sum_qty", "size"))
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_base", alias_name="sum_base"),
+                   Sum("sum_disc", alias_name="sum_disc"),
+                   Sum("sum_charge", alias_name="sum_charge"),
+                   Sum("sum_discount", alias_name="sum_discount"),
+                   Sum("n", alias_name="count_order"))
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    out["count_order"] = out["count_order"].astype("int64")
+    for c in ("sum_qty", "sum_base", "sum_disc", "sum_charge"):
+        out[c] = out[c].round(2)
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(6)
+    out["avg_price"] = (out["sum_base"] / out["count_order"]).round(6)
+    out["avg_disc"] = (out["sum_discount"] / out["count_order"]).round(6)
+    return pa.Table.from_pandas(
+        out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base",
+             "sum_disc", "sum_charge", "avg_qty", "avg_price", "avg_disc",
+             "count_order"]],
+        preserve_index=False,
+    )
+
+
 # --- J19: 1-D nearest-neighbor self-join ---------------------------------------------------
 
 J19_BUCKET_W = 10_000.0
@@ -5361,6 +5441,25 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "a34_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax)), 2) AS sum_charge,
+                   round(round(sum(l_quantity), 2) / count(*), 6)
+                       AS avg_qty,
+                   round(round(sum(l_extendedprice), 2) / count(*), 6)
+                       AS avg_price,
+                   round(sum(l_discount) / count(*), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '{A34_CUTOFF}'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
         "j19_nearest_price": """
             WITH s AS (
                 SELECT o_orderkey, o_totalprice,

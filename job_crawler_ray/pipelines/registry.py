@@ -1526,6 +1526,7 @@ def build_queries() -> dict:
             "g15_degree_assortativity": A2.g15_degree_assortativity,
             "w23_forward_fill": A2.w23_forward_fill,
             "j19_nearest_price": A2.j19_nearest_price,
+            "a34_pricing_summary": A2.a34_pricing_summary,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
