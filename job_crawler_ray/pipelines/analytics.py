@@ -3968,6 +3968,52 @@ def w21_transition_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+# --- A35: TPC-H-Q6-shaped selective revenue --------------------------------------------------
+
+A35_Y0, A35_Y1 = "1996-01-01", "1997-01-01"
+A35_D_LO, A35_D_HI = 0.03, 0.07
+A35_QTY = 24.0
+
+
+def a35_q6_revenue(sf_dir: str) -> pa.Table:
+    """The TPC-H Q6 shape: revenue effect of a discount band over one
+    shipment year with a quantity cap — the selective-scan benchmark,
+    with EVERY predicate pushed into the parquet fragment scan
+    (pyarrow dataset expression → row-group statistics skip) and only
+    the two needed columns decoded. What survives is one scalar
+    (sum, n) partial per block."""
+    import pyarrow.dataset as pads
+
+    from ray.data import read_parquet
+
+    expr = (
+        (pads.field("l_shipdate") >= np.datetime64(A35_Y0, "us"))
+        & (pads.field("l_shipdate") < np.datetime64(A35_Y1, "us"))
+        & (pads.field("l_discount") >= A35_D_LO)
+        & (pads.field("l_discount") <= A35_D_HI)
+        & (pads.field("l_quantity") < A35_QTY)
+    )
+    ds = read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=expr,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = (
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * t["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"revenue": [float(rev.sum())],
+                         "n": [int(t.num_rows)]})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    return pa.table(
+        {"revenue": pa.array([round(float(p["revenue"]), 2)], pa.float64()),
+         "n_lineitems": pa.array([int(p["n"])], pa.int64())}
+    )
+
+
 # --- A34: TPC-H-Q1-shaped pricing summary ---------------------------------------------------
 
 A34_CUTOFF = "1998-09-02"
@@ -5441,6 +5487,15 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "a35_q6_revenue": f"""
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{A35_Y0}'
+              AND l_shipdate < TIMESTAMP '{A35_Y1}'
+              AND l_discount BETWEEN {A35_D_LO} AND {A35_D_HI}
+              AND l_quantity < {A35_QTY}
+        """,
         "a34_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -1527,6 +1527,7 @@ def build_queries() -> dict:
             "w23_forward_fill": A2.w23_forward_fill,
             "j19_nearest_price": A2.j19_nearest_price,
             "a34_pricing_summary": A2.a34_pricing_summary,
+            "a35_q6_revenue": A2.a35_q6_revenue,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
