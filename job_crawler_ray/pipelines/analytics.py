@@ -3968,6 +3968,63 @@ def w21_transition_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+# --- D11: normalization-aware (casefold) dedup -----------------------------------------------
+
+D11_MIRROR_MOD = 5  # every 5th doc gets an UPPERCASED mirror copy
+
+
+def d11_casefold_dedup(sf_dir: str) -> pa.Table:
+    """Exact dedup under CASE NORMALIZATION: keys are xxh64(lower(
+    text)), so case-variant copies collapse (the canonicalize-then-
+    dedup step real pipelines run before byte-exact dedup would miss
+    them). The corpus adds an UPPERCASED mirror of every doc_id %% 5
+    == 0 row so casefold groups genuinely exist; min-id wins. One
+    hash groupby (16-byte rows) — duplicates-proportional shuffle."""
+    from job_crawler_ray.hashing import xxh64_array
+    from job_crawler_ray.util import read_parquet_clean
+
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(8)
+
+    def corpus(t: pa.Table) -> pa.Table:
+        keep = t["doc_id"].to_numpy() % D11_MIRROR_MOD == 0
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {"doc_id": pa.concat_arrays(
+                [t["doc_id"].combine_chunks(),
+                 pc.add(sub["doc_id"].combine_chunks(), 20000)]),
+             "text": pa.concat_arrays(
+                 [pc.fill_null(t["text"].combine_chunks(), ""),
+                  pc.utf8_upper(
+                      pc.fill_null(sub["text"].combine_chunks(), ""))])}
+        )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = xxh64_array(pc.utf8_lower(t["text"])).view(np.int64)
+        return pa.table(
+            {"h": pa.array(h, pa.int64()),
+             "doc_id": t["doc_id"].cast(pa.int64()),
+             "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())}
+        )
+
+    out = (
+        base.map_batches(corpus, batch_format="pyarrow")
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Sum("one", alias_name="n_variants"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_variants"] = out["n_variants"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["doc_id", "n_variants"]], preserve_index=False
+    )
+
+
 # --- A35: TPC-H-Q6-shaped selective revenue --------------------------------------------------
 
 A35_Y0, A35_Y1 = "1996-01-01", "1997-01-01"
@@ -5487,6 +5544,16 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "d11_casefold_dedup": f"""
+            WITH corpus AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000, upper(coalesce(text, ''))
+              FROM documents WHERE doc_id % {D11_MIRROR_MOD} = 0)
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_variants
+            FROM corpus GROUP BY lower(text) ORDER BY doc_id
+        """,
         "a35_q6_revenue": f"""
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_lineitems
