@@ -3968,6 +3968,55 @@ def w21_transition_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+# --- S15: column null/empty profile -----------------------------------------------------------
+
+S15_COLS = ("text", "lang", "source")
+
+
+def s15_null_profile(sf_dir: str) -> pa.Table:
+    """Per-column data-quality profile of the documents table: NULL
+    count, empty-string count, and null ppm — the completeness report
+    an ingest job emits before anything downstream trusts the data.
+    One pass, one fixed-size (|columns|) partial per batch."""
+    from job_crawler_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", *S15_COLS]
+    ).repartition(8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in S15_COLS:
+            col = t[c]
+            n_null = int(col.null_count)
+            n_empty = int(
+                pc.sum(pc.equal(pc.fill_null(col, "__null__"), "")).as_py()
+                or 0
+            )
+            rows.append((c, t.num_rows, n_null, n_empty))
+        df = pd.DataFrame(
+            rows, columns=["col_name", "n_rows", "n_null", "n_empty"]
+        )
+        return strip_meta(pa.Table.from_pandas(df, preserve_index=False))
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_null", alias_name="n_null"),
+                   Sum("n_empty", alias_name="n_empty"))
+        .to_pandas()
+        .sort_values("col_name")
+        .reset_index(drop=True)
+    )
+    for c in ("n_rows", "n_null", "n_empty"):
+        out[c] = out[c].astype("int64")
+    out["null_ppm"] = (
+        out["n_null"] * 1_000_000 // out["n_rows"]
+    ).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- D11: normalization-aware (casefold) dedup -----------------------------------------------
 
 D11_MIRROR_MOD = 5  # every 5th doc gets an UPPERCASED mirror copy
@@ -5544,6 +5593,17 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "s15_null_profile": "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_null,
+                       CAST(sum(CASE WHEN {c} = '' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_empty,
+                       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                            * 1000000 // count(*) AS BIGINT) AS null_ppm
+                FROM documents"""
+            for c in S15_COLS
+        ) + "\nORDER BY col_name",
         "d11_casefold_dedup": f"""
             WITH corpus AS (
               SELECT doc_id, coalesce(text, '') AS text FROM documents

@@ -1529,6 +1529,7 @@ def build_queries() -> dict:
             "a34_pricing_summary": A2.a34_pricing_summary,
             "a35_q6_revenue": A2.a35_q6_revenue,
             "d11_casefold_dedup": A2.d11_casefold_dedup,
+            "s15_null_profile": A2.s15_null_profile,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
