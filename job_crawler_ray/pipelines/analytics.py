@@ -3968,6 +3968,54 @@ def w21_transition_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+# --- A38: cumulative distinct (running uniques) ------------------------------------------------
+
+
+def a38_cumulative_uniques(sf_dir: str) -> pa.Table:
+    """Cumulative distinct CUSTOMERS through each order month — the
+    growth-chart query, which naively is a per-period COUNT(DISTINCT)
+    over an expanding window (quadratic re-scan). Reformulated
+    exactly: a customer increments the curve only in their FIRST
+    order month, so one per-customer Min groupby + a |months| cumsum
+    IS the running-uniques curve. Nothing expanding is ever
+    re-scanned."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        month = (
+            df["o_orderdate"].to_numpy().astype("datetime64[M]")
+            .astype("int64")
+        )
+        g = (
+            pd.DataFrame({"o_custkey": df["o_custkey"], "m": month})
+            .groupby("o_custkey", as_index=False)
+            .agg(first_m=("m", "min"))
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    first = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Min("first_m", alias_name="first_m"))
+        .to_pandas()
+    )
+    monthly = (
+        first.groupby("first_m", as_index=False)
+        .size()
+        .rename(columns={"size": "new_customers"})
+        .sort_values("first_m")
+        .reset_index(drop=True)
+    )
+    monthly["cum_customers"] = monthly["new_customers"].cumsum()
+    ms = monthly["first_m"].to_numpy(np.int64).astype("datetime64[M]")
+    monthly["month"] = np.datetime_as_string(ms).astype(object)
+    out = monthly[["month", "new_customers", "cum_customers"]].astype(
+        {"new_customers": "int64", "cum_customers": "int64"}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- S15: column null/empty profile -----------------------------------------------------------
 
 S15_COLS = ("text", "lang", "source")
@@ -5593,6 +5641,21 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "a38_cumulative_uniques": """
+            WITH fa AS (
+                SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS m
+                FROM orders GROUP BY o_custkey
+            ), monthly AS (
+                SELECT strftime(m, '%Y-%m') AS month,
+                       CAST(count(*) AS BIGINT) AS new_customers
+                FROM fa GROUP BY month
+            )
+            SELECT month, new_customers,
+                   CAST(sum(new_customers) OVER (
+                       ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_customers
+            FROM monthly ORDER BY month
+        """,
         "s15_null_profile": "\nUNION ALL\n".join(
             f"""SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
                        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)

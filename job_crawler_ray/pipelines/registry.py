@@ -1530,6 +1530,7 @@ def build_queries() -> dict:
             "a35_q6_revenue": A2.a35_q6_revenue,
             "d11_casefold_dedup": A2.d11_casefold_dedup,
             "s15_null_profile": A2.s15_null_profile,
+            "a38_cumulative_uniques": A2.a38_cumulative_uniques,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
