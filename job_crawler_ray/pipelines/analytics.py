@@ -3968,6 +3968,55 @@ def w21_transition_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+# --- S16: referential-integrity (FK) audit ------------------------------------------------------
+
+
+def s16_fk_audit(sf_dir: str) -> pa.Table:
+    """Foreign-key audit between orders and lineitem: orders with no
+    line items, line items whose order key doesn't exist, and the
+    healthy-intersection count — the referential-integrity report an
+    ingest runs before joins are trusted. Both key sets reduce to
+    DISTINCT keys map-side (batch-unique partials + one groupby
+    each); the set algebra runs on the two key tables via a sorted
+    merge, never touching fact rows twice."""
+    orders_keys = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(
+            lambda t: pa.table({"k": pc.unique(t["o_orderkey"])}),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .to_pandas()["k"]
+        .to_numpy(np.int64)
+    )
+    li_keys = (
+        _read(sf_dir, "lineitem", ["l_orderkey"])
+        .map_batches(
+            lambda t: pa.table({"k": pc.unique(t["l_orderkey"])}),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .to_pandas()["k"]
+        .to_numpy(np.int64)
+    )
+    o = np.sort(orders_keys)
+    l = np.sort(li_keys)
+    childless = int((~np.isin(o, l)).sum())
+    orphans = int((~np.isin(l, o)).sum())
+    both = int(len(o) - childless)
+    return pa.table(
+        {"n_orders": pa.array([len(o)], pa.int64()),
+         "n_li_orders": pa.array([len(l)], pa.int64()),
+         "childless_orders": pa.array([childless], pa.int64()),
+         "orphan_li_orders": pa.array([orphans], pa.int64()),
+         "linked": pa.array([both], pa.int64())}
+    )
+
+
 # --- A38: cumulative distinct (running uniques) ------------------------------------------------
 
 
@@ -5641,6 +5690,18 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "s16_fk_audit": """
+            WITH ok AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+            lk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM ok) AS n_orders,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lk) AS n_li_orders,
+                   (SELECT CAST(count(*) AS BIGINT) FROM ok
+                    WHERE k NOT IN (SELECT k FROM lk)) AS childless_orders,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lk
+                    WHERE k NOT IN (SELECT k FROM ok)) AS orphan_li_orders,
+                   (SELECT CAST(count(*) AS BIGINT) FROM ok
+                    WHERE k IN (SELECT k FROM lk)) AS linked
+        """,
         "a38_cumulative_uniques": """
             WITH fa AS (
                 SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS m
