@@ -3968,6 +3968,46 @@ def w21_transition_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+# --- A39: day-of-week seasonality profile -------------------------------------------------------
+
+
+def a39_dow_profile(sf_dir: str) -> pa.Table:
+    """Event count and mean value per ISO weekday — the seasonality
+    profile behind any staffing/capacity chart. One partial+Sum pass;
+    weekday extraction is vectorized datetime math."""
+    from job_crawler_ray.pipelines.windows import _events
+
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            pd.DataFrame(
+                {"dow": df["ts"].dt.dayofweek.to_numpy(np.int64) + 1,
+                 "value": df["value"]}
+            )
+            .groupby("dow", as_index=False)
+            .agg(cnt=("value", "size"), value_sum=("value", "sum"))
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dow")
+        .aggregate(Sum("cnt", alias_name="cnt"),
+                   Sum("value_sum", alias_name="value_sum"))
+        .to_pandas()
+        .sort_values("dow")
+        .reset_index(drop=True)
+    )
+    out["dow"] = out["dow"].astype("int64")
+    out["cnt"] = out["cnt"].astype("int64")
+    out["avg_value"] = (out["value_sum"] / out["cnt"]).round(6)
+    return pa.Table.from_pandas(
+        out[["dow", "cnt", "avg_value"]], preserve_index=False
+    )
+
+
 # --- S16: referential-integrity (FK) audit ------------------------------------------------------
 
 
@@ -5690,6 +5730,12 @@ def analytics_oracle_sql() -> dict[str, str]:
         for ty in PIVOT_TYPES
     )
     return {
+        "a39_dow_profile": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(value) / count(*), 6) AS avg_value
+            FROM events GROUP BY dow ORDER BY dow
+        """,
         "s16_fk_audit": """
             WITH ok AS (SELECT DISTINCT o_orderkey AS k FROM orders),
             lk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem)

@@ -1532,6 +1532,7 @@ def build_queries() -> dict:
             "s15_null_profile": A2.s15_null_profile,
             "a38_cumulative_uniques": A2.a38_cumulative_uniques,
             "s16_fk_audit": A2.s16_fk_audit,
+            "a39_dow_profile": A2.a39_dow_profile,
             "j17_asof_forward": W.j17_asof_forward,
             "s12_repeat_upsample": s12_repeat_upsample,
             "s13_oov_rate": s13_oov_rate,
