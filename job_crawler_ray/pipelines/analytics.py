@@ -1727,10 +1727,18 @@ def j11_star_join(sf_dir: str) -> pa.Table:
         df = t.to_pandas()
         df["brand"] = brand_of.reindex(df["l_partkey"]).to_numpy()
         df["nation"] = nation_of.reindex(df["l_suppkey"]).to_numpy()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        # Exact integer arithmetic: price has 2 decimals, discount has
+        # 2 decimals, so price·(1-disc) is exact in units of 1e-4.
+        # Summing int64 ten-thousandths is order-independent, unlike a
+        # float SUM at 1e8+ magnitude where even 2-dp rounding flips on
+        # summation order when a cell lands on a .xx5 boundary (the
+        # driver r5 j11 flake).
+        df["revenue_e4"] = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        ) * np.rint((1.0 - df["l_discount"].to_numpy()) * 100).astype(np.int64)
         g = (
             df.groupby(["brand", "nation"], sort=False)
-            .agg(revenue=("revenue", "sum"), cnt=("revenue", "size"))
+            .agg(revenue_e4=("revenue_e4", "sum"), cnt=("revenue_e4", "size"))
             .reset_index()
         )
         return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
@@ -1743,14 +1751,15 @@ def j11_star_join(sf_dir: str) -> pa.Table:
         )
         .map_batches(star, batch_format="pyarrow")
         .groupby(["brand", "nation"])
-        .aggregate(Sum("revenue", alias_name="revenue"),
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
                    Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
     out["cnt"] = out["cnt"].astype("int64")
-    # 2-dp rounding: float SUM at 1e8+ magnitudes flakes at 6 dp on
-    # summation order (the j6 rule)
-    out["revenue"] = out["revenue"].round(2)
+    # No rounding: the int64 sum is exact, so /1e4 is bit-identical in
+    # both twins; a 2-dp round would re-introduce the half-even (pandas)
+    # vs half-away (DuckDB) split on exact .xx5 boundaries.
+    out["revenue"] = out.pop("revenue_e4") / 10000.0
     out = out.sort_values(["brand", "nation"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -6396,9 +6405,13 @@ def analytics_oracle_sql() -> dict[str, str]:
             for q in A22_QS
         ) + "\nORDER BY q",
         "j11_star_join": """
+            -- exact int64 ten-thousandths (price and discount each
+            -- have 2 decimals) so the SUM is order-independent and
+            -- bit-matches the Ray twin regardless of summation order
             SELECT p.p_brand AS brand, n.n_name AS nation,
-                   round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
-                       AS revenue,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT))
+                       / 10000.0 AS revenue,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey

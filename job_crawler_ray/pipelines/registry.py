@@ -761,12 +761,15 @@ def io6_filter_pushdown(sf_dir: str):
     read' contract made an explicit, oracle-checked operator."""
     import pyarrow.dataset as pads
 
-    from ray.data import read_parquet
     from ray.data.aggregate import Sum
 
-    from job_crawler_ray.util import strip_meta
+    from job_crawler_ray.util import read_parquet_clean, strip_meta
 
-    ds = read_parquet(
+    # read_parquet_clean forwards the filter expression to the fragment
+    # scan (row-group stats pruning intact) while passing a
+    # metadata-stripped schema, so read blocks don't trip Ray's
+    # schema-dedup hashing on the driver testdata's pandas metadata.
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderstatus", "o_totalprice"],
         filter=pads.field("o_totalprice") > IO6_PRICE_FLOOR,
@@ -1552,45 +1555,45 @@ def build_queries() -> dict:
             "t_sentence_stats": A2.t_sentence_stats,
         }
     )
-    # Round-4 rotation. The driver's CORRECTNESS record covers only the
-    # FIRST 50 registry entries per round; rounds 1-3 evidenced the
-    # classic surface, leaving 38 entries (23 oracle-twinned + 15
-    # rows-only) with no driver row (VERDICT r3, "What's missing #1").
-    # Front those 38 — cheap before expensive within the rows-only
-    # block so a driver-side time budget truncates the costly sketch
-    # pipelines last — then 12 representative re-checks, so every
-    # registry entry is driver-evidenced in r3 ∪ r4.
+    # Round-5 rotation (final). Rounds 1-4 driver-evidenced 100 distinct
+    # queries with zero oracle failures; 80 registry entries have never
+    # had a driver CORRECTNESS row (VERDICT r4, "Next round #1"). The
+    # driver verifies the FIRST 50 entries per round, so front 50 of
+    # those 80 — all oracle-twinned (hash-checked evidence), chosen for
+    # operator-family diversity (every io*/u*/window/join/sketch/split
+    # family never checked gets a slot); near-duplicate variants of
+    # already-driver-proven aggregation shapes (a23/a25/a26/a33/a34/a35
+    # /a38/a39, w11/w23, g8/g14/g15, s12/s13/s15/s16, d11, j19,
+    # t_chunk_overlap/t_sentence_stats, w9/w12, a30) stay pytest-gated.
     front = [
-        # 23 oracle-twinned, never driver-checked
-        "a11_pivot", "a12_heavy_hitters", "a13_rollup",
-        "a14_daily_distinct", "a15_correlation",
-        "c1_contamination", "d5_dupspan", "d6_incremental_ingest",
-        "g2_top_per_group", "g3_pagerank",
-        "io1_jsonl_roundtrip", "io2_csv_roundtrip",
-        "io3_partitioned_read", "io4_schema_drift",
-        "j5_bloom_anti_join", "j6_hash_join",
-        "s3_hash_shuffle", "s4_mixture_sample",
-        "s5_importance_resample", "s6_group_sample",
-        "t_lm_score", "t_normalize", "t_tfidf_top_term",
-        # 15 never driver-checked rows-only pipelines (cheap → costly)
-        "a9_hll_distinct", "a10_quantile_sketch",
-        "multimodal_decode", "multimodal_pipeline",
-        "multimodal_frame_sample", "doc_fingerprints",
-        "ann_lsh", "ann_lsh_store", "ann_ivf",
-        "dedup_simhash", "dedup_simhash_pairs",
-        "embedding_neardup_approx",
-        "dedup_minhash", "dedup_minhash_apply",
-        "crawl_pipeline",
-        # 12 round-4 additions (never driver-checked; oracle-gate
-        # green in pytest). g5/d8 take the window's last two slots
-        # over the j1/a1 re-checks: j1's round-3 timing creep was
-        # root-caused off-driver (fresh-session worker-pool spawn —
-        # see BASELINE.md), so first-time correctness evidence wins.
-        "w5_lead_lag", "a16_grouped_median", "a17_cube",
-        "j7_semi_join", "d7_containment", "t_bm25_topk",
-        "g4_triangles", "j8_knn_join", "j9_fuzzy_link",
-        "s7_length_batches",
-        "g5_components", "d8_fuzzy_canonical",
+        # I/O surface (5)
+        "io5_ipc_roundtrip", "io6_filter_pushdown", "io7_resumable_write",
+        "io8_nested_json", "io10_compressed_sink",
+        # set ops + explode (4)
+        "u2_intersect", "u3_except", "u4_union_by_name", "e1_explode_words",
+        # joins (7)
+        "j10_interval_join", "j11_star_join", "j12_full_outer",
+        "j13_gapfill", "j16_spatial_grid_join", "j17_asof_forward",
+        "j18_centroid_assign",
+        # windows / event-time (11)
+        "w6_window_dedup", "w7_row_number", "w8_funnel", "w10_late_data",
+        "w13_incremental_update", "w15_max_concurrency",
+        "w16_anomaly_zscore", "w18_conversion_latency", "w19_streaks",
+        "w20_time_in_state", "w21_transition_matrix",
+        # aggregations / sketches (11)
+        "a18_grouped_hll", "a19_string_agg", "a20_histogram",
+        "a21_unpivot", "a22_percentile_cont", "a24_grouped_percentile_cont",
+        "a27_rolling_hll", "a28_group_entropy", "a29_gini",
+        "a31_corr_matrix", "a32_label_centroids",
+        # dedup / ordering (3)
+        "d9_keep_best", "d10_soft_dedup", "o4_keyset_pagination",
+        # training-prep / sampling / profiling (4)
+        "s8_train_val_split", "s9_curriculum_bins", "s14_dataset_card",
+        "p3_rag_chunk_prep",
+        # text ops (3)
+        "t_bpe_pairs", "t_json_extract", "t_char_entropy",
+        # graph + SCD2 (2)
+        "g7_bfs", "j15_scd2_pit",
     ]
     assert all(name in q for name in front), [n for n in front if n not in q]
     return {**{name: q[name] for name in front},
