@@ -113,25 +113,90 @@ def w3_sliding_7d(sf_dir: str) -> pa.Table:
 
 def w2_sessionize(sf_dir: str) -> pa.Table:
     """Sessions per user (gap > 30 min ⇒ new session): count + longest
-    session length in events."""
-    ds = _events(sf_dir, ["user_id", "ts"])
+    session length in events.
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        sid = gap.cumsum()
-        sizes = sid.groupby(sid).size()
+    Two-level, HOT-KEY-BOUNDED plan (same shape as ``j4_asof_join`` /
+    ``w20_time_in_state`` — a Zipf-head user owning half the stream
+    never lands in one pandas group):
+
+    1. group by (user, 24 h bucket): sort in-bucket, find the session
+       runs (gap > 30 min splits), and emit ONE summary row per group:
+       run count ``k``, first/last run length, the max length among
+       interior runs (which can never merge across buckets), and the
+       boundary timestamps.
+    2. group by user over summaries only — ≤ #buckets rows per user,
+       independent of raw event volume. A session can only span the
+       bucket boundary via the last run of bucket i and the first run
+       of bucket j (the next non-empty bucket), merged iff the
+       boundary gap ≤ 30 min; a tiny per-user scan over the ordered
+       summaries stitches those chains exactly.
+    """
+    ds = _events(sf_dir, ["user_id", "ts"])
+    bucket_ns = ASOF_BUCKET_HOURS * 3_600_000_000_000
+    gap_ns = SESSION_GAP_MIN * 60_000_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = t["ts"].cast(pa.int64()).to_numpy() // bucket_ns
+        return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+    def bucket_summary(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64))
+        brk = np.flatnonzero(np.diff(ts) > gap_ns)
+        bounds = np.concatenate(([0], brk + 1, [len(ts)]))
+        lens = np.diff(bounds)  # k in-bucket run lengths, in time order
+        k = len(lens)
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(sizes.size)],
-                "max_session_events": [int(sizes.max())],
+                "user_id": [int(g["user_id"].iloc[0])],
+                "_bucket": [int(g["_bucket"].iloc[0])],
+                "first_ts": [int(ts[0])],
+                "last_ts": [int(ts[-1])],
+                "k": [k],
+                "first_len": [int(lens[0])],
+                "last_len": [int(lens[-1])],
+                "interior_max": [int(lens[1:-1].max()) if k >= 3 else 0],
+            }
+        )
+
+    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_bucket")
+        n_sessions = 0
+        max_len = 0
+        carry = 0  # open run length flowing in from the previous bucket
+        prev_last = None
+        for row in g.itertuples(index=False):
+            if carry and prev_last is not None and row.first_ts - prev_last <= gap_ns:
+                first = carry + row.first_len
+            else:
+                if carry:
+                    n_sessions += 1
+                    max_len = max(max_len, carry)
+                first = row.first_len
+            if row.k == 1:
+                carry = first  # single run stays open into the next bucket
+            else:
+                n_sessions += row.k - 1  # first + interior runs all close here
+                max_len = max(max_len, first, row.interior_max)
+                carry = row.last_len
+            prev_last = row.last_ts
+        if carry:
+            n_sessions += 1
+            max_len = max(max_len, carry)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [n_sessions],
+                "max_session_events": [max_len],
             }
         )
 
     out = (
-        ds.groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "_bucket"])
+        .map_groups(bucket_summary, batch_format="pandas")
+        .map_batches(strip_meta, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(merge_user, batch_format="pandas")
         .map_batches(strip_meta, batch_format="pyarrow")
         .sort("user_id")
     )

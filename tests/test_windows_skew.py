@@ -167,3 +167,31 @@ def test_w21_transition_matrix_hot_user_matches_oracle(skew_dir, ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want, check_dtype=False
     )
+
+
+def test_w2_sessionize_hot_user_matches_oracle(skew_dir, ray_session):
+    """Sessionize under the Zipf head (one user = half the stream):
+    the (user, 24 h bucket) two-level plan must match the SQL twin
+    while level-1 groups hold only in-bucket events and level-2 holds
+    one summary row per non-empty bucket — never the hot user's 3000
+    events in a single pandas group."""
+    got = W.w2_sessionize(skew_dir).to_pandas()
+    want = _oracle(skew_dir, "w2_sessionize")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+
+
+def test_w2_sessionize_bucket_width_invariance(skew_dir, ray_session):
+    """Session stitching across bucket boundaries is exact at any
+    bucket width — shrinking the bucket to 1 h (many more boundary
+    merges, incl. multi-bucket chains through single-run buckets)
+    must not change a single output row."""
+    base = W.w2_sessionize(skew_dir).to_pandas()
+    old = W.ASOF_BUCKET_HOURS
+    try:
+        W.ASOF_BUCKET_HOURS = 1
+        narrow = W.w2_sessionize(skew_dir).to_pandas()
+    finally:
+        W.ASOF_BUCKET_HOURS = old
+    pd.testing.assert_frame_equal(narrow, base)
