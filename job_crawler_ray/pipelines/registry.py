@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import ray
 import ray.data as rd
 
 from job_crawler_ray.functions import frameworks as F
@@ -104,73 +105,125 @@ def _ann_index_for(sf_dir: str):
     return idx
 
 
-def ann_lsh(sf_dir: str) -> pa.Table:
+ANN_K = 10
+# matches the pytest recall floors (tests/test_queries.py: LSH/IVF keep
+# >= 5 of the brute-force top-10 at sandbox scale)
+ANN_CERT_RECALL_BOUND = 0.5
+
+
+def _ann_query_vec(sf_dir: str) -> np.ndarray:
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     qrow = emb.filter(pa.compute.equal(emb["vec_id"], 0))
-    q = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
-    return T.ann_lsh_topk(_ann_index_for(sf_dir), q, k=10)
+    return np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
+
+
+def _ann_corpus(sf_dir: str):
+    return read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t["vec_id"], 0)),
+        batch_format="pyarrow",
+    )
+
+
+def _ann_certify(method: str, approx: pa.Table, sf_dir: str,
+                 pin_top1: bool = True) -> pa.Table:
+    """Certification row for an approximate ANN path: the EXACT top-1
+    (id + cosine) recomputed by the distributed brute-force scan — the
+    SQL-checkable anchor — plus pinned invariants (full k retrieved,
+    exact top-1 present in the approx result, recall@k >= bound vs the
+    brute-force top-k). The DuckDB twin recomputes the exact side with
+    ``list_cosine_similarity`` and pins every flag TRUE, so a recall or
+    scoring regression hash-mismatches the driver record. (The raw
+    top-k lists stay available via the ``T.ann_*_topk`` library
+    functions; certification is intentionally a second full scan — it
+    is a *check*, not the serving path.)"""
+    exact = T.ann_topk(_ann_corpus(sf_dir), _ann_query_vec(sf_dir), k=ANN_K)
+    e_ids = exact["vec_id"].to_numpy()
+    a_ids = set(approx["vec_id"].to_pylist())
+    recall = len(set(e_ids.tolist()) & a_ids) / ANN_K
+    cols = {
+        "method": pa.array([method], pa.string()),
+        "k": pa.array([ANN_K], pa.int64()),
+        "n_retrieved": pa.array([approx.num_rows], pa.int64()),
+        "exact_top1_id": pa.array([int(e_ids[0])], pa.int64()),
+        "exact_top1_score": pa.array(
+            [float(exact["score"][0].as_py())], pa.float64()
+        ),
+        "top1_found": pa.array([int(e_ids[0]) in a_ids], pa.bool_()),
+        "recall_ok": pa.array([recall >= ANN_CERT_RECALL_BOUND], pa.bool_()),
+    }
+    if not pin_top1:
+        # IVF's contract is exact-within-probed-cells; with n_probe <
+        # n_cells the global top-1 can legitimately live in an
+        # unprobed cell, so only the recall floor is pinned for it.
+        del cols["top1_found"]
+    return pa.table(cols)
+
+
+def ann_lsh_raw(sf_dir: str) -> pa.Table:
+    """Raw LSH top-k (the serving path; certification twin below)."""
+    return T.ann_lsh_topk(_ann_index_for(sf_dir), _ann_query_vec(sf_dir), k=ANN_K)
+
+
+def ann_lsh(sf_dir: str) -> pa.Table:
+    return _ann_certify("lsh", ann_lsh_raw(sf_dir), sf_dir)
 
 
 _LSH_STORE_CACHE: dict[str, str] = {}
 
 
-def ann_lsh_store(sf_dir: str) -> pa.Table:
+def ann_lsh_store_raw(sf_dir: str) -> pa.Table:
     """LSH top-k over the SIGNATURE-PARTITIONED parquet store: probe
     partitions are the only ones read (prunes I/O, not just compute —
     the 100 TB layout). Store built once per corpus per session."""
     store = _LSH_STORE_CACHE.get(sf_dir)
     if store is None:
-        ds = read_parquet_clean(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        ).map_batches(
-            lambda t: t.filter(pa.compute.not_equal(t["vec_id"], 0)),
-            batch_format="pyarrow",
-        )
         store = scratch_dir("jcr_lsh_store_")
-        T.ann_lsh_store_build(ds, store)
+        T.ann_lsh_store_build(_ann_corpus(sf_dir), store)
         _LSH_STORE_CACHE[sf_dir] = store
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qrow = emb.filter(pa.compute.equal(emb["vec_id"], 0))
-    q = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
-    return T.ann_lsh_store_topk(store, q, k=10)
+    return T.ann_lsh_store_topk(store, _ann_query_vec(sf_dir), k=ANN_K)
+
+
+def ann_lsh_store(sf_dir: str) -> pa.Table:
+    return _ann_certify("lsh_store", ann_lsh_store_raw(sf_dir), sf_dir)
 
 
 _IVF_INDEX_CACHE: dict[str, tuple] = {}
 
 
-def ann_ivf(sf_dir: str) -> pa.Table:
+def ann_ivf_raw(sf_dir: str) -> pa.Table:
     """IVF-cell ANN (the clustering scale path): index built once per
     corpus (deterministic Lloyd rounds), queries probe 6 of 16 cells."""
     idx = _IVF_INDEX_CACHE.get(sf_dir)
     if idx is None:
-        ds = read_parquet_clean(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        ).map_batches(
-            lambda t: t.filter(pa.compute.not_equal(t["vec_id"], 0)),
-            batch_format="pyarrow",
-        )
-        idx = _IVF_INDEX_CACHE[sf_dir] = T.ann_ivf_index(ds)
+        idx = _IVF_INDEX_CACHE[sf_dir] = T.ann_ivf_index(_ann_corpus(sf_dir))
     index_ds, cent = idx
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qrow = emb.filter(pa.compute.equal(emb["vec_id"], 0))
-    q = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
-    return T.ann_ivf_topk(index_ds, cent, q, k=10, n_probe=6)
+    return T.ann_ivf_topk(index_ds, cent, _ann_query_vec(sf_dir),
+                          k=ANN_K, n_probe=6)
 
 
-def g6_kmeans(sf_dir: str) -> pa.Table:
+def ann_ivf(sf_dir: str) -> pa.Table:
+    return _ann_certify("ivf", ann_ivf_raw(sf_dir), sf_dir, pin_top1=False)
+
+
+G6_CELLS = 8
+
+
+def g6_kmeans_raw(sf_dir: str) -> pa.Table:
     """Distributed spherical k-means over the embedding column — the
     semantic-bucketing primitive (SemDeDup-style curation: cluster,
     then dedup/sample within buckets). Reuses the IVF Lloyd machinery:
     deterministic seeding (smallest mix64(id) rows — no RNG state),
     per-batch assignment + partial centroid sums in map_batches, only
-    cells × dim floats to the driver per round. Rows-only (the
-    32-dim 3-round Lloyd fixpoint has no tractable SQL twin);
-    invariants pinned by test: determinism across partitioning, and
-    every row's cluster is the argmax-cosine centroid."""
+    cells × dim floats to the driver per round. Returns per-row
+    (vec_id, cluster); invariants pinned by test: determinism across
+    partitioning, and every row's cluster is the argmax-cosine
+    centroid."""
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).repartition(8)
-    index_ds, _cent = T.ann_ivf_index(ds, n_cells=8, n_iters=3)
+    index_ds, _cent = T.ann_ivf_index(ds, n_cells=G6_CELLS, n_iters=3)
     out = (
         index_ds.select_columns(["vec_id", "ivf_cell"])
         .rename_columns({"ivf_cell": "cluster"})
@@ -178,6 +231,43 @@ def g6_kmeans(sf_dir: str) -> pa.Table:
         .to_pandas()
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def g6_kmeans(sf_dir: str) -> pa.Table:
+    """Certification row for the k-means assignment (the 32-dim
+    3-round Lloyd fixpoint itself has no tractable SQL twin): total
+    assigned rows (the SQL anchor — must equal count(*) of the
+    embeddings table), the cell count, and an INDEPENDENT argmax
+    recheck — a second pass recomputes every row's argmax-cosine
+    centroid from the final centroids and compares. The per-row
+    assignment stays available via :func:`g6_kmeans_raw`."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).repartition(8)
+    index_ds, cent = T.ann_ivf_index(ds, n_cells=G6_CELLS, n_iters=3)
+    cref = ray.put(cent)
+
+    def check(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = T._load_matrix(t)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+        want = np.argmax(mn @ c.T, axis=1)
+        got = t["ivf_cell"].to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "bad": pa.array([int((want != got).sum())], pa.int64()),
+            }
+        )
+
+    parts = index_ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "n_assigned": pa.array([int(parts["n"].sum())], pa.int64()),
+            "n_cells": pa.array([G6_CELLS], pa.int64()),
+            "argmax_ok": pa.array([int(parts["bad"].sum()) == 0], pa.bool_()),
+        }
+    )
 
 
 PACK_SEQ_LEN = 128
@@ -947,13 +1037,44 @@ def dedup_simhash_pairs(sf_dir: str):
     return T.simhash_neardup_pairs(_neardup_corpus(sf_dir))
 
 
-def embedding_neardup_approx(sf_dir: str):
+EMB_APPROX_RECALL_BOUND = 0.2  # matches the in-cell recall floor test
+
+
+def embedding_neardup_approx_raw(sf_dir: str):
     """Sub-quadratic near-dup (IVF in-cell pairs) — the approximate
     scale path; exact twin is `embedding_neardup`."""
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return T.embedding_neardup_pairs_approx(ds, threshold=NEARDUP_THRESHOLD)
+
+
+def embedding_neardup_approx(sf_dir: str) -> pa.Table:
+    """Certification row for the approximate pair path: the exact
+    cosine pair count (SQL anchor — the DuckDB twin recomputes it with
+    ``list_cosine_similarity``), plus precision (every approx pair
+    must appear in the exact set — guaranteed by the in-cell exact
+    scoring) and the in-cell recall floor. The raw pair list stays
+    available via :func:`embedding_neardup_approx_raw`."""
+    approx = embedding_neardup_approx_raw(sf_dir).to_pandas()
+    exact = T.embedding_neardup_pairs(
+        read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        threshold=NEARDUP_THRESHOLD,
+    ).to_pandas()
+    e_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    a_pairs = set(zip(approx["id_a"], approx["id_b"]))
+    return pa.table(
+        {
+            "n_exact_pairs": pa.array([len(e_pairs)], pa.int64()),
+            "precision_ok": pa.array([a_pairs <= e_pairs], pa.bool_()),
+            "recall_ok": pa.array(
+                [len(a_pairs) >= EMB_APPROX_RECALL_BOUND * max(1, len(e_pairs))],
+                pa.bool_(),
+            ),
+        }
+    )
 
 
 def dedup_minhash_apply(sf_dir: str):
@@ -1157,6 +1278,37 @@ def _sw_hits_sql(words) -> str:
     ) + ")"
 
 
+def _minhash_exact_cte(recursive: bool = False) -> str:
+    """Shared CTE prefix: the `_neardup_corpus` twin (documents +
+    mutated every-5th copies) exploded to DISTINCT char-{k} shingles,
+    with per-doc set sizes and pairwise intersection counts — the
+    exact side of the MinHash pipeline's shingle-Jaccard semantics
+    (textops.py `_jaccard_of_pairs`). range(1, 8192) is a static bound
+    (driver corpus texts are < 1 KB; the join predicate trims it)."""
+    k = T.SHINGLE_K
+    return rf"""
+            WITH {"RECURSIVE " if recursive else ""}corpus AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, coalesce(text, '') || ' extra token'
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            sh AS (
+              SELECT DISTINCT c.doc_id,
+                     substr(c.text, CAST(r.i AS INT), {k}) AS g
+              FROM corpus c
+              JOIN range(1, 8192) r(i) ON r.i <= length(c.text) - {k - 1}
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+    """
+
+
 def extra_oracle_sql() -> dict[str, str]:
     langs = list(T.LANG_STOPWORDS)
     lang_hits = ",\n                   ".join(
@@ -1182,6 +1334,47 @@ def extra_oracle_sql() -> dict[str, str]:
         "a10_quantile_sketch": """
             SELECT CAST(q AS DOUBLE) AS q, TRUE AS rank_bound_ok
             FROM (VALUES (0.5), (0.95), (0.99)) t(q) ORDER BY q
+        """,
+        # MinHash-LSH twins: the pipeline's exact-verify stage makes
+        # precision 1.0 by construction, and banding recall at these
+        # parameters (16 bands x 4 rows, J >= 0.5) is empirically 1.0
+        # on this corpus (pinned by tests/test_sketch_oracles.py), so
+        # the FULL exact char-5-shingle Jaccard join is a valid oracle:
+        # any recall loss or verify bug hash-mismatches the driver row.
+        # round_even matches np.round's half-to-even at the 6th decimal.
+        "dedup_minhash": _minhash_exact_cte() + rf"""
+            SELECT i.id_a, i.id_b,
+                   round_even(CAST(n_inter AS DOUBLE)
+                              / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+                  >= {T.JACCARD_THRESHOLD}
+            ORDER BY id_a, id_b
+        """,
+        "dedup_minhash_apply": _minhash_exact_cte(recursive=True) + rf"""
+            , pairs AS (
+                SELECT i.id_a AS u, i.id_b AS v
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+                WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+                      >= {T.JACCARD_THRESHOLD}
+            ),
+            edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u
+            ),
+            comp AS (SELECT u AS doc_id, least(min(v), u) AS rep
+                     FROM reach GROUP BY u)
+            SELECT c.doc_id
+            FROM corpus c LEFT JOIN comp ON comp.doc_id = c.doc_id
+            WHERE comp.rep IS NULL OR comp.rep = c.doc_id
+            ORDER BY c.doc_id
         """,
         "d4_ngram_jaccard": rf"""
             WITH w AS (
@@ -1255,6 +1448,42 @@ def extra_oracle_sql() -> dict[str, str]:
                    AS score
             FROM embeddings WHERE vec_id <> 0
             ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        # ANN certification twins: the exact top-1 anchor is recomputed
+        # in SQL; the retrieved-k / top1-present / recall flags are
+        # pinned TRUE (a recall or scoring regression in the
+        # approximate path flips a flag and hash-mismatches)
+        **{
+            f"ann_{meth}": f"""
+            SELECT '{meth}' AS method,
+                   CAST({ANN_K} AS BIGINT) AS k,
+                   CAST({ANN_K} AS BIGINT) AS n_retrieved,
+                   CAST(vec_id AS BIGINT) AS exact_top1_id,
+                   s AS exact_top1_score,
+                   {"TRUE AS top1_found, " if meth != "ivf" else ""}TRUE AS recall_ok
+            FROM (SELECT vec_id,
+                         round(list_cosine_similarity(
+                             CAST(embedding AS DOUBLE[]),
+                             (SELECT CAST(embedding AS DOUBLE[])
+                              FROM embeddings WHERE vec_id = 0)), 6) AS s
+                  FROM embeddings WHERE vec_id <> 0)
+            ORDER BY s DESC, vec_id LIMIT 1
+        """
+            for meth in ("lsh", "lsh_store", "ivf")
+        },
+        "g6_kmeans": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_assigned,
+                   CAST({G6_CELLS} AS BIGINT) AS n_cells,
+                   TRUE AS argmax_ok
+            FROM embeddings
+        """,
+        "embedding_neardup_approx": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+                   TRUE AS precision_ok, TRUE AS recall_ok
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= {NEARDUP_THRESHOLD}
         """,
         "embedding_neardup": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

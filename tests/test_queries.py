@@ -212,10 +212,10 @@ class TestRowsOnlyPipelines:
         assert np.mean(dists) < 8  # near-dups cluster in Hamming space
 
     def test_ann_lsh_recall_vs_bruteforce(self, sf_mid, ray_session):
-        from job_crawler_ray.pipelines.registry import ann_cosine_topk, ann_lsh
+        from job_crawler_ray.pipelines.registry import ann_cosine_topk, ann_lsh_raw
 
         exact = set(ann_cosine_topk(sf_mid).to_pandas()["vec_id"])
-        approx = set(ann_lsh(sf_mid).to_pandas()["vec_id"])
+        approx = set(ann_lsh_raw(sf_mid).to_pandas()["vec_id"])
         assert len(exact & approx) >= 5  # ≥50% recall at tiny scale
 
     def test_pack_sequences_paths_and_invariance(self, sf_small, ray_session):
@@ -355,17 +355,20 @@ class TestRowsOnlyPipelines:
         """The signature-partitioned store (I/O-pruned) returns the
         IDENTICAL top-k as the in-memory masked scan — same planes,
         same probe set, same scoring."""
-        from job_crawler_ray.pipelines.registry import ann_lsh, ann_lsh_store
+        from job_crawler_ray.pipelines.registry import (
+            ann_lsh_raw,
+            ann_lsh_store_raw,
+        )
 
-        mem = ann_lsh(sf_mid).to_pandas().reset_index(drop=True)
-        store = ann_lsh_store(sf_mid).to_pandas().reset_index(drop=True)
+        mem = ann_lsh_raw(sf_mid).to_pandas().reset_index(drop=True)
+        store = ann_lsh_store_raw(sf_mid).to_pandas().reset_index(drop=True)
         pd.testing.assert_frame_equal(mem, store)
 
     def test_ann_ivf_recall_vs_bruteforce(self, sf_mid, ray_session):
-        from job_crawler_ray.pipelines.registry import ann_cosine_topk, ann_ivf
+        from job_crawler_ray.pipelines.registry import ann_cosine_topk, ann_ivf_raw
 
         exact = set(ann_cosine_topk(sf_mid).to_pandas()["vec_id"])
-        approx = set(ann_ivf(sf_mid).to_pandas()["vec_id"])
+        approx = set(ann_ivf_raw(sf_mid).to_pandas()["vec_id"])
         assert len(approx) == 10
         assert len(exact & approx) >= 5  # ≥50% recall probing 4/16 cells
 
@@ -375,11 +378,11 @@ class TestRowsOnlyPipelines:
         recall is non-trivial."""
         from job_crawler_ray.pipelines.registry import (
             embedding_neardup,
-            embedding_neardup_approx,
+            embedding_neardup_approx_raw,
         )
 
         exact = embedding_neardup(sf_small).to_pandas()
-        approx = embedding_neardup_approx(sf_small).to_pandas()
+        approx = embedding_neardup_approx_raw(sf_small).to_pandas()
         e = {(int(a), int(b)): c for a, b, c in exact.itertuples(index=False)}
         a = {(int(x), int(y)): c for x, y, c in approx.itertuples(index=False)}
         assert set(a) <= set(e)
@@ -644,11 +647,11 @@ class TestKmeans:
         import ray
 
         from job_crawler_ray.pipelines import textops as T
-        from job_crawler_ray.pipelines.registry import g6_kmeans
+        from job_crawler_ray.pipelines.registry import g6_kmeans_raw
         from job_crawler_ray.util import read_parquet_clean
 
-        a = g6_kmeans(sf_small).to_pandas()
-        b = g6_kmeans(sf_small).to_pandas()
+        a = g6_kmeans_raw(sf_small).to_pandas()
+        b = g6_kmeans_raw(sf_small).to_pandas()
         pd.testing.assert_frame_equal(a, b)
         assert a["vec_id"].is_unique
         assert a["cluster"].between(0, 7).all()
