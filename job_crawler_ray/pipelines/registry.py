@@ -25,6 +25,7 @@ import ray.data as rd
 
 from job_crawler_ray.functions import frameworks as F
 from job_crawler_ray.pipelines import analytics as A2
+from job_crawler_ray.pipelines import mm_twin as MMT
 from job_crawler_ray.pipelines import relational as R
 from job_crawler_ray.pipelines import textops as T
 from job_crawler_ray.pipelines import trainprep as TP
@@ -1230,15 +1231,25 @@ def multimodal_real_video(sf_dir: str):
 
 def multimodal_frame_sample(sf_dir: str):
     """Video frame sampling: synth payloads → every-4th-frame
-    explosion (one row per kept frame) → per-frame byte features —
-    the flat_map member of the multimodal chain."""
+    explosion (one row per kept frame) → per-frame byte length — the
+    flat_map member of the multimodal chain. The binary frame column
+    is projected to its byte length at the query boundary (the VALUES
+    twin pins doc_id × frame_idx × size; raw frame bytes flow through
+    the decode chain in ``multimodal_real_video`` instead)."""
     ds = _docs(sf_dir)
     ds = ds.map_batches(T.synth_video_payloads, batch_format="pyarrow")
     ds = ds.map_batches(
         T.FrameSampler, fn_constructor_kwargs=dict(every_k=4),
         batch_format="pyarrow", batch_size=256, concurrency=(1, 2),
     )
-    return ds.sort(["doc_id", "frame_idx"])
+
+    def sizes(t: pa.Table) -> pa.Table:
+        nb = pa.compute.binary_length(t["frame"]).cast(pa.int64())
+        return t.drop_columns(["frame"]).append_column("frame_bytes", nb)
+
+    return ds.map_batches(sizes, batch_format="pyarrow").sort(
+        ["doc_id", "frame_idx"]
+    )
 
 
 def crawl_pipeline(sf_dir: str):
@@ -1375,6 +1386,143 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM corpus c LEFT JOIN comp ON comp.doc_id = c.doc_id
             WHERE comp.rep IS NULL OR comp.rep = c.doc_id
             ORDER BY c.doc_id
+        """,
+        # Multimodal / sketch twins via mm_twin's literal VALUES tables
+        # (independent pure-numpy reimplementation of the synthesis
+        # spec; doc_id-only tables are sf-independent and semijoined to
+        # the documents view, text-derived tables are rendered from the
+        # sf0.01 corpus — the driver's check scale)
+        "multimodal_decode": f"""
+            WITH v(doc_id, w, h) AS (VALUES {MMT.stub_decode_dims_values()})
+            SELECT d.doc_id, CAST(v.w AS BIGINT) AS width,
+                   CAST(v.h AS BIGINT) AS height,
+                   CAST(octet_length(encode(coalesce(d.text, '')))
+                        AS BIGINT) AS body_bytes,
+                   TRUE AS decoded_ok
+            FROM documents d JOIN v ON v.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "multimodal_real_decode": f"""
+            WITH v(doc_id, w, h, bb) AS (VALUES {MMT.bmp_real_decode_values()})
+            SELECT d.doc_id, CAST(v.w AS BIGINT) AS width,
+                   CAST(v.h AS BIGINT) AS height,
+                   CAST(v.bb AS BIGINT) AS body_bytes, TRUE AS decoded_ok
+            FROM documents d JOIN v ON v.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # stub-pipeline twin: resized dims from the VALUES table; the
+        # byte features recompute IN SQL over the truncated text (the
+        # corpus is pure ASCII — checked — so char ops == byte ops)
+        "multimodal_pipeline": f"""
+            WITH v(doc_id, w0, h0) AS (VALUES {MMT.stub_decode_dims_values()}),
+            body AS (
+              SELECT doc_id,
+                     substr(coalesce(text, ''), 1,
+                            greatest(CAST(length(coalesce(text, '')) // 4
+                                          AS INT), 1)) AS b
+              FROM documents
+            ),
+            chars AS (
+              SELECT doc_id, substr(b, CAST(r.i AS INT), 1) AS c
+              FROM body JOIN range(1, 8192) r(i) ON r.i <= length(b)
+            ),
+            dist AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(n) AS t FROM dist GROUP BY 1),
+            feat AS (
+              SELECT dist.doc_id,
+                     round_even(-sum((n * 1.0 / t) * log2(n * 1.0 / t)), 6)
+                         AS byte_entropy,
+                     round_even(sum(ascii(c) * n) * 1.0 / any_value(t), 6)
+                         AS mean_byte,
+                     CAST(count(*) AS BIGINT) AS distinct_bytes
+              FROM dist JOIN tot USING (doc_id) GROUP BY dist.doc_id
+            )
+            SELECT b.doc_id, f.byte_entropy, f.mean_byte, f.distinct_bytes,
+                   CAST(v.w0 // 2 AS BIGINT) AS width,
+                   CAST(v.h0 // 2 AS BIGINT) AS height,
+                   CAST(length(b.b) AS BIGINT) AS body_bytes,
+                   TRUE AS decoded_ok
+            FROM body b JOIN v ON v.doc_id = b.doc_id
+            JOIN feat f ON f.doc_id = b.doc_id
+            ORDER BY b.doc_id
+        """,
+        "multimodal_audio_features": f"""
+            WITH v(doc_id, n, dur, rms) AS (VALUES {MMT.wav_features_values()})
+            SELECT d.doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(v.n AS BIGINT) AS n_samples,
+                   CAST(v.dur AS DOUBLE) AS duration_s,
+                   CAST(v.rms AS DOUBLE) AS rms, TRUE AS decoded_ok
+            FROM documents d JOIN v ON v.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "multimodal_audio_resample": f"""
+            WITH v(doc_id, n, dur, rms) AS (VALUES {MMT.wav_resample_values()})
+            SELECT d.doc_id, CAST(4000 AS BIGINT) AS sample_rate,
+                   CAST(v.n AS BIGINT) AS n_samples,
+                   CAST(v.dur AS DOUBLE) AS duration_s,
+                   CAST(v.rms AS DOUBLE) AS rms, TRUE AS decoded_ok
+            FROM documents d JOIN v ON v.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "multimodal_real_video": f"""
+            WITH v(doc_id, w, h, n) AS (VALUES {MMT.rawv_video_values()})
+            SELECT d.doc_id, CAST(r.i AS BIGINT) AS frame_idx,
+                   TRUE AS frame_ok,
+                   CAST(v.w AS BIGINT) AS width,
+                   CAST(v.h AS BIGINT) AS height,
+                   CAST(3 * v.w * v.h AS BIGINT) AS body_bytes,
+                   TRUE AS decoded_ok
+            FROM documents d JOIN v ON v.doc_id = d.doc_id
+            JOIN range(0, 12) r(i) ON r.i < v.n AND r.i % 2 = 0
+            ORDER BY d.doc_id, frame_idx
+        """,
+        "multimodal_frame_sample": f"""
+            WITH v(doc_id, n) AS (VALUES {MMT.stub_video_values()})
+            SELECT d.doc_id, CAST(r.i AS BIGINT) AS frame_idx,
+                   TRUE AS frame_ok, CAST(64 AS BIGINT) AS frame_bytes
+            FROM documents d JOIN v ON v.doc_id = d.doc_id
+            JOIN range(0, 32) r(i) ON r.i < v.n AND r.i % 4 = 0
+            ORDER BY d.doc_id, frame_idx
+        """,
+        "dedup_simhash": f"""
+            WITH s(doc_id, simhash) AS (VALUES {MMT.simhash_values()})
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(simhash AS BIGINT) AS simhash
+            FROM s ORDER BY doc_id
+        """,
+        # pairs derived IN SQL from the literal signatures: banding is
+        # exact-recall for Hamming <= 3 (pigeonhole over 4 x 16-bit
+        # bands), so the brute-force xor-popcount join is the oracle
+        "dedup_simhash_pairs": f"""
+            WITH s(doc_id, simhash) AS (VALUES {MMT.simhash_values()})
+            SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+                   CAST(b.doc_id AS BIGINT) AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash))
+                  <= {T.SIMHASH_MAX_HAMMING}
+            ORDER BY id_a, id_b
+        """,
+        "doc_fingerprints": f"""
+            WITH v(doc_id, fingerprint, n_shingles)
+                 AS (VALUES {MMT.fingerprint_values()})
+            SELECT d.doc_id, CAST(v.fingerprint AS BIGINT) AS fingerprint,
+                   CAST(v.n_shingles AS BIGINT) AS n_shingles
+            FROM documents d JOIN v ON v.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "t_compress_ratio": f"""
+            WITH v(doc_id, comp_len) AS (VALUES {MMT.compress_values()})
+            SELECT d.doc_id,
+                   CAST(octet_length(encode(coalesce(d.text, '')))
+                        AS BIGINT) AS raw_len,
+                   CAST(v.comp_len AS BIGINT) AS comp_len,
+                   round_even(v.comp_len * 1.0 /
+                              greatest(octet_length(encode(
+                                  coalesce(d.text, ''))), 1), 6) AS ratio
+            FROM documents d JOIN v ON v.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "d4_ngram_jaccard": rf"""
             WITH w AS (
@@ -1809,10 +1957,9 @@ def build_queries() -> dict:
         "w13_incremental_update", "w15_max_concurrency",
         "w16_anomaly_zscore", "w18_conversion_latency", "w19_streaks",
         "w20_time_in_state", "w21_transition_matrix",
-        # aggregations / sketches (11)
-        "a18_grouped_hll", "a19_string_agg", "a20_histogram",
-        "a21_unpivot", "a22_percentile_cont", "a24_grouped_percentile_cont",
-        "a27_rolling_hll", "a28_group_entropy", "a29_gini",
+        # aggregations / sketches (6)
+        "a18_grouped_hll", "a22_percentile_cont",
+        "a24_grouped_percentile_cont", "a27_rolling_hll",
         "a31_corr_matrix", "a32_label_centroids",
         # dedup / ordering (3)
         "d9_keep_best", "d10_soft_dedup", "o4_keyset_pagination",
@@ -1820,9 +1967,16 @@ def build_queries() -> dict:
         "s8_train_val_split", "s9_curriculum_bins", "s14_dataset_card",
         "p3_rag_chunk_prep",
         # text ops (3)
-        "t_bpe_pairs", "t_json_extract", "t_char_entropy",
-        # graph + SCD2 (2)
-        "g7_bfs", "j15_scd2_pit",
+        "t_bpe_pairs", "t_char_entropy", "t_compress_ratio",
+        # graph / clustering + SCD2 (3)
+        "g6_kmeans", "g7_bfs", "j15_scd2_pit",
+        # multimodal real-codec chains, freshly oracle-twinned this
+        # round (mm_twin VALUES tables) — the family VERDICT r4 called
+        # out as never driver-checked; these take the slots of six
+        # aggregation variants (a19/a20/a21/a28/a29/t_json_extract
+        # stay pytest-gated)
+        "multimodal_real_decode", "multimodal_audio_features",
+        "multimodal_audio_resample", "multimodal_real_video",
     ]
     assert all(name in q for name in front), [n for n in front if n not in q]
     return {**{name: q[name] for name in front},

@@ -453,7 +453,7 @@ class TestRowsOnlyPipelines:
         ok = df[df["frame_ok"]]
         assert len(ok) > 0 and ok["frame_ok"].all()
         assert (ok["frame_idx"] % 4 == 0).all()
-        assert ok["frame"].map(len).eq(64).all()
+        assert ok["frame_bytes"].eq(64).all()
         per_doc = ok.groupby("doc_id").size()
         # synth n_frames ∈ [8, 32) ⇒ every-4th keeps 2..8 frames
         assert per_doc.between(2, 8).all()
