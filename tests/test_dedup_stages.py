@@ -45,6 +45,31 @@ class TestExactDedup:
             got = out[out["url_key"] == k].iloc[0]
             assert got["url"] == want["url"]
 
+    def test_forced_distributed_count_matches_driver_path(self, frontier_ds):
+        """driver_key_limit=0 forces the distributed groupby collide
+        count (the multi-node / memory-exhausted tier); it must return
+        the exact same winners as the driver-stream path."""
+        base = (
+            exact_dedup_first(frontier_ds, key="url_key")
+            .to_pandas().sort_values("url_key").reset_index(drop=True)
+        )
+        forced = (
+            exact_dedup_first(frontier_ds, key="url_key", driver_key_limit=0)
+            .to_pandas().sort_values("url_key").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(forced, base)
+
+    def test_driver_key_limit_budget(self):
+        """The computed limit is memory-budgeted: positive, capped at
+        the fixed-cost crossover, and scaled to available RAM."""
+        from job_crawler_ray.stages.dedup import (
+            DRIVER_KEY_LIMIT_CAP,
+            _driver_key_limit,
+        )
+
+        lim = _driver_key_limit()
+        assert 0 < lim <= DRIVER_KEY_LIMIT_CAP
+
     def test_no_dups_passthrough(self, ray_session):
         ds = rd.from_arrow(
             pa.table({"url_key": np.arange(50, dtype=np.int64), "v": np.arange(50)})
