@@ -2288,19 +2288,26 @@ def _containment_dense(ids_flat: np.ndarray, gh_flat: np.ndarray,
     n = len(udocs)
     B = np.zeros((n, len(uniq_g)), dtype=np.float32)
     B[row_of, col_of] = 1.0
-    sizes = B.sum(axis=1, dtype=np.float64)  # per-doc distinct grams
+    sizes32 = B.sum(axis=1, dtype=np.float32)  # exact: < 2^24 grams
     out_a, out_b, out_c = [], [], []
     for i0 in range(0, n, CONTAIN_DENSE_CHUNK):
         i1 = min(i0 + CONTAIN_DENSE_CHUNK, n)
-        inter = (B[i0:i1] @ B.T).astype(np.float64)  # (chunk × n)
-        mins = np.minimum(sizes[i0:i1, None], sizes[None, :])
-        ovl = inter / mins
-        ri, ci = np.nonzero(ovl >= threshold)
-        keep = (i0 + ri) < ci  # upper triangle: id_a < id_b, no self
+        # upper-triangle block only (id_a < id_b ⇒ columns ≥ i0): half
+        # the sgemm flops of the full row sweep
+        inter = B[i0:i1] @ B[i0:].T  # (chunk × (n - i0)), exact f32 ints
+        mins = np.minimum(sizes32[i0:i1, None], sizes32[None, i0:])
+        # f32 prefilter with a safety margin, exact f64 division only
+        # on the surviving cells — avoids the full-matrix astype/divide
+        # (the old hot spot: ~1 s of pure copies at sf0.1)
+        ri, ci = np.nonzero(inter >= (threshold - 1e-3) * mins)
+        keep = ri < ci  # strict upper triangle within the block
         ri, ci = ri[keep], ci[keep]
+        ovl = inter[ri, ci].astype(np.float64) / mins[ri, ci].astype(np.float64)
+        ok = ovl >= threshold
+        ri, ci, ovl = ri[ok], ci[ok], ovl[ok]
         out_a.append(udocs[i0 + ri])
-        out_b.append(udocs[ci])
-        out_c.append(ovl[ri, ci])
+        out_b.append(udocs[i0 + ci])
+        out_c.append(ovl)
     if not out_a or not sum(len(x) for x in out_a):
         return rd.from_arrow(_EMPTY_CONTAIN_PAIRS)
     ids_a = np.concatenate(out_a)
@@ -2327,20 +2334,27 @@ def _jaccard_dense(ids_flat: np.ndarray, gh_flat: np.ndarray,
     n = len(udocs)
     B = np.zeros((n, len(uniq_g)), dtype=np.float32)
     B[row_of, col_of] = 1.0
-    sizes = B.sum(axis=1, dtype=np.float64)
+    sizes32 = B.sum(axis=1, dtype=np.float32)  # exact: < 2^24 grams
     out_a, out_b, out_j = [], [], []
     for i0 in range(0, n, CONTAIN_DENSE_CHUNK):
         i1 = min(i0 + CONTAIN_DENSE_CHUNK, n)
-        inter = (B[i0:i1] @ B.T).astype(np.float64)
-        union = sizes[i0:i1, None] + sizes[None, :] - inter
-        jac = np.divide(inter, union, out=np.zeros_like(inter),
-                        where=union > 0)
-        ri, ci = np.nonzero(jac >= threshold)
-        keep = (i0 + ri) < ci  # upper triangle: id_a < id_b, no self
+        # upper-triangle block + f32 prefilter + sparse exact f64
+        # division, mirroring _containment_dense (same hot spots)
+        inter = B[i0:i1] @ B[i0:].T  # exact f32 ints
+        union = sizes32[i0:i1, None] + sizes32[None, i0:] - inter
+        ri, ci = np.nonzero(inter >= (threshold - 1e-3) * union)
+        keep = ri < ci
         ri, ci = ri[keep], ci[keep]
+        u = union[ri, ci].astype(np.float64)
+        jac = np.divide(
+            inter[ri, ci].astype(np.float64), u,
+            out=np.zeros(len(ri), np.float64), where=u > 0,
+        )
+        ok = jac >= threshold
+        ri, ci, jac = ri[ok], ci[ok], jac[ok]
         out_a.append(udocs[i0 + ri])
-        out_b.append(udocs[ci])
-        out_j.append(jac[ri, ci])
+        out_b.append(udocs[i0 + ci])
+        out_j.append(jac)
     if not out_a or not sum(len(x) for x in out_a):
         return rd.from_arrow(_EMPTY_PAIRS)
     ids_a = np.concatenate(out_a)
