@@ -25,6 +25,7 @@ import ray.data as rd
 
 from job_crawler_ray.functions import frameworks as F
 from job_crawler_ray.pipelines import analytics as A2
+from job_crawler_ray.pipelines import maintenance as MAINT
 from job_crawler_ray.pipelines import mm_twin as MMT
 from job_crawler_ray.pipelines import relational as R
 from job_crawler_ray.pipelines import textops as T
@@ -1392,6 +1393,7 @@ def extra_oracle_sql() -> dict[str, str]:
         # spec; doc_id-only tables are sf-independent and semijoined to
         # the documents view, text-derived tables are rendered from the
         # sf0.01 corpus — the driver's check scale)
+        "s17_maintenance_report": MAINT.MAINT_ORACLE_SQL,
         "multimodal_decode": f"""
             WITH v(doc_id, w, h) AS (VALUES {MMT.stub_decode_dims_values()})
             SELECT d.doc_id, CAST(v.w AS BIGINT) AS width,
@@ -1930,6 +1932,10 @@ def build_queries() -> dict:
             "j15_scd2_pit": A2.j15_scd2_pit,
             "t_chunk_overlap": A2.t_chunk_overlap,
             "t_sentence_stats": A2.t_sentence_stats,
+            # round-5: the periodic maintenance-service analog
+            # (monitoring_service.py:42-60) — health + retention +
+            # backup/prune per epoch, manifest-committed
+            "s17_maintenance_report": MAINT.maintenance_report,
         }
     )
     # Round-5 rotation (final). Rounds 1-4 driver-evidenced 100 distinct
