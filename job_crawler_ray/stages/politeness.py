@@ -49,8 +49,111 @@ def synth_robots(hosts: list[str]) -> dict[str, str]:
     return rules
 
 
-def robots_filter_batch(batch: pa.Table, rules: dict[str, str]) -> pa.Table:
-    """Drop rows whose (host, path-prefix) hits a disallow rule. Vectorized."""
+def parse_robots_txt(
+    content: str, user_agent: str = "jobcrawler"
+) -> list[tuple[bool, str]]:
+    """REAL robots.txt parser (RFC 9309 / REP semantics) → the ordered
+    ``[(allow, path_pattern), ...]`` rule list for the most specific
+    matching user-agent group.
+
+    - groups: consecutive ``User-agent`` lines head a group; the group
+      whose agent token is the LONGEST case-insensitive substring of
+      our product token wins, ``*`` is the fallback; multiple groups
+      for the same agent merge (RFC 9309 §2.2.1).
+    - rules: ``Allow``/``Disallow`` with ``*`` wildcards and ``$`` end
+      anchor; an EMPTY ``Disallow:`` means allow-all (no rule).
+    - evaluation (see :func:`_robots_allowed_mask`): longest-pattern
+      match decides, ``Allow`` winning length ties — the documented
+      Googlebot tiebreak. No matching rule ⇒ allowed.
+
+    The reference implies robots compliance in its crawl guidance
+    (README.md:354-358); no network in this sandbox, so content
+    arrives as a fixture/column and ``synth_robots`` remains the
+    deterministic stand-in generator.
+    """
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    in_group_body = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                groups.append((agents, rules))
+                agents, rules = [], []
+                in_group_body = False
+            agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if not agents:
+                continue  # rules before any user-agent line: ignored
+            if value:
+                rules.append((field == "allow", value))
+            # empty Disallow/Allow = no rule (allow-all group marker)
+    if agents:
+        groups.append((agents, rules))
+    # most specific agent token wins; '*' is the fallback
+    best_len, best_rules, star_rules = -1, None, None
+    for agents_g, rules_g in groups:
+        for tok in agents_g:
+            if tok == "*":
+                star_rules = (
+                    rules_g if star_rules is None else star_rules + rules_g
+                )
+            elif tok in ua and len(tok) > best_len:
+                best_len, best_rules = len(tok), rules_g
+            elif tok in ua and len(tok) == best_len and best_rules is not None:
+                best_rules = best_rules + rules_g
+    if best_rules is not None:
+        return best_rules
+    return star_rules or []
+
+
+def _robots_pattern_match(path: pd.Series, pattern: str) -> np.ndarray:
+    """Vectorized REP pattern match: plain prefixes use startswith;
+    patterns with ``*``/``$`` translate to an anchored regex."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.str.startswith(pattern).to_numpy()
+    import re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(part) for part in body.split("*"))
+    if anchored:
+        rx += "$"
+    return path.str.match(rx).fillna(False).to_numpy()
+
+
+def _robots_allowed_mask(
+    path: pd.Series, rules: list[tuple[bool, str]]
+) -> np.ndarray:
+    """REP decision per row: the longest matching pattern decides,
+    Allow winning length ties; no match ⇒ allowed."""
+    best_len = np.zeros(len(path), dtype=np.int64)
+    allowed = np.ones(len(path), dtype=bool)
+    for allow, pattern in rules:
+        m = _robots_pattern_match(path, pattern)
+        plen = len(pattern)
+        upd = m & ((plen > best_len) | ((plen == best_len) & allow))
+        allowed[upd] = allow
+        best_len = np.where(m & (plen > best_len), plen, best_len)
+    return allowed
+
+
+def robots_filter_batch(
+    batch: pa.Table, rules: dict[str, str | list[tuple[bool, str]]]
+) -> pa.Table:
+    """Drop rows whose (host, path) hits a disallow decision.
+    Vectorized; per-host rule values are either a single disallow
+    prefix string (the ``synth_robots`` stand-in shape) or a parsed
+    ``[(allow, pattern), ...]`` list from :func:`parse_robots_txt` —
+    both live in the same broadcast host→rules cache."""
     if not rules or batch.num_rows == 0:
         return batch
     host = batch["host"].to_pandas()
@@ -58,12 +161,19 @@ def robots_filter_batch(batch: pa.Table, rules: dict[str, str]) -> pa.Table:
     # path of the canonical url = substring after "scheme://host"
     after_scheme = canon.str.partition("://")[2]
     path = after_scheme.str.partition("/")[1] + after_scheme.str.partition("/")[2]
-    prefix = host.map(rules)
     disallowed = np.zeros(len(host), dtype=bool)
-    # few distinct disallow prefixes → one vectorized startswith per prefix
-    for pre in prefix.dropna().unique():
-        sel = (prefix == pre).to_numpy()
-        disallowed[sel] = path[sel].str.startswith(pre).to_numpy()
+    simple = {h: r for h, r in rules.items() if isinstance(r, str)}
+    parsed = {h: r for h, r in rules.items() if not isinstance(r, str)}
+    if simple:
+        prefix = host.map(simple)
+        # few distinct disallow prefixes → one vectorized startswith each
+        for pre in prefix.dropna().unique():
+            sel = (prefix == pre).to_numpy()
+            disallowed[sel] = path[sel].str.startswith(pre).to_numpy()
+    for h, rl in parsed.items():
+        sel = (host == h).to_numpy()
+        if sel.any() and rl:
+            disallowed[sel] = ~_robots_allowed_mask(path[sel], rl)
     return batch.filter(pa.array(~disallowed))
 
 

@@ -226,3 +226,86 @@ class TestConfigNormalizers:
         }
         assert normalize_profile_params(1, "weird", 1)["remote_preference"] == "hybrid"
         assert normalize_profile_params(1, "weird", 1)["timeline_months"] == 6
+
+
+class TestRobotsParser:
+    """RFC 9309 / REP corner cases for the real robots.txt parser."""
+
+    FIXTURE = "\n".join([
+        "# comment line",
+        "User-agent: googlebot",
+        "Disallow: /google-only/",
+        "",
+        "User-agent: jobcrawler",
+        "User-agent: otherbot",
+        "Disallow: /private/",
+        "Allow: /private/listing",
+        "Disallow: /*.pdf$",
+        "",
+        "User-agent: *",
+        "Disallow: /",
+    ])
+
+    def test_group_selection_most_specific(self):
+        from job_crawler_ray.stages.politeness import parse_robots_txt
+
+        rules = parse_robots_txt(self.FIXTURE, user_agent="jobcrawler/1.0")
+        assert (False, "/private/") in rules
+        assert (True, "/private/listing") in rules
+        assert all(p != "/google-only/" for _a, p in rules)
+        # unknown agent falls back to the * group
+        star = parse_robots_txt(self.FIXTURE, user_agent="randombot")
+        assert star == [(False, "/")]
+
+    def test_longest_match_and_allow_tiebreak(self):
+        from job_crawler_ray.stages.politeness import (
+            _robots_allowed_mask,
+            parse_robots_txt,
+        )
+
+        rules = parse_robots_txt(self.FIXTURE, user_agent="jobcrawler")
+        paths = pd.Series([
+            "/private/secret",      # Disallow /private/ wins (len 9 > 0)
+            "/private/listing/42",  # Allow /private/listing wins (len 16)
+            "/public/page",         # no rule -> allowed
+            "/files/report.pdf",    # /*.pdf$ wildcard disallow
+            "/files/report.pdfx",   # $ anchor: NOT blocked
+        ])
+        got = _robots_allowed_mask(paths, rules).tolist()
+        assert got == [False, True, True, False, True]
+        # allow wins an exact length tie
+        tie = [(False, "/dir"), (True, "/dir")]
+        assert _robots_allowed_mask(pd.Series(["/dir/x"]), tie).tolist() == [True]
+
+    def test_empty_disallow_allows_all(self):
+        from job_crawler_ray.stages.politeness import parse_robots_txt
+
+        txt = "User-agent: *\nDisallow:\n"
+        assert parse_robots_txt(txt, user_agent="jobcrawler") == []
+
+    def test_filter_batch_mixes_parsed_and_synth_rules(self):
+        from job_crawler_ray.stages.politeness import (
+            parse_robots_txt,
+            robots_filter_batch,
+        )
+
+        batch = pa.table({
+            "host": ["a.x", "a.x", "b.x", "b.x", "c.x"],
+            "canonical_url": [
+                "https://a.x/private/1",
+                "https://a.x/private/listing/2",
+                "https://b.x/jobs/3",
+                "https://b.x/other",
+                "https://c.x/anything",
+            ],
+        })
+        rules = {
+            "a.x": parse_robots_txt(self.FIXTURE, user_agent="jobcrawler"),
+            "b.x": "/jobs/",  # legacy synth shape: single disallow prefix
+        }
+        out = robots_filter_batch(batch, rules)
+        assert out["canonical_url"].to_pylist() == [
+            "https://a.x/private/listing/2",
+            "https://b.x/other",
+            "https://c.x/anything",
+        ]
