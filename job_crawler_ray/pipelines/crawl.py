@@ -90,6 +90,19 @@ class CrawlConfig:
     # fragment reads; output is bit-identical (tests pin this)
     http_fetch_base_url: str | None = None
     fetch_concurrency: int = 8  # max actors of the HTTP fetch pool
+    # 429/backoff feedback (the A6-metrics → ST5-budget loop the
+    # reference implies: error degradation at main.py:241-243, 5% max
+    # error rate alert at monitoring/config.py:16): when enabled, a
+    # host whose epoch error rate exceeds ``backoff_error_rate`` has
+    # its next-epoch release budget HALVED (multiplicative decrease,
+    # floored at ``backoff_min_budget``); a healthy epoch doubles it
+    # back toward ``budget_per_host`` (AIMD-style recovery). The
+    # override map is committed in each manifest, so resume replays
+    # the identical schedule. Off by default: the schedule changes
+    # released sets, and the bit-parity tests pin the unthrottled run.
+    error_backoff: bool = False
+    backoff_error_rate: float = 0.05
+    backoff_min_budget: int = 1
 
     @property
     def checkpoint_dir(self) -> str:
@@ -170,6 +183,10 @@ def run_crawl(
         capacity_per_shard=cfg.seen_capacity_per_shard,
     )
     start_epoch = 0
+    # per-host budget OVERRIDES from the backoff loop (empty = every
+    # host at cfg.budget_per_host); only throttled/recovering hosts
+    # appear, so the broadcast stays tiny
+    host_budgets: dict[str, int] = {}
     if resume:
         m = latest_manifest(cfg.checkpoint_dir)
         if m is not None:
@@ -182,6 +199,9 @@ def run_crawl(
                 )
             seen.restore(m["seen_snapshot_dir"])
             start_epoch = m["epoch"] + 1
+            host_budgets = {
+                h: int(b) for h, b in m.get("host_budgets", {}).items()
+            }
 
     import time as _time
 
@@ -311,7 +331,9 @@ def run_crawl(
         # map_groups output back to Arrow blocks — pandas blocks
         # flowing into the downstream sort trip Ray's schema dedup
         # ("Failed to hash the schemas") and batch-type unions
-        partial_fn, release_fn = make_bounded_budget_release(cfg.budget_per_host)
+        partial_fn, release_fn = make_bounded_budget_release(
+            cfg.budget_per_host, host_budgets=host_budgets or None
+        )
         flagged = (
             frontier.map_batches(partial_fn, batch_format="pyarrow")
             .groupby("rel_grp")
@@ -396,14 +418,17 @@ def run_crawl(
 
         def metrics_batch(b: pa.Table) -> pa.Table:
             df = b.to_pandas()
-            ok = df["status_code"] == 200
+            # vectorized indicator columns BEFORE the groupby — no
+            # per-group Python lambda in the hot aggregation
+            df["_err"] = (df["status_code"] != 200).to_numpy(dtype=np.int64)
+            df["_ok"] = (df["status_code"] == 200).to_numpy(dtype=np.int64)
             g = df.groupby("host", sort=True).agg(
                 pages_fetched=("url", "size"),
-                fetch_errors=("status_code", lambda s: int((s != 200).sum())),
+                fetch_errors=("_err", "sum"),
                 bytes_fetched=("response_bytes", "sum"),
                 latency_ms_sum=("fetch_latency_ms", "sum"),
+                pages_ok=("_ok", "sum"),
             )
-            g["pages_ok"] = df[ok].groupby("host").size().reindex(g.index, fill_value=0)
             return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
         # partials shrink to ≤ hosts × blocks rows — final-reduce them on
@@ -437,6 +462,35 @@ def run_crawl(
         else:
             partials.groupby("host").sum(metric_cols).write_parquet(metrics_path)
         timings["metrics"] = _time.time() - _t0
+
+        if cfg.error_backoff:
+            # A6 → ST5 feedback: this epoch's per-host error rates set
+            # next epoch's release budgets. Uses the already-reduced
+            # metrics table (≤ |hosts| rows — read back from the sink
+            # on the distributed path).
+            if part_df is not None:
+                met = rolled
+            else:
+                met = read_parquet_clean(metrics_path).to_pandas()
+            next_budgets: dict[str, int] = {}
+            seen_hosts = set()
+            for host, fetched_n, errs in zip(
+                met["host"], met["pages_fetched"], met["fetch_errors"]
+            ):
+                seen_hosts.add(host)
+                cur = host_budgets.get(host, cfg.budget_per_host)
+                if fetched_n > 0 and errs / fetched_n > cfg.backoff_error_rate:
+                    nb = max(cfg.backoff_min_budget, cur // 2)
+                else:
+                    nb = min(cfg.budget_per_host, cur * 2)
+                if nb != cfg.budget_per_host:
+                    next_budgets[host] = nb
+            # hosts not fetched this epoch keep their throttle (no
+            # healthy evidence to recover on)
+            for host, b in host_budgets.items():
+                if host not in seen_hosts:
+                    next_budgets[host] = b
+            host_budgets = next_budgets
 
         n_released = released.count()  # metadata (materialized)
         n_fetched = fetched.count()
@@ -515,6 +569,9 @@ def run_crawl(
                     "metrics_path": metrics_path,
                     "output_dir": out_epoch,
                     "output_files": out_files,
+                    # NEXT epoch's per-host budget overrides (backoff
+                    # loop state — resume replays the same schedule)
+                    "host_budgets": dict(host_budgets),
                     "timings_sec": {k: round(v, 3) for k, v in timings.items()},
                 },
             )

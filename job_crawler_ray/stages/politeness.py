@@ -195,7 +195,9 @@ def make_budget_release(budget: int):
     return budget_release
 
 
-def make_bounded_budget_release(budget: int):
+def make_bounded_budget_release(
+    budget: int, host_budgets: dict[str, int] | None = None
+):
     """Bounded-memory budget release: ``(partial_fn, release_fn)``.
 
     :func:`make_budget_release` alone materializes each host's ENTIRE
@@ -221,8 +223,21 @@ def make_bounded_budget_release(budget: int):
 
     Deterministic under the same assumption as the one-level release:
     no exact (warc_ts, canonical_url) ties within a host.
+
+    ``host_budgets`` (the 429/backoff feedback loop): optional per-host
+    overrides of ``budget`` — only throttled hosts appear, so the map
+    ships as a few entries in the task closure. Bounds are unchanged:
+    a host's candidate group is ≤ its own budget × blocks rows.
     """
     budget = int(budget)
+    host_budgets = {h: int(b) for h, b in (host_budgets or {}).items()}
+
+    def _budget_of(hosts: pd.Series) -> np.ndarray:
+        if not host_budgets:
+            return np.full(len(hosts), budget, dtype=np.int64)
+        return (
+            hosts.map(host_budgets).fillna(budget).astype(np.int64).to_numpy()
+        )
 
     def partial_release(t: pa.Table) -> pa.Table:
         # Arrow in, STRIPPED Arrow out: this stage feeds the rel_grp
@@ -237,12 +252,13 @@ def make_bounded_budget_release(budget: int):
             kind="mergesort",
         )
         brank = g.groupby("host", sort=False).cumcount().to_numpy()
-        over = brank >= budget
+        bud = _budget_of(g["host"])
+        over = brank >= bud
         key = g["host"].copy()
         if over.any():
             key[over] = (
                 g["host"][over] + "\x00" + pd.Series(
-                    brank[over] // budget, index=g.index[over]
+                    brank[over] // bud[over], index=g.index[over]
                 ).astype(str)
             )
         out = g.assign(rel_grp=key, _cand=~over)
@@ -254,7 +270,8 @@ def make_bounded_budget_release(budget: int):
                 PRIORITY_SORT, ascending=_ASCENDING, kind="mergesort"
             )
             rank = np.arange(len(g), dtype=np.int64)
-            out = g.assign(host_rank=rank, released=rank < budget)
+            bud = host_budgets.get(g["host"].iat[0], budget)
+            out = g.assign(host_rank=rank, released=rank < bud)
         else:
             out = group.assign(
                 host_rank=np.full(len(group), -1, dtype=np.int64),
