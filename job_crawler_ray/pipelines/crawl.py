@@ -364,7 +364,7 @@ def run_crawl(
         # is ONE execution instead of materialize → count → repartition.
         _t0 = _time.time()
         n_flagged = flagged.count()  # metadata only
-        n_rel_blocks = max(2, min(512, n_flagged // 2048 + 1))
+        n_rel_blocks = max(2, min(512, n_flagged // 1024 + 1))
         released = (
             flagged.map_batches(take_released, batch_format="pyarrow")
             .sort("bucket")
