@@ -74,20 +74,46 @@ BENEFIT_CLASSES = {
 }
 
 
-def _contains_matrix(haystack: pd.Series, needles: list[str]) -> np.ndarray:
-    """(n_rows, n_needles) bool matrix of substring containment."""
-    cols = [haystack.str.contains(k, regex=False).to_numpy() for k in needles]
-    return np.column_stack(cols) if cols else np.zeros((len(haystack), 0), bool)
+def _as_string_array(haystack) -> pa.ChunkedArray | pa.Array:
+    if isinstance(haystack, (pa.Array, pa.ChunkedArray)):
+        return pa.compute.fill_null(haystack, "")
+    return pa.compute.fill_null(
+        pa.array(haystack, type=pa.string(), from_pandas=True), ""
+    )
 
 
-def _first_match(classes: dict[str, list[str]], *haystacks: pd.Series) -> np.ndarray:
+def _contains_matrix(haystack, needles: list[str]) -> np.ndarray:
+    """(n_rows, n_needles) bool matrix of substring containment.
+
+    One ``pyarrow.compute.match_substring`` C++ scan per needle —
+    plain-byte containment, identical to the previous pandas
+    ``.str.contains(regex=False)`` semantics but without its
+    per-row-per-needle Python lambda (which dominated the crawl's
+    enrich CPU). Accepts a pandas Series or an Arrow string array.
+    """
+    import pyarrow.compute as pc
+
+    hay = _as_string_array(haystack)
+    cols = [
+        pc.match_substring(hay, k).to_numpy(zero_copy_only=False)
+        for k in needles
+    ]
+    return np.column_stack(cols) if cols else np.zeros((len(hay), 0), bool)
+
+
+def _first_match(classes: dict[str, list[str]], *haystacks) -> np.ndarray:
     """Ordered first-match-wins classification → object array of labels."""
+    import pyarrow.compute as pc
+
+    hays = [_as_string_array(h) for h in haystacks]
     conds = []
     for keywords in classes.values():
-        hit = np.zeros(len(haystacks[0]), dtype=bool)
+        hit = np.zeros(len(hays[0]), dtype=bool)
         for kw in keywords:
-            for hs in haystacks:
-                hit |= hs.str.contains(kw, regex=False).to_numpy()
+            for hs in hays:
+                hit |= pc.match_substring(hs, kw).to_numpy(
+                    zero_copy_only=False
+                )
         conds.append(hit)
     return np.select(conds, list(classes.keys()), default="not_specified")
 
@@ -118,29 +144,33 @@ def extract_features_batch(
     can reproduce. With ``flatten=False`` additionally nests the salary
     struct like the reference's ``salary_info``.
     """
+    import pyarrow.compute as pc
+
     n = batch.num_rows
-    desc_raw = batch[description_col].to_pandas().fillna("")
+    # Arrow-native haystacks: fill/lower/join/measure are all C++
+    # kernels on the (ASCII-or-UTF-8) string buffers — the previous
+    # pandas object-dtype path paid a Python call per row per needle
+    desc_raw = pc.fill_null(batch[description_col], "")
     title_raw = (
-        batch[title_col].to_pandas().fillna("") if title_col and title_col in batch.column_names
-        else pd.Series([""] * n)
+        pc.fill_null(batch[title_col], "")
+        if title_col and title_col in batch.column_names
+        else pa.array([""] * n, type=pa.string())
     )
-    desc = desc_raw.str.lower()
-    title = title_raw.str.lower()
+    desc = pc.utf8_lower(desc_raw)
+    title = pc.utf8_lower(title_raw)
 
     # single scan for "in description or title"; NUL separator cannot occur
     # inside any keyword, so no cross-junction false positives
-    both = desc + "\x00" + title
+    both = pc.binary_join_element_wise(desc, title, "\x00")
     tech_matrix = _contains_matrix(both, TECH_KEYWORDS)
     tech_stack = _list_array_from_matrix(tech_matrix, TECH_KEYWORDS)
 
     experience = _first_match(EXPERIENCE_INDICATORS, desc, title)
     remote = _first_match(REMOTE_INDICATORS, desc)
 
-    has_benefits = np.zeros(n, dtype=bool)
-    for kw in BENEFIT_KEYWORDS:
-        has_benefits |= desc.str.contains(kw, regex=False).to_numpy()
+    has_benefits = _contains_matrix(desc, BENEFIT_KEYWORDS).any(axis=1)
 
-    desc_len = desc_raw.str.len().to_numpy(dtype=np.int64)
+    desc_len = pc.utf8_length(desc_raw).to_numpy(zero_copy_only=False).astype(np.int64)
 
     out = batch.append_column("tech_stack", tech_stack)
     out = out.append_column("experience_level", pa.array(experience, type=pa.string()))
