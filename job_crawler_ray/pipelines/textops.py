@@ -515,7 +515,13 @@ def _jaccard_of_pairs(
         if a.size == 0 and bb.size == 0:
             jac[p] = 1.0
             continue
-        inter = np.intersect1d(a, bb, assume_unique=True).size
+        # membership count via searchsorted on the (sorted, unique)
+        # smaller set — ~3x cheaper than intersect1d's concat+sort
+        if bb.size < a.size:
+            a, bb = bb, a
+        idx = np.searchsorted(bb, a)
+        idx[idx == bb.size] = bb.size - 1 if bb.size else 0
+        inter = int((bb[idx] == a).sum()) if bb.size else 0
         union = a.size + bb.size - inter
         jac[p] = inter / union if union else 0.0
     return jac
