@@ -1290,6 +1290,55 @@ def _sw_hits_sql(words) -> str:
     ) + ")"
 
 
+def _crawl_oracle_sql() -> str:
+    """Literal twin for ``crawl_pipeline`` — closes the last rows-only
+    registry entry. The SEQUENTIAL single-process crawl oracle
+    (`pipelines/oracle.py`, the independent scheduler implementation
+    the engine's parity tests are pinned against) is replayed over the
+    sf0.01 corpus (`mm_twin.TWIN_SF_DIR`, the driver's check scale) at
+    the query's exact configuration, and fetch-status semantics are
+    recomputed from the splitmix64 spec (every released url exists in
+    the corpus store, so status is 503 on the deterministic 1/97 tier
+    and 200 otherwise — `stages/fetch.py:_fetch_semantics`). Rendered
+    as a VALUES table: the driver's hash compare then pins release
+    ORDER (epoch, host, host_rank), membership AND status codes of the
+    distributed engine against the sequential replay."""
+    global _CRAWL_ORACLE_SQL_CACHE
+    if _CRAWL_ORACLE_SQL_CACHE is not None:
+        return _CRAWL_ORACLE_SQL_CACHE
+    from job_crawler_ray.corpus import HOSTS, pages_table
+    from job_crawler_ray.pipelines.mm_twin import TWIN_SF_DIR, _splitmix64
+    from job_crawler_ray.pipelines.oracle import crawl_oracle
+    from job_crawler_ray.stages.politeness import synth_robots
+
+    pages = pages_table(TWIN_SF_DIR, replicate=1)
+    order = crawl_oracle(
+        pages, budget_per_host=500, robots_rules=synth_robots(HOSTS)
+    )["order"]
+    keys = order["url_key"].to_numpy().astype(np.uint64)
+    status = np.where(_splitmix64(keys, 202) % np.uint64(97) == 0, 503, 200)
+    rows = ", ".join(
+        "('%s', '%s', %d, %d, %d)"
+        % (u.replace("'", "''"), h.replace("'", "''"), e, r, s)
+        for u, h, e, r, s in zip(
+            order["url"], order["host"], order["epoch"],
+            order["host_rank"], status,
+        )
+    )
+    _CRAWL_ORACLE_SQL_CACHE = f"""
+            WITH o(url, host, epoch, host_rank, status_code)
+                 AS (VALUES {rows})
+            SELECT url, host, CAST(epoch AS BIGINT) AS epoch,
+                   CAST(host_rank AS BIGINT) AS host_rank,
+                   CAST(status_code AS INTEGER) AS status_code
+            FROM o ORDER BY epoch, host, host_rank
+        """
+    return _CRAWL_ORACLE_SQL_CACHE
+
+
+_CRAWL_ORACLE_SQL_CACHE: str | None = None
+
+
 def _minhash_exact_cte(recursive: bool = False) -> str:
     """Shared CTE prefix: the `_neardup_corpus` twin (documents +
     mutated every-5th copies) exploded to DISTINCT char-{k} shingles,
@@ -1394,6 +1443,7 @@ def extra_oracle_sql() -> dict[str, str]:
         # the documents view, text-derived tables are rendered from the
         # sf0.01 corpus — the driver's check scale)
         "s17_maintenance_report": MAINT.MAINT_ORACLE_SQL,
+        "crawl_pipeline": _crawl_oracle_sql(),
         "multimodal_decode": f"""
             WITH v(doc_id, w, h) AS (VALUES {MMT.stub_decode_dims_values()})
             SELECT d.doc_id, CAST(v.w AS BIGINT) AS width,
