@@ -40,7 +40,7 @@ import pyarrow as pa
 
 import ray
 
-from job_crawler_ray.util import scratch_dir, strip_meta
+from job_crawler_ray.util import driver_row_cap, scratch_dir, strip_meta
 import ray.data as rd
 
 from job_crawler_ray.corpus import mix64
@@ -576,7 +576,7 @@ def _minhash_pairs_small(ds, sigs, id_col: str, text_col: str):
         return b.filter(pa.array(m)).select([id_col, text_col])
 
     cand_texts = ds.map_batches(texts_of_candidates, batch_format="pyarrow")
-    if cand_ids.size > VERIFY_TEXT_DRIVER_LIMIT:
+    if cand_ids.size > driver_row_cap(VERIFY_TEXT_DRIVER_LIMIT, 600):
         # many candidates (collision-heavy corpus): texts stay off the
         # driver — bucket-fragment-store actor verify
         survivors = rd.from_arrow(
@@ -649,7 +649,7 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     # cost, so banding → pairing → dedup → estimate run in-process on
     # the streamed (id, signature) columns; only the candidate-text
     # fetch (O(collisions)) goes back to the cluster
-    if sigs.count() <= SIG_STREAM_DRIVER_LIMIT:
+    if sigs.count() <= driver_row_cap(SIG_STREAM_DRIVER_LIMIT, 1100):
         return _minhash_pairs_small(ds, sigs, id_col, text_col)
 
     rows_per_band = NUM_PERM // LSH_BANDS
@@ -683,7 +683,7 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     # almost every (band, hash) bucket is a singleton; only colliding
     # buckets generate candidates (work ∝ collisions, not corpus)
     n_band_rows = exploded.count()  # metadata only (materialized)
-    if n_band_rows <= HOT_HASH_DRIVER_LIMIT:
+    if n_band_rows <= driver_row_cap(HOT_HASH_DRIVER_LIMIT, 24):
         hash_parts = [
             b["band_hash"].to_numpy()
             for b in exploded.select_columns(["band_hash"]).iter_batches(
@@ -766,7 +766,7 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     n_coll = colliding.count()  # metadata only; colliding ∝ collisions
     if n_coll == 0:
         return rd.from_arrow(empty)
-    if n_coll <= COLLIDE_DRIVER_LIMIT:
+    if n_coll <= driver_row_cap(COLLIDE_DRIVER_LIMIT, 48):
         # colliding rows are 24 B each and O(collisions): one global
         # vectorized pairing pass on the driver skips the groupby
         # exchange entirely (Ray shuffle fixed costs are seconds even
@@ -792,7 +792,7 @@ def minhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     # coarse pair-key groupby and the estimate stage is skipped (the
     # exact verify decides membership either way — the estimate only
     # prunes cost, never recall)
-    if isinstance(pairs, pd.DataFrame) or n_pairs_raw <= PAIR_DRIVER_LIMIT:
+    if isinstance(pairs, pd.DataFrame) or n_pairs_raw <= driver_row_cap(PAIR_DRIVER_LIMIT, 48):
         if isinstance(pairs, pd.DataFrame):
             ids_a = pairs["id_a"].to_numpy()
             ids_b = pairs["id_b"].to_numpy()
@@ -1200,7 +1200,7 @@ def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         lambda b: simhash_batch(b, text_col), batch_format="pyarrow"
     ).materialize()
 
-    if sims.count() <= SIMHASH_STREAM_DRIVER_LIMIT:
+    if sims.count() <= driver_row_cap(SIMHASH_STREAM_DRIVER_LIMIT, 48):
         return _simhash_pairs_small(sims, id_col, max_hamming)
 
     def explode(b: pa.Table) -> pa.Table:
@@ -1217,7 +1217,7 @@ def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     exploded = sims.map_batches(explode, batch_format="pyarrow").materialize()
     n_band_rows = exploded.count()  # metadata only
-    if n_band_rows <= HOT_HASH_DRIVER_LIMIT:
+    if n_band_rows <= driver_row_cap(HOT_HASH_DRIVER_LIMIT, 24):
         # hot buckets via an 8-byte driver stream
         hash_parts = [
             b["band_hash"].to_numpy()
@@ -1285,7 +1285,7 @@ def simhash_neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     n_coll = colliding.count()  # metadata only
     if n_coll == 0:
         return rd.from_arrow(_EMPTY_SIM_PAIRS)
-    if n_coll <= COLLIDE_DRIVER_LIMIT:
+    if n_coll <= driver_row_cap(COLLIDE_DRIVER_LIMIT, 48):
         pdf = gen_pairs(colliding.to_pandas())
         ids_a = pdf["id_a"].to_numpy()
         ids_b = pdf["id_b"].to_numpy()
@@ -1466,7 +1466,7 @@ def pack_sequences(ds, seq_len: int = 128, id_col: str = "doc_id",
          "tokens": pa.array([], pa.list_(pa.string()))}
     )
     offset_store = None
-    if n_docs <= PACK_OFFSETS_DRIVER_LIMIT:
+    if n_docs <= driver_row_cap(PACK_OFFSETS_DRIVER_LIMIT, 32):
         for tb in counts_ds.iter_batches(
             batch_format="pyarrow", batch_size=1 << 20
         ):
@@ -2048,7 +2048,7 @@ def ngram_jaccard_pairs(ds, n: int = 2,
     if n_rows == 0:
         return rd.from_arrow(_EMPTY_PAIRS)
 
-    if n_rows <= NGRAM_STREAM_DRIVER_LIMIT:
+    if n_rows <= driver_row_cap(NGRAM_STREAM_DRIVER_LIMIT, 64):
         id_parts, g_parts = [], []
         for tb in exploded.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
             id_parts.append(tb[id_col].to_numpy())
@@ -2103,7 +2103,7 @@ def ngram_jaccard_pairs(ds, n: int = 2,
     # df = 1 (they sort rarest and occupy prefix slots, per the true
     # global order the theorem needs — they just never collide).
     df_dir_cleanup = None
-    if n_rows <= HOT_HASH_DRIVER_LIMIT:
+    if n_rows <= driver_row_cap(HOT_HASH_DRIVER_LIMIT, 24):
         parts = [
             b["gram"].to_numpy()
             for b in exploded.select_columns(["gram"]).iter_batches(
@@ -2212,7 +2212,7 @@ def ngram_jaccard_pairs(ds, n: int = 2,
     n_pref = prefix_rows.count()
     if n_pref == 0:
         return rd.from_arrow(_EMPTY_PAIRS)
-    if n_pref <= COLLIDE_DRIVER_LIMIT:
+    if n_pref <= driver_row_cap(COLLIDE_DRIVER_LIMIT, 48):
         # prefix rows are O(candidate mass): one driver pairing pass
         pid_parts, pg_parts = [], []
         for tb in prefix_rows.iter_batches(
@@ -2448,7 +2448,7 @@ def ngram_containment_pairs(ds, n: int = 2,
     if n_rows == 0:
         return rd.from_arrow(_EMPTY_CONTAIN_PAIRS)
 
-    if n_rows <= NGRAM_STREAM_DRIVER_LIMIT:
+    if n_rows <= driver_row_cap(NGRAM_STREAM_DRIVER_LIMIT, 64):
         id_parts, g_parts = [], []
         for tb in exploded.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
             id_parts.append(tb[id_col].to_numpy())
@@ -2501,7 +2501,7 @@ def ngram_containment_pairs(ds, n: int = 2,
     # the prefix flag (the non-prefix side of a containment candidate
     # must survive), per-gram-part pair generation, fragment verify.
     df_dir_cleanup = None
-    if n_rows <= HOT_HASH_DRIVER_LIMIT:
+    if n_rows <= driver_row_cap(HOT_HASH_DRIVER_LIMIT, 24):
         parts = [
             b["gram"].to_numpy()
             for b in exploded.select_columns(["gram"]).iter_batches(
@@ -2887,7 +2887,7 @@ def connected_component_labels(nodes, pairs, id_col: str = "doc_id"):
     sized); above it the star-contraction forest joins the node list
     (left outer, ``coalesce(root, self)``) with no driver state."""
     n_pairs = pairs.count()
-    if n_pairs <= PAIR_DRIVER_LIMIT:
+    if n_pairs <= driver_row_cap(PAIR_DRIVER_LIMIT, 48):
         a_parts, b_parts = [], []
         for tb in pairs.select_columns(["id_a", "id_b"]).iter_batches(
             batch_format="pyarrow", batch_size=1 << 20
@@ -2929,7 +2929,7 @@ def connected_component_labels(nodes, pairs, id_col: str = "doc_id"):
     # LOSER_BROADCAST_LIMIT; above that, id-bucketed fragment store +
     # actor-pool lookup (the _IdSetFilter pattern, with a value).
     forest = _star_contract_forest(pairs, id_col).materialize()
-    if forest.count() <= LOSER_BROADCAST_LIMIT:
+    if forest.count() <= driver_row_cap(LOSER_BROADCAST_LIMIT, 24):
         l_parts, r_parts = [], []
         for tb in forest.iter_batches(batch_format="pyarrow",
                                       batch_size=1 << 20):
@@ -3002,7 +3002,7 @@ def neardup_keep_representatives(ds, pairs, id_col: str = "doc_id"):
     n_pairs = pairs.count()
     losers_arr = None
     losers_ds = None
-    if n_pairs <= PAIR_DRIVER_LIMIT:
+    if n_pairs <= driver_row_cap(PAIR_DRIVER_LIMIT, 48):
         a_parts, b_parts = [], []
         for tb in pairs.select_columns(["id_a", "id_b"]).iter_batches(
             batch_format="pyarrow", batch_size=1 << 20
@@ -3022,7 +3022,7 @@ def neardup_keep_representatives(ds, pairs, id_col: str = "doc_id"):
     else:
         losers_ds = _star_contract_losers(pairs, id_col)
 
-    if losers_arr is not None and losers_arr.size <= LOSER_BROADCAST_LIMIT:
+    if losers_arr is not None and losers_arr.size <= driver_row_cap(LOSER_BROADCAST_LIMIT, 24):
         ref = ray.put(losers_arr)
 
         def keep(b: pa.Table) -> pa.Table:
@@ -3448,7 +3448,7 @@ def embedding_neardup_pairs_approx(ds, threshold: float,
     # driver fast path: small corpora stream (id, cell, embedding) and
     # run the per-cell all-pairs matmuls in-process — the fragment
     # store + actor pool below is pure fixed cost at this size
-    if n <= EMB_NEARDUP_DRIVER_LIMIT:
+    if n <= driver_row_cap(EMB_NEARDUP_DRIVER_LIMIT, 1100):
         id_parts, cell_parts, m_parts = [], [], []
         for tb in index.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
             id_parts.append(tb[id_col].to_numpy())

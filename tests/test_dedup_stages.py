@@ -309,3 +309,19 @@ class TestRobotsParser:
             "https://b.x/other",
             "https://c.x/anything",
         ]
+
+
+class TestDriverRowCap:
+    def test_memory_budget_clamps(self):
+        """driver_row_cap returns min(cap, mem budget): the static cap
+        wins on this roomy host, a huge cap gets memory-clamped, and a
+        zeroed cap (the forced-tier test hook) stays zero."""
+        from job_crawler_ray.util import available_memory_bytes, driver_row_cap
+
+        assert driver_row_cap(0, 8) == 0
+        avail = available_memory_bytes()
+        assert avail is None or avail > 0
+        if avail is not None:
+            assert driver_row_cap(10**18, 8) < 10**18  # memory-clamped
+            small = driver_row_cap(1000, 8)
+            assert small == 1000  # static cap wins when memory is ample
