@@ -4339,26 +4339,37 @@ def a34_pricing_summary(sf_dir: str) -> pa.Table:
                 {c: pa.array([], ty) for c, ty in
                  [("l_returnflag", pa.string()),
                   ("l_linestatus", pa.string()),
-                  ("sum_qty", pa.float64()), ("sum_base", pa.float64()),
-                  ("sum_disc", pa.float64()), ("sum_charge", pa.float64()),
-                  ("sum_discount", pa.float64()), ("n", pa.int64())]}
+                  ("sum_qty", pa.float64()), ("base_e2", pa.int64()),
+                  ("disc_e4", pa.int64()), ("charge_e6", pa.int64()),
+                  ("discount_e2", pa.int64()), ("n", pa.int64())]}
             )
-        disc_price = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        charge = disc_price * (1.0 + df["l_tax"])
+        # exact integer units (price/discount/tax all have 2 decimals):
+        # cents, ten-thousandths and millionths sum order-independently
+        # in int64 — a float SUM at 1e7+ magnitude flips the last cent
+        # on summation order at .xx5 cells (the j11 rule; this query
+        # flaked exactly that way at sf0.001)
+        price_e2 = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64)
+        disc_fac_e2 = np.rint((1.0 - df["l_discount"].to_numpy()) * 100
+                              ).astype(np.int64)
+        tax_fac_e2 = np.rint((1.0 + df["l_tax"].to_numpy()) * 100).astype(
+            np.int64)
+        disc_e2 = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
         g = (
             pd.DataFrame(
                 {"l_returnflag": df["l_returnflag"],
                  "l_linestatus": df["l_linestatus"],
                  "sum_qty": df["l_quantity"],
-                 "sum_base": df["l_extendedprice"],
-                 "sum_disc": disc_price, "sum_charge": charge,
-                 "sum_discount": df["l_discount"]}
+                 "base_e2": price_e2,
+                 "disc_e4": price_e2 * disc_fac_e2,
+                 "charge_e6": price_e2 * disc_fac_e2 * tax_fac_e2,
+                 "discount_e2": disc_e2}
             )
             .groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(sum_qty=("sum_qty", "sum"), sum_base=("sum_base", "sum"),
-                 sum_disc=("sum_disc", "sum"),
-                 sum_charge=("sum_charge", "sum"),
-                 sum_discount=("sum_discount", "sum"),
+            .agg(sum_qty=("sum_qty", "sum"), base_e2=("base_e2", "sum"),
+                 disc_e4=("disc_e4", "sum"),
+                 charge_e6=("charge_e6", "sum"),
+                 discount_e2=("discount_e2", "sum"),
                  n=("sum_qty", "size"))
         )
         return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
@@ -4367,21 +4378,29 @@ def a34_pricing_summary(sf_dir: str) -> pa.Table:
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                   Sum("sum_base", alias_name="sum_base"),
-                   Sum("sum_disc", alias_name="sum_disc"),
-                   Sum("sum_charge", alias_name="sum_charge"),
-                   Sum("sum_discount", alias_name="sum_discount"),
+                   Sum("base_e2", alias_name="base_e2"),
+                   Sum("disc_e4", alias_name="disc_e4"),
+                   Sum("charge_e6", alias_name="charge_e6"),
+                   Sum("discount_e2", alias_name="discount_e2"),
                    Sum("n", alias_name="count_order"))
         .to_pandas()
         .sort_values(["l_returnflag", "l_linestatus"])
         .reset_index(drop=True)
     )
     out["count_order"] = out["count_order"].astype("int64")
-    for c in ("sum_qty", "sum_base", "sum_disc", "sum_charge"):
-        out[c] = out[c].round(2)
+    # exact int64 sums / power-of-ten scale: bit-identical doubles in
+    # both twins, no final rounding needed on the sums. int64 headroom:
+    # charge_e6 ≈ 1e11/row peaks ⇒ safe to ~9e7 rows per group; beyond
+    # that split into two accumulators (hi/lo) or move to e4 + a
+    # residual column — the 100 TB note.
+    out["sum_base"] = out.pop("base_e2") / 100.0
+    out["sum_disc"] = out.pop("disc_e4") / 10000.0
+    out["sum_charge"] = out.pop("charge_e6") / 1000000.0
     out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(6)
     out["avg_price"] = (out["sum_base"] / out["count_order"]).round(6)
-    out["avg_disc"] = (out["sum_discount"] / out["count_order"]).round(6)
+    out["avg_disc"] = (
+        out.pop("discount_e2") / 100.0 / out["count_order"]
+    ).round(6)
     return pa.Table.from_pandas(
         out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base",
              "sum_disc", "sum_charge", "avg_qty", "avg_price", "avg_disc",
@@ -5860,23 +5879,38 @@ def analytics_oracle_sql() -> dict[str, str]:
               AND l_quantity < {A35_QTY}
         """,
         "a34_pricing_summary": f"""
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS sum_disc,
-                   round(sum(l_extendedprice * (1 - l_discount)
-                             * (1 + l_tax)), 2) AS sum_charge,
-                   round(round(sum(l_quantity), 2) / count(*), 6)
-                       AS avg_qty,
-                   round(round(sum(l_extendedprice), 2) / count(*), 6)
-                       AS avg_price,
-                   round(sum(l_discount) / count(*), 6) AS avg_disc,
-                   CAST(count(*) AS BIGINT) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '{A34_CUTOFF}'
-            GROUP BY l_returnflag, l_linestatus
-            ORDER BY l_returnflag, l_linestatus
+            -- exact int64 units (price/discount/tax each have 2
+            -- decimals): sums are order-independent and the /10^k
+            -- doubles bit-match the Ray twin; round_even matches
+            -- numpy's half-to-even on the averages
+            WITH b AS (
+                SELECT l_returnflag, l_linestatus,
+                       sum(l_quantity) AS sum_qty,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS base_e2,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                           AS disc_e4,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                           * CAST(round((1 + l_tax) * 100) AS BIGINT))
+                           AS charge_e6,
+                       sum(CAST(round(l_discount * 100) AS BIGINT))
+                           AS discount_e2,
+                       count(*) AS n
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '{A34_CUTOFF}'
+                GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l_returnflag, l_linestatus, sum_qty,
+                   base_e2 / 100.0 AS sum_base,
+                   disc_e4 / 10000.0 AS sum_disc,
+                   charge_e6 / 1000000.0 AS sum_charge,
+                   round_even(sum_qty / n, 6) AS avg_qty,
+                   round_even(base_e2 / 100.0 / n, 6) AS avg_price,
+                   round_even(discount_e2 / 100.0 / n, 6) AS avg_disc,
+                   CAST(n AS BIGINT) AS count_order
+            FROM b ORDER BY l_returnflag, l_linestatus
         """,
         "j19_nearest_price": """
             WITH s AS (
