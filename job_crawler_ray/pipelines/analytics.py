@@ -566,19 +566,26 @@ def j6_hash_join(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        # exact int64 ten-thousandths (the j11 rule): a float SUM lands
+        # exactly on .xx5 cells and flips a cent on summation order
+        df["revenue_e4"] = np.rint(
+            df["l_extendedprice"].to_numpy() * 100
+        ).astype(np.int64) * np.rint(
+            (1.0 - df["l_discount"].to_numpy()) * 100
+        ).astype(np.int64)
         g = df.groupby("o_orderpriority", as_index=False).agg(
-            revenue=("revenue", "sum"), cnt=("revenue", "size")
+            revenue_e4=("revenue_e4", "sum"), cnt=("revenue_e4", "size")
         )
         return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
 
     out = (
         joined.map_batches(partial, batch_format="pyarrow")
         .groupby("o_orderpriority")
-        .aggregate(Sum("revenue", alias_name="revenue"), Sum("cnt", alias_name="cnt"))
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
+                   Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
-    out["revenue"] = out["revenue"].astype(float).round(2)
+    out["revenue"] = out.pop("revenue_e4") / 10000.0
     out["cnt"] = out["cnt"].astype("int64")
     return pa.Table.from_pandas(
         out.sort_values("o_orderpriority").reset_index(drop=True),
@@ -3214,12 +3221,14 @@ def j15_scd2_pit(sf_dir: str) -> pa.Table:
         idx = np.searchsorted(ck_, df["o_custkey"].to_numpy(np.int64))
         od = df["o_orderdate"].to_numpy().astype("datetime64[ns]").astype("int64")
         eff = np.where(od >= cut_[idx], seg_b_[idx], seg_a_[idx])
+        # exact int64 cents (o_totalprice has 2 decimals) — the j11
+        # rule: float sums land on .xx5 cells and flip on order
+        cents = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
         g = (
-            pd.DataFrame({"segment": eff,
-                          "o_totalprice": df["o_totalprice"].to_numpy()})
+            pd.DataFrame({"segment": eff, "revenue_e2": cents})
             .groupby("segment", as_index=False)
-            .agg(n_orders=("o_totalprice", "size"),
-                 revenue=("o_totalprice", "sum"))
+            .agg(n_orders=("revenue_e2", "size"),
+                 revenue_e2=("revenue_e2", "sum"))
         )
         return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
 
@@ -3227,14 +3236,13 @@ def j15_scd2_pit(sf_dir: str) -> pa.Table:
         ds.map_batches(resolve, batch_format="pyarrow")
         .groupby("segment")
         .aggregate(Sum("n_orders", alias_name="n_orders"),
-                   Sum("revenue", alias_name="revenue"))
+                   Sum("revenue_e2", alias_name="revenue_e2"))
         .to_pandas()
         .sort_values("segment")
         .reset_index(drop=True)
     )
     out["n_orders"] = out["n_orders"].astype("int64")
-    # float SUM ~1e8+: 2-dp rounding (summation-order bound, see j6)
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = out.pop("revenue_e2") / 100.0
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -4296,16 +4304,19 @@ def a35_q6_revenue(sf_dir: str) -> pa.Table:
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        rev = (
-            t["l_extendedprice"].to_numpy(zero_copy_only=False)
-            * t["l_discount"].to_numpy(zero_copy_only=False)
-        )
-        return pa.table({"revenue": [float(rev.sum())],
+        # exact int64 ten-thousandths (price and discount each carry 2
+        # decimals) — order-independent sum, the j11 rule
+        rev_e4 = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64) * np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"revenue_e4": [int(rev_e4.sum())],
                          "n": [int(t.num_rows)]})
 
     p = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
     return pa.table(
-        {"revenue": pa.array([round(float(p["revenue"]), 2)], pa.float64()),
+        {"revenue": pa.array([int(p["revenue_e4"]) / 10000.0], pa.float64()),
          "n_lineitems": pa.array([int(p["n"])], pa.int64())}
     )
 
@@ -5870,7 +5881,9 @@ def analytics_oracle_sql() -> dict[str, str]:
             FROM corpus GROUP BY lower(text) ORDER BY doc_id
         """,
         "a35_q6_revenue": f"""
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+            SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT))
+                       / 10000.0 AS revenue,
                    CAST(count(*) AS BIGINT) AS n_lineitems
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '{A35_Y0}'
@@ -6438,7 +6451,8 @@ def analytics_oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN o.o_orderdate >= d.cut THEN d.seg_b
                         ELSE d.seg_a END AS segment,
                    CAST(count(*) AS BIGINT) AS n_orders,
-                   round(sum(o.o_totalprice), 2) AS revenue
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                       / 100.0 AS revenue
             FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
             GROUP BY segment ORDER BY segment
         """,
@@ -6858,7 +6872,9 @@ def analytics_oracle_sql() -> dict[str, str]:
         """,
         "j6_hash_join": """
             SELECT o_orderpriority,
-                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1.0 - l_discount) * 100) AS BIGINT))
+                       / 10000.0 AS revenue,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority

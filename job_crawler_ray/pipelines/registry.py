@@ -869,21 +869,27 @@ def io6_filter_pushdown(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
+        # exact int64 cents (2-decimal money, the j11 rule): float sums
+        # land on .xx5 cells and flip on summation order
+        df["revenue_e2"] = np.rint(
+            df["o_totalprice"].to_numpy() * 100
+        ).astype(np.int64)
         g = df.groupby("o_orderstatus", as_index=False).agg(
-            n=("o_totalprice", "size"), revenue=("o_totalprice", "sum")
+            n=("revenue_e2", "size"), revenue_e2=("revenue_e2", "sum")
         )
         return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("o_orderstatus")
-        .aggregate(Sum("n", alias_name="n"), Sum("revenue", alias_name="revenue"))
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("revenue_e2", alias_name="revenue_e2"))
         .to_pandas()
         .sort_values("o_orderstatus")
         .reset_index(drop=True)
     )
     out["n"] = out["n"].astype("int64")
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = out.pop("revenue_e2") / 100.0
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -974,7 +980,8 @@ IO_ORACLE_SQL = {
     """,
     "io6_filter_pushdown": f"""
         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-               round(sum(o_totalprice), 2) AS revenue
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                   AS revenue
         FROM orders WHERE o_totalprice > {IO6_PRICE_FLOOR}
         GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
