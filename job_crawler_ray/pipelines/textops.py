@@ -947,41 +947,43 @@ def _fragment_store_verify(survivors, cand_texts, n_surv: int, id_col: str,
 # ---------------------------------------------------------------------------
 
 
+# byte-value → bit-indicator table for the LUT bit vote: row v holds
+# ((v >> b) & 1) for b in 0..7
+_SIM_BYTE_BITS = ((np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1
+                  ).astype(np.int64)
+
+
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit SimHash over unique char-shingle hashes (Charikar '02).
 
-    Per-DOC processing on top of the shared flat byte buffer: each
-    doc's windows are hashed (packed-uint64 mix), deduped, and bit-
-    voted via one ``np.unpackbits`` + column sum — all C kernels on
-    few-KB temporaries. This is the crawl-enrich hot path: bounded
-    small allocations (reused by the allocator) measurably beat one
-    batch-global sort that faults fresh pages every batch.
+    Fully vectorized bit vote via BYTEWISE LUT counting: the per-doc
+    unique hash sets come from ``_batch_shingle_hashes`` (identical
+    semantics to the previous per-doc path, incl. the length-tagged
+    short-doc hash), then for each of the 8 byte positions the batch
+    does ONE (doc, byte-value) bincount over the flat hash buffer and
+    a (docs × 256) @ (256 × 8) matmul against the bit-indicator
+    table. O(windows × 8) + tiny matmuls instead of the per-window
+    64-bit unpack (O(windows × 64)) — ~4× less vote work, zero
+    per-doc Python calls, and temporaries bounded by docs × 256
+    int64 (the crawl-enrich hot path).
     """
-    data, offs = _lower_bytes_offsets(batch[text_col])
+    h, offs = _batch_shingle_hashes(batch[text_col])
     n = len(offs) - 1
-    k = SHINGLE_K
+    cnts = offs[1:] - offs[:-1]
     out_bits = np.zeros(n, dtype=_u64)
-    bit_w = _u64(1) << np.arange(64, dtype=_u64)
-    for i in range(n):
-        s, e = int(offs[i]), int(offs[i + 1])
-        length = e - s
-        if length == 0:
-            continue
-        if length < k:
-            val = _u64(0)
-            for j in range(length):
-                val |= _u64(data[s + j]) << _u64(8 * j)
-            val |= _u64(length) << _u64(56)
-            hs = mix64(np.array([val]), _SHINGLE_SALT)
-        else:
-            hs = np.unique(
-                _packed_window_hashes(data, np.arange(s, e - k + 1), k)
-            )
-        bits = np.unpackbits(
-            hs.view(np.uint8), bitorder="little"
-        ).reshape(hs.size, 64)
-        vote = bits.sum(axis=0, dtype=np.int64) * 2 - hs.size
-        out_bits[i] = ((vote > 0).astype(_u64) * bit_w).sum(dtype=_u64)
+    if len(h):
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), cnts)
+        by = h.view(np.uint8).reshape(-1, 8)
+        base = doc_of * 256
+        votes = np.empty((n, 64), dtype=np.int64)
+        for j in range(8):
+            counts = np.bincount(
+                base + by[:, j], minlength=n * 256
+            ).reshape(n, 256)
+            votes[:, 8 * j: 8 * j + 8] = counts @ _SIM_BYTE_BITS
+        vote = votes * 2 - cnts[:, None]
+        bit_w = _u64(1) << np.arange(64, dtype=_u64)
+        out_bits = ((vote > 0) * bit_w).sum(axis=1, dtype=_u64)
     keep = batch.select([c for c in batch.column_names if c != text_col])
     return keep.append_column(
         "simhash", pa.array(out_bits.view(np.int64), type=pa.int64())
