@@ -367,7 +367,7 @@ def run_crawl(
         n_rel_blocks = max(2, min(512, n_flagged // 1024 + 1))
         released = (
             flagged.map_batches(take_released, batch_format="pyarrow")
-            .sort("bucket")
+            .sort(["bucket", "url_key"])
             .repartition(n_rel_blocks)
             .materialize()
         )

@@ -60,10 +60,20 @@ def write_corpus_store(pages_ds, store_dir: str, num_buckets: int = NUM_CORPUS_B
         bucket = host_bucket_of(batch["url_key"].to_numpy(), num_buckets)
         return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
 
+    # KEY-SORTED layout with small row groups: rows sorted by
+    # (bucket, url_key) and url_key kept as a column, so the fetcher
+    # can push a key-range filter into the fragment scan and decode
+    # only the row groups its batch touches (row-group statistics
+    # skip the rest) — "prune at the read" for the fetch stage. The
+    # one-time sort is setup cost; at 100 TB it is what turns fetch
+    # from whole-fragment decodes into ~batch-sized reads.
     (
         pages_ds.map_batches(add_bucket, batch_format="pyarrow")
-        .select_columns(["url", "html", "bucket"])
-        .write_parquet(store_dir, partition_cols=["bucket"])
+        .select_columns(["url", "url_key", "html", "bucket"])
+        .sort(["bucket", "url_key"])
+        .write_parquet(
+            store_dir, partition_cols=["bucket"], row_group_size=2048
+        )
     )
     return store_dir
 
@@ -110,12 +120,26 @@ def make_direct_fetch_fn(store_dir: str, num_buckets: int = NUM_CORPUS_BUCKETS):
         urls = batch["url"].to_pandas()
         keys = batch["url_key"].to_numpy()
         buckets = host_bucket_of(keys, num_buckets)
+        # key-sorted stores (see write_corpus_store) additionally prune
+        # by the batch's url_key RANGE: with released rows sorted by
+        # (bucket, url_key) upstream, each batch covers a contiguous
+        # key slice, so row-group statistics skip everything else
+        # before decode. Older stores without the column fall back to
+        # the whole-fragment read.
+        keyed = "url_key" in store.schema.names
         html_map: dict[str, bytes] = {}
         for b in np.unique(buckets):
-            frag = store.to_table(
-                columns=["url", "html"], filter=pads.field("bucket") == int(b)
-            )
-            want = set(urls[buckets == b])
+            m = buckets == b
+            flt = pads.field("bucket") == int(b)
+            if keyed:
+                ks = keys[m]
+                flt = (
+                    flt
+                    & (pads.field("url_key") >= int(ks.min()))
+                    & (pads.field("url_key") <= int(ks.max()))
+                )
+            frag = store.to_table(columns=["url", "html"], filter=flt)
+            want = set(urls[m])
             html_map.update(
                 (u, h)
                 for u, h in zip(frag["url"].to_pylist(), frag["html"].to_pylist())
