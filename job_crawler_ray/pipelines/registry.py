@@ -773,6 +773,29 @@ def io5_ipc_roundtrip(sf_dir: str):
     return out
 
 
+def io11_orc_roundtrip(sf_dir: str):
+    """documents → custom ORC Datasink → custom ORC Datasource →
+    projection (stages/orcio.py — the second from-scratch source/sink
+    pair on the §2.1 extension point, for the Hive/Trino-era columnar
+    format Ray ships no reader for here). Reads iterate ORC stripes;
+    the twin reads the original parquet — equality proves the
+    encode → stripe-read chain is lossless."""
+    from job_crawler_ray.stages.orcio import read_orc, write_orc
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).repartition(4)
+    out_dir = scratch_dir("jcr_orc_")
+    write_orc(ds, out_dir)
+    back = read_orc(out_dir)
+    out = back.select_columns(
+        ["doc_id", "text", "lang", "source"]
+    ).sort("doc_id").materialize()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
 IO7_PARTS = 8
 
 
@@ -986,6 +1009,9 @@ IO_ORACLE_SQL = {
         GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "io5_ipc_roundtrip": """
+        SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
+    """,
+    "io11_orc_roundtrip": """
         SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
     """,
     "io7_resumable_write": """
@@ -1915,6 +1941,7 @@ def build_queries() -> dict:
             # registered after the round-4 rotation window closed;
             # pytest-oracle-gated now, driver-checked next round
             "io5_ipc_roundtrip": io5_ipc_roundtrip,
+            "io11_orc_roundtrip": io11_orc_roundtrip,
             "j10_interval_join": A2.j10_interval_join,
             "w6_window_dedup": A2.w6_window_dedup,
             "a18_grouped_hll": A2.a18_grouped_hll,
