@@ -796,6 +796,32 @@ def io11_orc_roundtrip(sf_dir: str):
     return out
 
 
+def io12_gzip_jsonl_roundtrip(sf_dir: str):
+    """documents → GZIP-compressed JSONL sink → gz-aware source →
+    projection: the interchange format crawl corpora actually arrive
+    in (WET/CC-style gzip text shards). Compression rides Arrow's
+    stream wrappers on BOTH sides (``arrow_open_stream_args``), one
+    .gz shard per block — parallel, resumable, and the twin reads the
+    original parquet so equality proves losslessness through the
+    compress → decompress → JSON-parse chain."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).repartition(4)
+    out_dir = scratch_dir("jcr_gzjl_")
+    ds.write_json(out_dir, arrow_open_stream_args={"compression": "gzip"})
+    back = rd.read_json(
+        out_dir,
+        arrow_open_stream_args={"compression": "gzip"},
+        file_extensions=["json"],
+    )
+    out = back.select_columns(
+        ["doc_id", "text", "lang", "source"]
+    ).sort("doc_id").materialize()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
 IO7_PARTS = 8
 
 
@@ -1012,6 +1038,9 @@ IO_ORACLE_SQL = {
         SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
     """,
     "io11_orc_roundtrip": """
+        SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
+    """,
+    "io12_gzip_jsonl_roundtrip": """
         SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
     """,
     "io7_resumable_write": """
@@ -1942,6 +1971,7 @@ def build_queries() -> dict:
             # pytest-oracle-gated now, driver-checked next round
             "io5_ipc_roundtrip": io5_ipc_roundtrip,
             "io11_orc_roundtrip": io11_orc_roundtrip,
+            "io12_gzip_jsonl_roundtrip": io12_gzip_jsonl_roundtrip,
             "j10_interval_join": A2.j10_interval_join,
             "w6_window_dedup": A2.w6_window_dedup,
             "a18_grouped_hll": A2.a18_grouped_hll,
