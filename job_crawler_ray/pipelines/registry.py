@@ -822,6 +822,51 @@ def io12_gzip_jsonl_roundtrip(sf_dir: str):
     return out
 
 
+def io13_warc_roundtrip(sf_dir: str):
+    """documents → WARC/1.0 response-record shards → WARC source →
+    projection: the container format web crawls actually ship in
+    (stages/warcio.py — minimal conformant subset: CRLF header blocks,
+    Content-Length framing, double-CRLF terminators). URIs derive from
+    doc_id, payloads are the UTF-8 text; the DuckDB twin rebuilds both
+    from the documents view, so equality pins the record
+    build → frame → parse chain byte-for-byte."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(4)
+
+    def to_records(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        uris = pa.array(
+            [f"https://corpus.example/doc/{i}" for i in ids], pa.string()
+        )
+        payloads = pa.array(
+            [(x or "").encode() for x in t["text"].to_pylist()], pa.binary()
+        )
+        return pa.table({"uri": uris, "payload": payloads})
+
+    from job_crawler_ray.stages.warcio import read_warc, write_warc
+
+    out_dir = scratch_dir("jcr_warc_")
+    write_warc(ds.map_batches(to_records, batch_format="pyarrow"), out_dir)
+    back = read_warc(out_dir)
+
+    def decode(t: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1]) for u in t["uri"].to_pylist()]
+        texts = [p.decode() for p in t["payload"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "uri": t["uri"],
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    out = back.map_batches(decode, batch_format="pyarrow").sort("doc_id")
+    out = out.materialize()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
 IO7_PARTS = 8
 
 
@@ -1042,6 +1087,13 @@ IO_ORACLE_SQL = {
     """,
     "io12_gzip_jsonl_roundtrip": """
         SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
+    """,
+    "io13_warc_roundtrip": """
+        SELECT doc_id,
+               'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
+                   AS uri,
+               coalesce(text, '') AS text
+        FROM documents ORDER BY doc_id
     """,
     "io7_resumable_write": """
         SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
@@ -1972,6 +2024,7 @@ def build_queries() -> dict:
             "io5_ipc_roundtrip": io5_ipc_roundtrip,
             "io11_orc_roundtrip": io11_orc_roundtrip,
             "io12_gzip_jsonl_roundtrip": io12_gzip_jsonl_roundtrip,
+            "io13_warc_roundtrip": io13_warc_roundtrip,
             "j10_interval_join": A2.j10_interval_join,
             "w6_window_dedup": A2.w6_window_dedup,
             "a18_grouped_hll": A2.a18_grouped_hll,

@@ -325,3 +325,42 @@ class TestDriverRowCap:
             assert driver_row_cap(10**18, 8) < 10**18  # memory-clamped
             small = driver_row_cap(1000, 8)
             assert small == 1000  # static cap wins when memory is ample
+
+
+class TestWarcParser:
+    def test_roundtrip_and_degradation(self):
+        """Record build → parse roundtrip; leading garbage skipped,
+        non-response records dropped, truncated tail degrades to the
+        records parsed so far (row-level, never an exception)."""
+        from job_crawler_ray.stages.warcio import (
+            build_warc_record,
+            parse_warc_stream,
+        )
+
+        r1 = build_warc_record("https://a.x/1", b"hello\r\nworld", "urn:1")
+        r2 = build_warc_record("https://a.x/2", b"", "urn:2")
+        meta = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 3\r\n\r\n"
+            b"abc\r\n\r\n"
+        )
+        blob = b"garbage-bytes" + r1 + meta + r2 + r1[: len(r1) // 2]
+        got = list(parse_warc_stream(blob))
+        assert got == [
+            ("https://a.x/1", b"hello\r\nworld"),
+            ("https://a.x/2", b""),
+        ]
+
+    def test_payload_containing_warc_magic(self):
+        """Content-Length framing must win over content scanning: a
+        payload that CONTAINS 'WARC/1.0' header bytes is returned
+        verbatim and does not desync the stream."""
+        from job_crawler_ray.stages.warcio import (
+            build_warc_record,
+            parse_warc_stream,
+        )
+
+        evil = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n"
+        r1 = build_warc_record("https://a.x/evil", evil, "urn:e")
+        r2 = build_warc_record("https://a.x/after", b"ok", "urn:a")
+        got = list(parse_warc_stream(r1 + r2))
+        assert got == [("https://a.x/evil", evil), ("https://a.x/after", b"ok")]
