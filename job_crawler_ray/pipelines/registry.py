@@ -822,6 +822,67 @@ def io12_gzip_jsonl_roundtrip(sf_dir: str):
     return out
 
 
+def s18_leakage_safe_split(sf_dir: str):
+    """LEAKAGE-SAFE train/val/test split: every near-duplicate
+    CLUSTER lands in one split. Plain per-doc hash splits (s8) leak —
+    a doc in train and its near-copy in test inflates eval — so the
+    split key here is the doc's near-dup COMPONENT representative
+    (min id over the exact-verified MinHash pair graph), hashed with
+    the same md5-prefix buckets as s8. Pipeline: pair graph (the
+    dedup_minhash cascade) → component min-labels (hash-to-min /
+    star-contraction tiers) → broadcast id→rep over the corpus →
+    per-row md5 bucket. The DuckDB twin recomputes the exact pair
+    graph + recursive-CTE components + the same md5 CASE, so the
+    driver hash pins cluster-coherence end to end."""
+    from job_crawler_ray.pipelines.trainprep import (
+        SPLIT_TRAIN_HEX,
+        SPLIT_VAL_HEX,
+        _md5_hex,
+    )
+
+    ds = _neardup_corpus(sf_dir)
+    pairs = T.minhash_neardup_pairs(ds).select_columns(["id_a", "id_b"])
+    pairs_df = pairs.to_pandas()  # O(near-dup pairs), tiny vs corpus
+    ia = pairs_df["id_a"].to_numpy(np.int64)
+    ib = pairs_df["id_b"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([ia, ib])) if len(ia) else np.zeros(
+        0, np.int64
+    )
+    rep_of: dict[int, int] = {}
+    if nodes.size:
+        lbl = T._cc_labels_vectorized(
+            np.searchsorted(nodes, ia), np.searchsorted(nodes, ib),
+            len(nodes),
+        )
+        rep_of = {
+            int(n): int(nodes[r]) for n, r in zip(nodes, lbl)
+        }
+    rep_ref = ray.put(rep_of)
+
+    def assign(t: pa.Table) -> pa.Table:
+        reps = ray.get(rep_ref)
+        ids = t["doc_id"].to_numpy()
+        rep = np.asarray([reps.get(int(i), int(i)) for i in ids], np.int64)
+        k8 = np.asarray(
+            [h[:8] for h in _md5_hex(rep.astype(str))], dtype=object
+        )
+        split = np.where(
+            k8 < SPLIT_TRAIN_HEX, "train",
+            np.where(k8 < SPLIT_VAL_HEX, "val", "test"),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rep": pa.array(rep),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    return ds.select_columns(["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 def io13_warc_roundtrip(sf_dir: str):
     """documents → WARC/1.0 response-record shards → WARC source →
     projection: the container format web crawls actually ship in
@@ -1690,6 +1751,38 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM documents d JOIN v ON v.doc_id = d.doc_id
             ORDER BY d.doc_id
         """,
+        "s18_leakage_safe_split": _minhash_exact_cte(recursive=True)
+        + f"""
+            , pairs AS (
+                SELECT i.id_a AS u, i.id_b AS v
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+                WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+                      >= {T.JACCARD_THRESHOLD}
+            ),
+            edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u
+            ),
+            comp AS (SELECT u AS doc_id, least(min(v), u) AS rep
+                     FROM reach GROUP BY u),
+            lab AS (
+                SELECT c.doc_id,
+                       CAST(coalesce(comp.rep, c.doc_id) AS BIGINT) AS rep
+                FROM corpus c LEFT JOIN comp ON comp.doc_id = c.doc_id
+            )
+            SELECT doc_id, rep,
+                   CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 8)
+                             < '{TP.SPLIT_TRAIN_HEX}' THEN 'train'
+                        WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 8)
+                             < '{TP.SPLIT_VAL_HEX}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM lab ORDER BY doc_id
+        """,
         "d4_ngram_jaccard": rf"""
             WITH w AS (
               SELECT doc_id,
@@ -2025,6 +2118,7 @@ def build_queries() -> dict:
             "io11_orc_roundtrip": io11_orc_roundtrip,
             "io12_gzip_jsonl_roundtrip": io12_gzip_jsonl_roundtrip,
             "io13_warc_roundtrip": io13_warc_roundtrip,
+            "s18_leakage_safe_split": s18_leakage_safe_split,
             "j10_interval_join": A2.j10_interval_join,
             "w6_window_dedup": A2.w6_window_dedup,
             "a18_grouped_hll": A2.a18_grouped_hll,

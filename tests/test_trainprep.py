@@ -312,3 +312,31 @@ class TestCompressRatio:
             assert out.loc[i, "ratio"] == round(
                 len(zlib.compress(enc, 6)) / max(len(enc), 1), 6
             )
+
+
+def test_s18_leakage_safe_split_cluster_coherent(sf_small, ray_session):
+    """Every near-dup pair must land in ONE split (the leakage guard
+    plain per-doc hashing cannot give), and non-dup docs must keep the
+    same assignment as the plain s8 bucketing (rep == self)."""
+    from job_crawler_ray.pipelines import textops as T
+    from job_crawler_ray.pipelines.registry import (
+        _neardup_corpus,
+        s18_leakage_safe_split,
+    )
+
+    out = s18_leakage_safe_split(sf_small).to_pandas()
+    split_of = dict(zip(out["doc_id"], out["split"]))
+    rep_of = dict(zip(out["doc_id"], out["rep"]))
+    pairs = T.minhash_neardup_pairs(
+        _neardup_corpus(sf_small)
+    ).to_pandas()
+    assert len(pairs) > 0  # the planted mutations must collide
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        assert split_of[a] == split_of[b], (a, b)
+        assert rep_of[a] == rep_of[b]
+    # singletons are their own representative
+    in_pairs = set(pairs["id_a"]) | set(pairs["id_b"])
+    solo = out[~out["doc_id"].isin(in_pairs)]
+    assert (solo["rep"] == solo["doc_id"]).all()
+    # all three splits are populated at this corpus size
+    assert set(out["split"]) == {"train", "val", "test"}
