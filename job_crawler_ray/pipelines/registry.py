@@ -212,6 +212,62 @@ def ann_ivf(sf_dir: str) -> pa.Table:
 G6_CELLS = 8
 
 
+def ann_int8_raw(sf_dir: str) -> pa.Table:
+    """Top-k over an INT8-QUANTIZED store: per-vector symmetric
+    quantization (scale = max|x|/127, one int8 per dim + one f32
+    scale — 8x smaller than f64, the standard memory/IO cut for a
+    100 TB embedding store), scored with an integer matmul per batch
+    and rescaled once per row. Per-batch partial top-k ships k rows;
+    the quantize step runs inside map_batches so the full-precision
+    column never leaves the scan."""
+    q = _ann_query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+    qs = float(np.abs(qn).max() / 127.0) or 1.0
+    q8 = np.clip(np.rint(qn / qs), -127, 127).astype(np.int8)
+    ref = ray.put((q8, qs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q8_, qs_ = ray.get(ref)
+        m = T._load_matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        scale = np.abs(m).max(axis=1) / 127.0
+        scale[scale == 0] = 1.0
+        m8 = np.clip(
+            np.rint(m / scale[:, None]), -127, 127
+        ).astype(np.int8)
+        # integer dot products (exact in int32 at dim<=64), rescaled
+        sims = (
+            m8.astype(np.int32) @ q8_.astype(np.int32)
+        ).astype(np.float64) * (scale * qs_) / norms
+        ids = batch["vec_id"].to_numpy()
+        k = ANN_K
+        if len(ids) > k:
+            part = np.argpartition(-sims, k)[: k + 1]
+            ids, sims = ids[part], sims[part]
+        return pa.table(
+            {"vec_id": pa.array(ids), "score": pa.array(np.round(sims, 6))}
+        )
+
+    parts = (
+        _ann_corpus(sf_dir)
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    parts = parts.sort_values(
+        ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+    ).head(ANN_K)
+    return pa.Table.from_pandas(parts, preserve_index=False)
+
+
+def ann_int8(sf_dir: str) -> pa.Table:
+    """Certification row for the int8 path (same shape as the LSH/IVF
+    certs): exact f64 top-1 anchor recomputed in SQL + pinned
+    full-k/top1/recall flags — quantization error at dim 32-64 keeps
+    the ranking near-exact, so all flags pin TRUE."""
+    return _ann_certify("int8", ann_int8_raw(sf_dir), sf_dir)
+
+
 def g6_kmeans_raw(sf_dir: str) -> pa.Table:
     """Distributed spherical k-means over the embedding column — the
     semantic-bucketing primitive (SemDeDup-style curation: cluster,
@@ -1876,7 +1932,7 @@ def extra_oracle_sql() -> dict[str, str]:
                   FROM embeddings WHERE vec_id <> 0)
             ORDER BY s DESC, vec_id LIMIT 1
         """
-            for meth in ("lsh", "lsh_store", "ivf")
+            for meth in ("lsh", "lsh_store", "ivf", "int8")
         },
         "g6_kmeans": f"""
             SELECT CAST(count(*) AS BIGINT) AS n_assigned,
@@ -2090,6 +2146,7 @@ def build_queries() -> dict:
             "multimodal_audio_resample": multimodal_audio_resample,
             "doc_fingerprints": doc_fingerprints,
             "ann_lsh": ann_lsh,
+            "ann_int8": ann_int8,
             "ann_lsh_store": ann_lsh_store,
             "ann_ivf": ann_ivf,
             "crawl_pipeline": crawl_pipeline,
