@@ -103,6 +103,13 @@ class CrawlConfig:
     error_backoff: bool = False
     backoff_error_rate: float = 0.05
     backoff_min_budget: int = 1
+    # opt-in frontier PRIORITY: name a numeric column of the pages
+    # input; release order becomes (priority DESC, warc_ts DESC,
+    # canonical_url ASC) — the SURVEY §2.9 total order
+    # (priority, host, warc_ts, url) with priority realized. The
+    # sequential oracle takes the same option, so ordering parity is
+    # testable under prioritization too. None = reference order.
+    priority_col: str | None = None
 
     @property
     def checkpoint_dir(self) -> str:
@@ -125,9 +132,10 @@ def build_frontier(pages_ds, cfg: CrawlConfig):
     """pages → deduped, robots-filtered frontier (narrow columns only)."""
     from job_crawler_ray.stages.dedup import exact_dedup_first
 
+    want = ["url", "warc_ts"] + ([cfg.priority_col] if cfg.priority_col else [])
     cols = pages_ds.columns()
-    if set(cols) != {"url", "warc_ts"}:
-        pages_ds = pages_ds.select_columns(["url", "warc_ts"])
+    if set(cols) != set(want):
+        pages_ds = pages_ds.select_columns(want)
     ds = pages_ds.map_batches(add_url_key_columns, batch_format="pyarrow")
     if cfg.robots_rules:
         rules = cfg.robots_rules
@@ -272,15 +280,20 @@ def run_crawl(
 
     epoch = start_epoch
     manifests = []
-    empty_frontier = pa.table(
+    empty_cols = {
+        "url": pa.array([], pa.string()),
+        "warc_ts": pa.array([], pa.timestamp("us")),
+    }
+    if cfg.priority_col:
+        empty_cols[cfg.priority_col] = pa.array([], pa.float64())
+    empty_cols.update(
         {
-            "url": pa.array([], pa.string()),
-            "warc_ts": pa.array([], pa.timestamp("us")),
             "canonical_url": pa.array([], pa.string()),
             "host": pa.array([], pa.string()),
             "url_key": pa.array([], pa.int64()),
         }
     )
+    empty_frontier = pa.table(empty_cols)
 
     import shutil
 
@@ -332,7 +345,8 @@ def run_crawl(
         # flowing into the downstream sort trip Ray's schema dedup
         # ("Failed to hash the schemas") and batch-type unions
         partial_fn, release_fn = make_bounded_budget_release(
-            cfg.budget_per_host, host_budgets=host_budgets or None
+            cfg.budget_per_host, host_budgets=host_budgets or None,
+            priority_col=cfg.priority_col,
         )
         flagged = (
             frontier.map_batches(partial_fn, batch_format="pyarrow")

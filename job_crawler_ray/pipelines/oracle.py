@@ -23,8 +23,10 @@ from job_crawler_ray.functions.urltools import canonicalize_urls, hosts_of
 from job_crawler_ray.hashing import as_signed, xxh64_array
 
 
-def _candidates(pages: pa.Table, robots_rules: dict[str, str]) -> pd.DataFrame:
-    df = pages.select(["url", "warc_ts"]).to_pandas()
+def _candidates(pages: pa.Table, robots_rules: dict[str, str],
+                priority_col: str | None = None) -> pd.DataFrame:
+    cols = ["url", "warc_ts"] + ([priority_col] if priority_col else [])
+    df = pages.select(cols).to_pandas()
     df["canonical_url"] = canonicalize_urls(df["url"])
     df["host"] = hosts_of(df["url"])
     df["url_key"] = as_signed(xxh64_array(df["canonical_url"].to_numpy()))
@@ -55,6 +57,7 @@ def crawl_oracle(
     robots_rules: dict[str, str] | None = None,
     reseed_epochs: dict[int, pa.Table] | None = None,
     max_epochs: int = 1000,
+    priority_col: str | None = None,
 ) -> dict:
     """Run the sequential crawl; return order + seen set.
 
@@ -65,26 +68,29 @@ def crawl_oracle(
     robots_rules = robots_rules or {}
     reseed_epochs = reseed_epochs or {}
 
-    frontier = _dedup_first(_candidates(pages, robots_rules))
+    frontier = _dedup_first(_candidates(pages, robots_rules, priority_col))
     seen: set[int] = set()
     order_parts: list[pd.DataFrame] = []
 
     epoch = 0
     while epoch < max_epochs:
         if epoch in reseed_epochs:
-            wave = _dedup_first(_candidates(reseed_epochs[epoch], robots_rules))
+            wave = _dedup_first(
+                _candidates(reseed_epochs[epoch], robots_rules, priority_col)
+            )
             frontier = _dedup_first(pd.concat([frontier, wave], ignore_index=True))
 
         frontier = frontier[~frontier["url_key"].map(lambda k: int(k) in seen)]
 
         released_parts = []
         remaining_parts = []
+        sort_keys = ["warc_ts", "canonical_url"]
+        sort_asc = [False, True]
+        if priority_col:
+            sort_keys = [priority_col] + sort_keys
+            sort_asc = [False] + sort_asc
         for host, g in frontier.groupby("host", sort=True):
-            g = g.sort_values(
-                ["warc_ts", "canonical_url"],
-                ascending=[False, True],
-                kind="mergesort",
-            )
+            g = g.sort_values(sort_keys, ascending=sort_asc, kind="mergesort")
             rel = g.head(budget_per_host).copy()
             rel["epoch"] = epoch
             rel["host_rank"] = np.arange(len(rel), dtype=np.int64)

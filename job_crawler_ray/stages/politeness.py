@@ -195,8 +195,19 @@ def make_budget_release(budget: int):
     return budget_release
 
 
+def _sort_keys(priority_col: str | None) -> tuple[list[str], list[bool]]:
+    """Release order keys: optional frontier PRIORITY first (DESC —
+    higher priority crawls first; the SURVEY total order
+    (priority, host, warc_ts, url) with priority opt-in), then the
+    newest-first reference order."""
+    if priority_col:
+        return [priority_col] + PRIORITY_SORT, [False] + _ASCENDING
+    return PRIORITY_SORT, _ASCENDING
+
+
 def make_bounded_budget_release(
-    budget: int, host_budgets: dict[str, int] | None = None
+    budget: int, host_budgets: dict[str, int] | None = None,
+    priority_col: str | None = None,
 ):
     """Bounded-memory budget release: ``(partial_fn, release_fn)``.
 
@@ -231,6 +242,7 @@ def make_bounded_budget_release(
     """
     budget = int(budget)
     host_budgets = {h: int(b) for h, b in (host_budgets or {}).items()}
+    keys, asc = _sort_keys(priority_col)
 
     def _budget_of(hosts: pd.Series) -> np.ndarray:
         if not host_budgets:
@@ -248,8 +260,7 @@ def make_bounded_budget_release(
 
         df = t.to_pandas()
         g = df.sort_values(
-            ["host"] + PRIORITY_SORT, ascending=[True] + _ASCENDING,
-            kind="mergesort",
+            ["host"] + keys, ascending=[True] + asc, kind="mergesort",
         )
         brank = g.groupby("host", sort=False).cumcount().to_numpy()
         bud = _budget_of(g["host"])
@@ -266,9 +277,7 @@ def make_bounded_budget_release(
 
     def release_fn(group: pd.DataFrame) -> pd.DataFrame:
         if bool(group["_cand"].iat[0]):
-            g = group.sort_values(
-                PRIORITY_SORT, ascending=_ASCENDING, kind="mergesort"
-            )
+            g = group.sort_values(keys, ascending=asc, kind="mergesort")
             rank = np.arange(len(g), dtype=np.int64)
             bud = host_budgets.get(g["host"].iat[0], budget)
             out = g.assign(host_rank=rank, released=rank < bud)
