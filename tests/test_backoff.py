@@ -84,3 +84,48 @@ def test_backoff_schedule_committed_in_manifests(backoff_result):
     ms = load_manifests(cfg.checkpoint_dir)
     assert ms[0]["host_budgets"] == {"bad.x": BUDGET // 2}
     assert ms[1]["host_budgets"] == {"bad.x": BUDGET // 4}
+
+
+def test_backoff_schedule_survives_resume(ray_session, tmp_path):
+    """Interrupt after epoch 0 (max_epochs=1), resume to completion:
+    the resumed run must restore the committed host_budgets and
+    produce the identical per-epoch release schedule as an
+    uninterrupted run."""
+    rows = []
+    for host, has_html in (("good.x", True), ("bad.x", False)):
+        for i in range(12):
+            rows.append(
+                {
+                    "url": f"https://{host}/jobs/{i}",
+                    "warc_ts": pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(days=i),
+                    "html": (
+                        f"<html><body>page {i} of {host}</body></html>"
+                        if has_html
+                        else None
+                    ),
+                }
+            )
+    pages = pa.Table.from_pandas(pd.DataFrame(rows))
+    kw = dict(budget_per_host=BUDGET, error_backoff=True)
+
+    clean_cfg = CrawlConfig(work_dir=str(tmp_path / "clean"), max_epochs=3, **kw)
+    run_crawl(clean_cfg, pages_ds=rd.from_arrow(pages))
+
+    work = str(tmp_path / "resumed")
+    run_crawl(
+        CrawlConfig(work_dir=work, max_epochs=1, **kw),
+        pages_ds=rd.from_arrow(pages),
+    )
+    resumed_cfg = CrawlConfig(work_dir=work, max_epochs=3, **kw)
+    run_crawl(resumed_cfg, pages_ds=rd.from_arrow(pages), resume=True)
+
+    for ep in range(3):
+        assert _fetched_per_host(resumed_cfg, ep) == _fetched_per_host(
+            clean_cfg, ep
+        ), f"epoch {ep} schedule diverged on resume"
+    assert [
+        m["host_budgets"] for m in load_manifests(resumed_cfg.checkpoint_dir)
+    ] == [
+        m["host_budgets"] for m in load_manifests(clean_cfg.checkpoint_dir)
+    ]
