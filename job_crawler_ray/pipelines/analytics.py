@@ -49,7 +49,12 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from job_crawler_ray.corpus import mix64
 from job_crawler_ray.pipelines.relational import _read, _round_floats
-from job_crawler_ray.util import scratch_dir, strip_meta, time_bucket_strings
+from job_crawler_ray.util import (
+    driver_row_cap,
+    scratch_dir,
+    strip_meta,
+    time_bucket_strings,
+)
 
 _u64 = np.uint64
 
@@ -2202,18 +2207,56 @@ def w7_row_number(sf_dir: str) -> pa.Table:
         ),
         batch_format="pyarrow",
     )
-    joined = rows.join(
-        off_ds,
-        "inner",
-        num_partitions=4,
-        on=("user_id", "_bucket"),
-        right_on=("user_id_o", "_bucket_o"),
-    ).to_pandas()
+    # offsets are ONE row per (user, bucket) — broadcast-attach under
+    # the memory-budgeted cap (sorted-key searchsorted per batch, no
+    # join), native hash join above it (the multi-node big-|users|
+    # tier). House tiering: the small side ships once either way.
+    n_off = off_ds.count()
+    if n_off <= driver_row_cap(5_000_000, 32):
+        odf = off_ds.to_pandas()
+        okey = (
+            odf["user_id_o"].to_numpy(np.int64) << np.int64(20)
+        ) ^ odf["_bucket_o"].to_numpy(np.int64)
+        order = np.argsort(okey, kind="stable")
+        off_ref = ray.put((okey[order], odf["offset"].to_numpy(np.int64)[order]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            ok, ov = ray.get(off_ref)
+            key = (
+                t["user_id"].to_numpy().astype(np.int64) << np.int64(20)
+            ) ^ t["_bucket"].to_numpy().astype(np.int64)
+            idx = np.searchsorted(ok, key)
+            return pa.table(
+                {
+                    "event_id": t["event_id"],
+                    "user_id": t["user_id"],
+                    "seq": pa.array(
+                        t["rn"].to_numpy() + ov[idx], pa.int64()
+                    ),
+                }
+            )
+
+        joined = rows.map_batches(attach, batch_format="pyarrow").to_pandas()
+    else:
+        j = rows.join(
+            off_ds,
+            "inner",
+            num_partitions=4,
+            on=("user_id", "_bucket"),
+            right_on=("user_id_o", "_bucket_o"),
+        ).to_pandas()
+        joined = pd.DataFrame(
+            {
+                "event_id": j["event_id"],
+                "user_id": j["user_id"],
+                "seq": j["rn"] + j["offset"],
+            }
+        )
     out = pd.DataFrame(
         {
             "event_id": joined["event_id"].astype("int64"),
             "user_id": joined["user_id"].astype("int64"),
-            "seq": (joined["rn"] + joined["offset"]).astype("int64"),
+            "seq": joined["seq"].astype("int64"),
         }
     ).sort_values(["user_id", "seq"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
