@@ -164,6 +164,8 @@ def run_queries() -> dict[str, float]:
         "j8_knn_join",            # k-NN join (round 4)
         "a24_grouped_percentile_cont",  # multi-rank histogram selection
         "p3_rag_chunk_prep",      # dedup→gate→chunk→split composite
+        "s18_leakage_safe_split",  # near-dup-component split (round 5)
+        "ann_int8",               # quantized ANN + certification (round 5)
     ]
     out = {}
     for name in picks:
