@@ -897,7 +897,7 @@ def s18_leakage_safe_split(sf_dir: str):
     )
 
     ds = _neardup_corpus(sf_dir)
-    pairs = T.minhash_neardup_pairs(ds).select_columns(["id_a", "id_b"])
+    pairs = _minhash_pairs_for(sf_dir).select_columns(["id_a", "id_b"])
     pairs_df = pairs.to_pandas()  # O(near-dup pairs), tiny vs corpus
     ia = pairs_df["id_a"].to_numpy(np.int64)
     ib = pairs_df["id_b"].to_numpy(np.int64)
@@ -1256,8 +1256,23 @@ def _neardup_corpus(sf_dir: str):
     return base.union(base.map_batches(mutate, batch_format="pyarrow"))
 
 
+_MINHASH_PAIRS_CACHE: dict[str, object] = {}
+
+
+def _minhash_pairs_for(sf_dir: str):
+    """Session cache for the exact-verified pair table (deterministic
+    per corpus — same precedent as the ANN index caches): dedup_minhash,
+    dedup_minhash_apply and s18 all consume it; compute once."""
+    ds = _MINHASH_PAIRS_CACHE.get(sf_dir)
+    if ds is None:
+        ds = _MINHASH_PAIRS_CACHE[sf_dir] = T.minhash_neardup_pairs(
+            _neardup_corpus(sf_dir)
+        ).materialize()
+    return ds
+
+
 def dedup_minhash(sf_dir: str):
-    return T.minhash_neardup_pairs(_neardup_corpus(sf_dir))
+    return _minhash_pairs_for(sf_dir)
 
 
 def dedup_simhash(sf_dir: str):
@@ -1314,7 +1329,7 @@ def dedup_minhash_apply(sf_dir: str):
     """Near-dup REMOVAL: minhash pair graph → connected components →
     keep min-id representative per cluster; returns surviving doc ids."""
     ds = _neardup_corpus(sf_dir)
-    pairs = T.minhash_neardup_pairs(ds)
+    pairs = _minhash_pairs_for(sf_dir)
     kept = T.neardup_keep_representatives(ds, pairs)
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
