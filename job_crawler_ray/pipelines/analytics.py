@@ -1136,6 +1136,180 @@ def g4_triangles(sf_dir: str) -> pa.Table:
 # --- G5: connected components ----------------------------------------------------
 
 
+KCORE_K = 6
+KCORE_MAX_ROUNDS = 12  # unrolled in the SQL twin; the engine asserts
+KCORE_EDGE_DRIVER_LIMIT = 20_000_000
+# the base modular graph is near-6-regular (every k is all-or-nothing);
+# a planted ring-with-chords block over the first n//10 docs (each
+# block node linked to (id±1, ±2, ±3) mod block) has internal degree
+# exactly 6, so peeling at k=6 strips the irregular bulk and keeps the
+# dense block (+ whatever bulk survives embedded) — a real core
+KCORE_BLOCK_DIV = 10
+KCORE_BLOCK_DS = (1, 2, 3)
+
+
+def g16_kcore(sf_dir: str) -> pa.Table:
+    """k-CORE membership (k={KCORE_K}) over the deterministic link
+    graph — ITERATIVE PEELING, the degeneracy primitive triangle/motif
+    engines order by: repeatedly drop nodes with < k alive neighbors
+    until a fixpoint. Structurally distinct from the other graph ops
+    (an iterative node-REMOVAL loop, not label propagation).
+
+    Tiers: the deduped undirected edge list streams to the driver
+    under the memory-budgeted cap (two bincounts per round); above it,
+    per-round ``map_batches`` partial degrees over a BROADCAST alive
+    bitmap with a driver accumulate into the |nodes| degree array —
+    driver state is O(|nodes|) either way (the bitmap), never edges.
+    The DuckDB twin UNROLLS ``KCORE_MAX_ROUNDS`` peeling rounds
+    (rounds past the fixpoint are no-ops); the engine asserts it
+    converged within the same bound, so the unrolled twin can never
+    silently diverge — it either matches or the query raises."""
+    nodes = _read(sf_dir, "documents", ["doc_id"]).materialize()
+    n = nodes.count()
+
+    blk = max(1, n // KCORE_BLOCK_DIV)
+
+    def gen_edges(t: pa.Table) -> pa.Table:
+        s = t["doc_id"].to_numpy()
+        src = np.concatenate([s] * len(TRIANGLE_EDGE_MULTS))
+        dst = np.concatenate(
+            [(s * a + b) % n for a, b in TRIANGLE_EDGE_MULTS]
+        )
+        sb = s[s < blk]  # planted dense block: ring + chords
+        for d in KCORE_BLOCK_DS:
+            src = np.concatenate([src, sb])
+            dst = np.concatenate([dst, (sb + d) % blk])
+        keep = src != dst
+        u = np.minimum(src[keep], dst[keep])
+        v = np.maximum(src[keep], dst[keep])
+        key = u * np.int64(n) + v
+        uq = np.unique(key)  # in-batch dedup; global dedup below
+        return pa.table(
+            {
+                "u": pa.array((uq // n).astype(np.int64)),
+                "v": pa.array((uq % n).astype(np.int64)),
+            }
+        )
+
+    edges_ds = nodes.map_batches(gen_edges, batch_format="pyarrow")
+    alive = np.ones(n, dtype=bool)
+
+    if 3 * n <= driver_row_cap(KCORE_EDGE_DRIVER_LIMIT, 32):
+        parts_u, parts_v = [], []
+        for tb in edges_ds.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        ):
+            parts_u.append(tb["u"].to_numpy())
+            parts_v.append(tb["v"].to_numpy())
+        key = np.unique(
+            np.concatenate(parts_u) * np.int64(n) + np.concatenate(parts_v)
+        )
+        u, v = (key // n).astype(np.int64), (key % n).astype(np.int64)
+        converged = False
+        for _ in range(KCORE_MAX_ROUNDS + 1):
+            m = alive[u] & alive[v]
+            deg = np.bincount(u[m], minlength=n) + np.bincount(
+                v[m], minlength=n
+            )
+            new_alive = alive & (deg >= KCORE_K)
+            if (new_alive == alive).all():
+                converged = True
+                break
+            alive = new_alive
+    else:
+        # distributed tier: global edge dedup once, then one pass per
+        # round with the alive bitmap broadcast and ≤|batch-nodes|
+        # partial rows accumulated into the driver degree array
+        edges_ds = (
+            edges_ds.groupby(["u", "v"]).count().select_columns(["u", "v"])
+            .materialize()
+        )
+        converged = False
+        for _ in range(KCORE_MAX_ROUNDS + 1):
+            aref = ray.put(alive)
+
+            def deg_partial(t: pa.Table) -> pa.Table:
+                al = ray.get(aref)
+                uu = t["u"].to_numpy()
+                vv = t["v"].to_numpy()
+                m = al[uu] & al[vv]
+                cat = np.concatenate([uu[m], vv[m]])
+                node, cnt = np.unique(cat, return_counts=True)
+                return pa.table(
+                    {
+                        "node": pa.array(node.astype(np.int64)),
+                        "deg": pa.array(cnt.astype(np.int64)),
+                    }
+                )
+
+            deg = np.zeros(n, dtype=np.int64)
+            for tb in edges_ds.map_batches(
+                deg_partial, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+                np.add.at(
+                    deg, tb["node"].to_numpy(), tb["deg"].to_numpy()
+                )
+            new_alive = alive & (deg >= KCORE_K)
+            if (new_alive == alive).all():
+                converged = True
+                break
+            alive = new_alive
+    if not converged:
+        raise RuntimeError(
+            f"k-core did not converge in {KCORE_MAX_ROUNDS} rounds — "
+            "raise KCORE_MAX_ROUNDS (and the unrolled SQL twin) together"
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "in_kcore": pa.array(alive),
+        }
+    )
+
+
+def _kcore_unrolled_sql() -> str:
+    """Unrolled peeling twin for g16: each round keeps nodes with >= k
+    alive neighbors; rounds past the engine-asserted fixpoint are
+    no-ops, so KCORE_MAX_ROUNDS rounds are exact."""
+    # AS MATERIALIZED: each round references the previous one twice,
+    # so plain CTE inlining doubles per round (2^12 scans of the base
+    # table — "too many open files"); materialization makes each round
+    # compute once
+    rounds = ""
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
+        rounds += f""",
+            a{i} AS MATERIALIZED (
+                SELECT x.doc_id FROM a{i - 1} x
+                JOIN sym e ON e.u = x.doc_id
+                JOIN a{i - 1} y ON y.doc_id = e.v
+                GROUP BY x.doc_id HAVING count(*) >= {KCORE_K})"""
+    edge_union = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % "
+        f"(SELECT count(*) FROM documents) AS dst FROM documents"
+        for a, b in TRIANGLE_EDGE_MULTS
+    )
+    block_union = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id + {d}) % "
+        f"(SELECT count(*) // {KCORE_BLOCK_DIV} FROM documents) AS dst "
+        f"FROM documents WHERE doc_id < "
+        f"(SELECT count(*) // {KCORE_BLOCK_DIV} FROM documents)"
+        for d in KCORE_BLOCK_DS
+    )
+    return f"""
+            WITH e0 AS ({edge_union} UNION ALL {block_union}),
+            und AS MATERIALIZED (
+                SELECT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e0 WHERE src <> dst GROUP BY 1, 2),
+            sym AS MATERIALIZED (
+                SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+            a0 AS MATERIALIZED (SELECT doc_id FROM documents){rounds}
+            SELECT d.doc_id,
+                   d.doc_id IN (SELECT doc_id FROM a{KCORE_MAX_ROUNDS})
+                       AS in_kcore
+            FROM documents d ORDER BY d.doc_id
+        """
+
+
 def g5_components(sf_dir: str) -> pa.Table:
     """Per-node connected-component labels (component = min node id)
     over a deterministic sparse chain graph — doc i links to i+1
@@ -6775,6 +6949,7 @@ def analytics_oracle_sql() -> dict[str, str]:
             WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
             ORDER BY name_a, name_b
         """,
+        "g16_kcore": _kcore_unrolled_sql(),
         "g4_triangles": f"""
             WITH e0 AS (
                 {" UNION ALL ".join(

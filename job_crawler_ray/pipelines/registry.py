@@ -2191,6 +2191,7 @@ def build_queries() -> dict:
             "io12_gzip_jsonl_roundtrip": io12_gzip_jsonl_roundtrip,
             "io13_warc_roundtrip": io13_warc_roundtrip,
             "s18_leakage_safe_split": s18_leakage_safe_split,
+            "g16_kcore": A2.g16_kcore,
             "j10_interval_join": A2.j10_interval_join,
             "w6_window_dedup": A2.w6_window_dedup,
             "a18_grouped_hll": A2.a18_grouped_hll,

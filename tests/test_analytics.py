@@ -524,3 +524,25 @@ class TestRound4Wave4:
         monkeypatch.setattr(A, "SELECT_COLLECT_LIMIT", 2)
         forced = A.a22_percentile_cont(sf_mid).to_pandas()
         pd.testing.assert_frame_equal(base, forced)
+
+
+def test_g16_kcore_peels_to_planted_block(sf_mid, ray_session):
+    """k=6 peeling strips the near-6-regular bulk and keeps exactly
+    the planted ring-with-chords block (internal degree 6); the
+    forced distributed tier (per-round broadcast-bitmap degrees) must
+    equal the driver tier bit-for-bit."""
+    import pandas as pd
+
+    import job_crawler_ray.pipelines.analytics as A
+
+    out = A.g16_kcore(sf_mid).to_pandas()
+    blk = len(out) // A.KCORE_BLOCK_DIV
+    assert int(out["in_kcore"].sum()) == blk
+    assert out[out["doc_id"] < blk]["in_kcore"].all()
+    old = A.KCORE_EDGE_DRIVER_LIMIT
+    try:
+        A.KCORE_EDGE_DRIVER_LIMIT = 0
+        forced = A.g16_kcore(sf_mid).to_pandas()
+    finally:
+        A.KCORE_EDGE_DRIVER_LIMIT = old
+    pd.testing.assert_frame_equal(forced, out)
